@@ -1,0 +1,92 @@
+"""Global constants and configuration dataclasses.
+
+Pipeline geometry constants mirror the reference contract
+(reference: src/utils.py:17-20): imagery is downloaded as 6144 px GeoTIFFs
+covering 1200 m boxes in EPSG:3857 and analyzed as 1024 px tiles whose
+pixel offsets are encoded in the file name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# --- Imagery geometry (reference: src/utils.py:17-19) ---
+LARGE_TIF_SIZE = 1024 * 6  # px of one downloaded GeoTIFF
+IM_WIDTH = 1024            # px of one analysis tile
+IM_HEIGHT = 1024
+DOWNLOAD_BOX_M = 1200.0    # meters covered by one download box (EPSG:3857)
+
+# --- CRS registry (reference: src/utils.py:20) ---
+CRS_MAPPING = 3857  # Web Mercator: storage / mapping CRS
+CRS_AREA = 3035     # ETRS89-extended LAEA Europe: area measurement CRS
+CRS_LATLON = 4326   # WGS84 lat/lon: output CRS
+
+# --- Detection label space (reference: src/process_yolo/geocode_results.py:24-30) ---
+CLASS_NAMES = (
+    "circle_farm",
+    "square_farm",
+    "triangle_farm",
+    "other_farm",
+    "rectangle_farm",
+)
+REVERSE_CLASS_MAPPING = {i: n for i, n in enumerate(CLASS_NAMES)}
+CLASS_MAPPING = {n: i for i, n in enumerate(CLASS_NAMES)}
+
+# --- Operating point found by the reference's grid search
+#     (reference: src/get_kfold_cluster_performance.py:538-540) ---
+OPTIMAL_CONF_THRESHOLD = 0.785
+OPTIMAL_DISTANCE_THRESHOLD = 50.0   # DBSCAN eps in meters (EPSG:3035)
+OPTIMAL_MIN_CLUSTER_SIZE = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectConfig:
+    """Inference configuration for the detector.
+
+    Defaults follow the reference invocation ``detect.py --img 640``
+    (reference: README.md:77) with ultralytics' default NMS settings.
+    """
+
+    img_size: int = 640
+    conf_threshold: float = 0.25
+    iou_threshold: float = 0.45
+    max_detections: int = 300       # post-NMS cap (fixed XLA shape)
+    pre_nms_topk: int = 4096        # pre-NMS candidate cap (fixed XLA shape)
+    multi_label: bool = False
+    class_agnostic: bool = False
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training configuration mirroring the reference capability
+    ``train.py --img 640 --batch 16 --epochs 50`` (reference: README.md:52)
+    with ultralytics' default hyperparameters.
+    """
+
+    img_size: int = 640
+    batch_size: int = 16
+    epochs: int = 50
+    lr0: float = 0.01
+    lrf: float = 0.01               # final OneCycle lr fraction
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    warmup_momentum: float = 0.8
+    warmup_bias_lr: float = 0.1
+    box_gain: float = 0.05
+    cls_gain: float = 0.5
+    obj_gain: float = 1.0
+    anchor_t: float = 4.0           # anchor-match wh ratio threshold
+    fl_gamma: float = 0.0
+    label_smoothing: float = 0.0
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    fliplr: float = 0.5
+    flipud: float = 0.0
+    mosaic: float = 1.0
+    translate: float = 0.1
+    scale: float = 0.5
+    ema_decay: float = 0.9999
+    max_boxes_per_image: int = 120  # fixed-shape label padding

@@ -1,0 +1,261 @@
+"""GeoFrame: a minimal geo-dataframe (geopandas replacement).
+
+A ``pandas.DataFrame`` subclass carrying a ``geometry`` object column of
+``aquaculture_tpu.geo.polygon`` geometries and an integer EPSG ``crs``.
+Implements exactly the surface the pipeline uses (reference: geopandas calls
+throughout src/): ``to_crs``, ``area``, ``centroid``, ``sjoin`` (intersects /
+within), ``dissolve``, GeoJSON read/write, and WKT column parsing.
+
+Spatial joins are vectorized: a bounds-overlap prefilter via searchsorted on
+sorted x-intervals, then the exact ``intersects`` predicate on candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List
+
+import numpy as np
+import pandas as pd
+
+from aquaculture_tpu.geo import crs as _crs
+from aquaculture_tpu.geo import io as _geoio
+from aquaculture_tpu.geo import polygon as _poly
+
+
+class GeoFrame(pd.DataFrame):
+    _metadata = ["crs"]
+
+    def __init__(self, data=None, *args, geometry=None, crs=None, **kwargs):
+        super().__init__(data, *args, **kwargs)
+        if geometry is not None:
+            self["geometry"] = list(geometry)
+        if crs is not None:
+            self.crs = _parse_crs(crs)
+        elif not hasattr(self, "crs"):
+            self.crs = None
+
+    @property
+    def _constructor(self):
+        return GeoFrame
+
+    # -- geometry accessors ---------------------------------------------------
+
+    @property
+    def geometry(self) -> pd.Series:
+        return self["geometry"]
+
+    @property
+    def area(self) -> pd.Series:
+        return self["geometry"].apply(lambda g: g.area if g is not None else 0.0)
+
+    @property
+    def centroid(self) -> pd.Series:
+        return self["geometry"].apply(lambda g: g.centroid)
+
+    @property
+    def bounds(self) -> pd.DataFrame:
+        b = np.array(
+            [g.bounds if g is not None else (np.nan,) * 4 for g in self["geometry"]],
+            dtype=np.float64,
+        ).reshape(-1, 4)
+        return pd.DataFrame(b, columns=["minx", "miny", "maxx", "maxy"], index=self.index)
+
+    def bounds_array(self) -> np.ndarray:
+        return np.array(
+            [g.bounds if g is not None else (np.nan,) * 4 for g in self["geometry"]],
+            dtype=np.float64,
+        ).reshape(-1, 4)
+
+    # -- CRS ------------------------------------------------------------------
+
+    def to_crs(self, crs, inplace: bool = False):
+        dst = _parse_crs(crs)
+        src = self.crs
+        if src is None:
+            raise ValueError("GeoFrame has no CRS set")
+        if dst == src:
+            if inplace:
+                return None
+            out = self.copy()
+            out.crs = src
+            return out
+        fn = lambda x, y: _crs.transform(src, dst, x, y)
+        new_geoms = [g.transform(fn) if g is not None and not g.is_empty else g for g in self["geometry"]]
+        if inplace:
+            self["geometry"] = new_geoms
+            self.crs = dst
+            return None
+        out = self.copy()
+        out["geometry"] = new_geoms
+        out.crs = dst
+        return out
+
+    # -- spatial join -----------------------------------------------------------
+
+    def sjoin(
+        self,
+        other: "GeoFrame",
+        how: str = "inner",
+        predicate: str = "intersects",
+        lsuffix: str = "left",
+        rsuffix: str = "right",
+    ) -> "GeoFrame":
+        """Spatial join matching geopandas.sjoin semantics for the predicates
+        used in the reference ('intersects', 'within')."""
+        assert how in ("inner", "left")
+        assert predicate in ("intersects", "within")
+        if self.crs != other.crs:
+            raise ValueError(f"CRS mismatch in sjoin: {self.crs} vs {other.crs}")
+
+        li, ri = _candidate_pairs(self.bounds_array(), other.bounds_array())
+        lg = list(self["geometry"])
+        rg = list(other["geometry"])
+        keep = np.zeros(len(li), dtype=bool)
+        for k in range(len(li)):
+            a, b = lg[li[k]], rg[ri[k]]
+            if a is None or b is None or a.is_empty or b.is_empty:
+                continue
+            if predicate == "intersects":
+                keep[k] = _poly.intersects(a, b)
+            else:  # within: approximate as all exterior vertices inside + intersects
+                keep[k] = _within(a, b)
+        li, ri = li[keep], ri[keep]
+
+        left_idx = self.index.to_numpy()
+        right_idx = other.index.to_numpy()
+
+        # Build joined table
+        overlap = set(self.columns) & set(other.columns) - {"geometry"}
+        lcols = {c: (f"{c}_{lsuffix}" if c in overlap else c) for c in self.columns}
+        rcols = {
+            c: (f"{c}_{rsuffix}" if c in overlap else c) for c in other.columns if c != "geometry"
+        }
+
+        ldata = self.rename(columns=lcols)
+        matched = ldata.iloc[li].copy()
+        matched.index = left_idx[li]
+        rdata = pd.DataFrame(other.drop(columns=["geometry"])).rename(columns=rcols)
+        rpart = rdata.iloc[ri].copy()
+        rpart.index = matched.index
+        joined = pd.concat([matched, rpart], axis=1)
+        joined[f"index_{rsuffix}"] = right_idx[ri]
+
+        if how == "left":
+            unmatched_mask = ~np.isin(np.arange(len(self)), li)
+            if unmatched_mask.any():
+                un = ldata.iloc[unmatched_mask].copy()
+                un.index = left_idx[unmatched_mask]
+                for c in list(rcols.values()) + [f"index_{rsuffix}"]:
+                    un[c] = np.nan
+                joined = pd.concat([joined, un], axis=0)
+            joined = joined.sort_index(kind="stable")
+
+        out = GeoFrame(joined)
+        out.crs = self.crs
+        return out
+
+    # -- misc geopandas surface -------------------------------------------------
+
+    def dissolve(self) -> "GeoFrame":
+        merged = _poly.unary_union([g for g in self["geometry"] if g is not None])
+        out = GeoFrame({"geometry": [merged]})
+        out.crs = self.crs
+        return out
+
+    def to_file(self, path: str, driver: str = "GeoJSON", index: bool = False):
+        recs = self.drop(columns=["geometry"]).to_dict("records")
+        if index:
+            for i, rec in zip(self.index, recs):
+                rec["index"] = rec.get("index", i)
+        _geoio.write_feature_collection(path, recs, list(self["geometry"]), self.crs or 4326)
+
+    def copy(self, deep: bool = True) -> "GeoFrame":
+        out = super().copy(deep=deep)
+        out.crs = self.crs
+        return out
+
+
+def _within(a: _poly.Geometry, b: _poly.Geometry) -> bool:
+    if isinstance(a, _poly.Point):
+        return b.contains_point(a.x, a.y)
+    polys = a.geoms if isinstance(a, _poly.MultiPolygon) else [a]
+    for p in polys:
+        for v in p.exterior:
+            if not b.contains_point(float(v[0]), float(v[1])):
+                return False
+    return True
+
+
+def _candidate_pairs(ab: np.ndarray, bb: np.ndarray):
+    """Bounds-overlap candidate pairs between two (N,4)/(M,4) bounds arrays."""
+    if len(ab) == 0 or len(bb) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    order = np.argsort(bb[:, 0], kind="stable")
+    bx0 = bb[order, 0]
+    li, ri = [], []
+    for i in range(len(ab)):
+        if not np.isfinite(ab[i, 0]):
+            continue
+        hi = np.searchsorted(bx0, ab[i, 2], side="right")
+        cand = order[:hi]
+        if len(cand) == 0:
+            continue
+        sel = (
+            (bb[cand, 2] >= ab[i, 0])
+            & (bb[cand, 1] <= ab[i, 3])
+            & (bb[cand, 3] >= ab[i, 1])
+        )
+        cc = cand[sel]
+        li.extend([i] * len(cc))
+        ri.extend(cc.tolist())
+    return np.asarray(li, dtype=np.int64), np.asarray(ri, dtype=np.int64)
+
+
+def _parse_crs(crs) -> int:
+    if isinstance(crs, int):
+        return crs
+    if isinstance(crs, str):
+        s = crs.upper().replace("EPSG:", "").strip(": ")
+        return int(s)
+    raise ValueError(f"Cannot parse CRS: {crs!r}")
+
+
+# ---------------------------------------------------------------------------
+# IO constructors
+# ---------------------------------------------------------------------------
+
+def read_file(path: str) -> GeoFrame:
+    """Read a GeoJSON feature collection into a GeoFrame."""
+    props, geoms, crs = _geoio.read_feature_collection(path)
+    df = pd.DataFrame(props)
+    out = GeoFrame(df)
+    out["geometry"] = geoms
+    out.crs = crs
+    return out
+
+
+def from_wkt_column(df: pd.DataFrame, column: str = "geometry", crs=None) -> GeoFrame:
+    """Build a GeoFrame from a DataFrame with a WKT string column
+    (the wanted_bboxes.csv format, reference utils.py:37-43)."""
+    geoms = [_geoio.from_wkt(w) for w in df[column]]
+    out = GeoFrame(df.drop(columns=[column]))
+    out["geometry"] = geoms
+    out.crs = _parse_crs(crs) if crs is not None else None
+    return out
+
+
+def from_xy(df: pd.DataFrame, x: str, y: str, crs=None) -> GeoFrame:
+    """Point GeoFrame from x/y columns (GeoSeries.from_xy equivalent)."""
+    geoms = [_poly.Point(px, py) for px, py in zip(df[x], df[y])]
+    out = GeoFrame(df.copy())
+    out["geometry"] = geoms
+    out.crs = _parse_crs(crs) if crs is not None else None
+    return out
+
+
+def points_frame(xs: Iterable[float], ys: Iterable[float], crs=None, **cols) -> GeoFrame:
+    geoms = [_poly.Point(px, py) for px, py in zip(xs, ys)]
+    out = GeoFrame(pd.DataFrame(cols) if cols else pd.DataFrame(index=range(len(geoms))))
+    out["geometry"] = geoms
+    out.crs = _parse_crs(crs) if crs is not None else None
+    return out

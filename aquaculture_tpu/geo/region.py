@@ -1,0 +1,233 @@
+"""Exact rectilinear region algebra.
+
+A ``Region`` is a set of points of the plane represented as a collection of
+DISJOINT axis-aligned rectangles. All pipeline overlay semantics operate on
+rectilinear geometry (download boxes, image tiles and their successive
+differences — reference utils.py:241-273 and utils_tonnage.py:686-713), so
+this algebra gives exact results with no GEOS dependency:
+
+* ``intersection``: pairwise rect∩rect (disjointness is preserved for free)
+* ``difference``:   per-rectangle local coordinate compression
+* ``union``:        a ∪ b  =  a  +  (b \\ a)
+
+Complexity is local: ops only touch rectangles whose bounds overlap, so the
+greedy coverage loops stay near-linear.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from aquaculture_tpu.geo import polygon as _poly
+
+_EPS = 1e-9
+
+
+class Region:
+    __slots__ = ("rects",)
+
+    def __init__(self, rects: np.ndarray):
+        r = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+        # Drop degenerate rectangles
+        keep = (r[:, 2] - r[:, 0] > _EPS) & (r[:, 3] - r[:, 1] > _EPS)
+        self.rects = r[keep]
+
+    @property
+    def is_empty(self) -> bool:
+        return len(self.rects) == 0
+
+    @property
+    def area(self) -> float:
+        if self.is_empty:
+            return 0.0
+        return float(
+            np.sum((self.rects[:, 2] - self.rects[:, 0]) * (self.rects[:, 3] - self.rects[:, 1]))
+        )
+
+    @property
+    def bounds(self):
+        if self.is_empty:
+            return (np.nan, np.nan, np.nan, np.nan)
+        return (
+            float(self.rects[:, 0].min()),
+            float(self.rects[:, 1].min()),
+            float(self.rects[:, 2].max()),
+            float(self.rects[:, 3].max()),
+        )
+
+    # -- algebra ------------------------------------------------------------
+
+    def intersection(self, other: "Region") -> "Region":
+        if self.is_empty or other.is_empty:
+            return Region(np.zeros((0, 4)))
+        a, b = self.rects, other.rects
+        lo = np.maximum(a[:, None, :2], b[None, :, :2])
+        hi = np.minimum(a[:, None, 2:], b[None, :, 2:])
+        valid = np.all(hi - lo > _EPS, axis=2)
+        out = np.concatenate([lo[valid], hi[valid]], axis=1)
+        return Region(out)
+
+    def difference(self, other: "Region") -> "Region":
+        if self.is_empty:
+            return Region(np.zeros((0, 4)))
+        if other.is_empty:
+            return Region(self.rects.copy())
+        pieces: List[np.ndarray] = []
+        b = other.rects
+        for rect in self.rects:
+            # Local prefilter: only subtrahend rects overlapping this rect.
+            ov = (
+                (b[:, 0] < rect[2] - _EPS)
+                & (b[:, 2] > rect[0] + _EPS)
+                & (b[:, 1] < rect[3] - _EPS)
+                & (b[:, 3] > rect[1] + _EPS)
+            )
+            sub = b[ov]
+            if len(sub) == 0:
+                pieces.append(rect[None, :])
+                continue
+            sub = np.clip(sub, [rect[0], rect[1], rect[0], rect[1]], [rect[2], rect[3], rect[2], rect[3]])
+            xs = np.unique(np.concatenate([[rect[0], rect[2]], sub[:, 0], sub[:, 2]]))
+            ys = np.unique(np.concatenate([[rect[1], rect[3]], sub[:, 1], sub[:, 3]]))
+            cx = (xs[:-1] + xs[1:]) / 2
+            cy = (ys[:-1] + ys[1:]) / 2
+            # covered[j, i] = cell (i, j) covered by any subtrahend rect
+            covered = np.zeros((len(cy), len(cx)), dtype=bool)
+            for s in sub:
+                ix = (cx > s[0]) & (cx < s[2])
+                iy = (cy > s[1]) & (cy < s[3])
+                covered |= iy[:, None] & ix[None, :]
+            kept = ~covered
+            if kept.any():
+                pieces.append(_cells_to_rects(xs, ys, kept))
+        if not pieces:
+            return Region(np.zeros((0, 4)))
+        return Region(np.concatenate(pieces, axis=0))
+
+    def union(self, other: "Region") -> "Region":
+        extra = other.difference(self)
+        if self.is_empty:
+            return extra
+        if extra.is_empty:
+            return Region(self.rects.copy())
+        return Region(np.concatenate([self.rects, extra.rects], axis=0))
+
+    def contains_point(self, x: float, y: float) -> bool:
+        r = self.rects
+        return bool(
+            np.any((r[:, 0] - _EPS <= x) & (x <= r[:, 2] + _EPS) & (r[:, 1] - _EPS <= y) & (y <= r[:, 3] + _EPS))
+        )
+
+    def __repr__(self):
+        return f"Region({len(self.rects)} rects, area={self.area:.3f})"
+
+
+def _cells_to_rects(xs: np.ndarray, ys: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    """Merge a boolean cell grid into maximal rectangles.
+
+    Greedy: merge horizontal runs per row, then stack identical runs across
+    adjacent rows. keep has shape (len(ys)-1, len(xs)-1).
+    """
+    rects = []
+    open_strips = {}  # (i0, i1) -> y_start index
+    ny = keep.shape[0]
+    for j in range(ny + 1):
+        row_runs = set()
+        if j < ny:
+            row = keep[j]
+            i = 0
+            n = len(row)
+            while i < n:
+                if row[i]:
+                    i0 = i
+                    while i < n and row[i]:
+                        i += 1
+                    row_runs.add((i0, i))
+                else:
+                    i += 1
+        # Close strips not continued by this row
+        for run in list(open_strips):
+            if run not in row_runs:
+                j0 = open_strips.pop(run)
+                rects.append((xs[run[0]], ys[j0], xs[run[1]], ys[j]))
+        # Open new strips
+        for run in row_runs:
+            if run not in open_strips:
+                open_strips[run] = j
+    return np.array(rects, dtype=np.float64).reshape(-1, 4)
+
+
+def from_geometry(g) -> Region:
+    """Decompose a rectilinear geometry into a disjoint-rectangle Region."""
+    polys = g.geoms if isinstance(g, _poly.MultiPolygon) else [g]
+    pieces = []
+    for p in polys:
+        if p.is_empty:
+            continue
+        xs_all = [p.exterior[:, 0]] + [h[:, 0] for h in p.holes]
+        ys_all = [p.exterior[:, 1]] + [h[:, 1] for h in p.holes]
+        xs = np.unique(np.concatenate(xs_all))
+        ys = np.unique(np.concatenate(ys_all))
+        if len(xs) < 2 or len(ys) < 2:
+            continue
+        cx = (xs[:-1] + xs[1:]) / 2
+        cy = (ys[:-1] + ys[1:]) / 2
+        keep = np.zeros((len(cy), len(cx)), dtype=bool)
+        for j, yv in enumerate(cy):
+            for i, xv in enumerate(cx):
+                keep[j, i] = p.contains_point(float(xv), float(yv))
+        if keep.any():
+            pieces.append(_cells_to_rects(xs, ys, keep))
+    if not pieces:
+        return Region(np.zeros((0, 4)))
+    return Region(np.concatenate(pieces, axis=0))
+
+
+def to_geometry(r: Region):
+    """Region -> Polygon / MultiPolygon (one rectangle polygon per piece,
+    after a merge pass; pieces are disjoint so MultiPolygon.area is exact)."""
+    if r.is_empty:
+        return _poly.EMPTY
+    merged = _merge_rects(r.rects)
+    polys = [_poly.box(*rect) for rect in merged]
+    if len(polys) == 1:
+        return polys[0]
+    return _poly.MultiPolygon(polys)
+
+
+def _merge_rects(rects: np.ndarray) -> np.ndarray:
+    """Best-effort pass merging rectangles that share a full edge."""
+    rs = [tuple(r) for r in rects]
+    changed = True
+    while changed and len(rs) > 1:
+        changed = False
+        out = []
+        used = [False] * len(rs)
+        for i in range(len(rs)):
+            if used[i]:
+                continue
+            a = rs[i]
+            for j in range(i + 1, len(rs)):
+                if used[j]:
+                    continue
+                b = rs[j]
+                # Horizontal neighbors with identical y-extent
+                if abs(a[1] - b[1]) < _EPS and abs(a[3] - b[3]) < _EPS and (
+                    abs(a[2] - b[0]) < _EPS or abs(b[2] - a[0]) < _EPS
+                ):
+                    a = (min(a[0], b[0]), a[1], max(a[2], b[2]), a[3])
+                    used[j] = True
+                    changed = True
+                # Vertical neighbors with identical x-extent
+                elif abs(a[0] - b[0]) < _EPS and abs(a[2] - b[2]) < _EPS and (
+                    abs(a[3] - b[1]) < _EPS or abs(b[3] - a[1]) < _EPS
+                ):
+                    a = (a[0], min(a[1], b[1]), a[2], max(a[3], b[3]))
+                    used[j] = True
+                    changed = True
+            used[i] = True
+            out.append(a)
+        rs = out
+    return np.array(rs, dtype=np.float64).reshape(-1, 4)

@@ -1,0 +1,167 @@
+"""Geometry engine tests: predicates, measures, overlay, region algebra."""
+
+import numpy as np
+import pytest
+
+from aquaculture_tpu.geo import polygon as P
+from aquaculture_tpu.geo import region as R
+from aquaculture_tpu.geo.io import from_wkt, to_wkt
+
+
+def test_box_area_bounds_centroid():
+    b = P.box(0, 0, 4, 2)
+    assert b.area == pytest.approx(8.0)
+    assert b.bounds == (0, 0, 4, 2)
+    c = b.centroid
+    assert (c.x, c.y) == (pytest.approx(2.0), pytest.approx(1.0))
+
+
+def test_polygon_with_hole():
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    hole = [(2, 2), (4, 2), (4, 4), (2, 4)]
+    p = P.Polygon(outer, [hole])
+    assert p.area == pytest.approx(100 - 4)
+    assert p.contains_point(1, 1)
+    assert not p.contains_point(3, 3)
+
+
+def test_intersects_predicate():
+    a = P.box(0, 0, 2, 2)
+    b = P.box(1, 1, 3, 3)
+    c = P.box(5, 5, 6, 6)
+    t = P.box(2, 0, 4, 2)  # touching edge
+    assert P.intersects(a, b)
+    assert not P.intersects(a, c)
+    assert P.intersects(a, t)  # boundary contact counts (shapely semantics)
+    # containment without edge crossing
+    inner = P.box(0.5, 0.5, 1.0, 1.0)
+    assert P.intersects(a, inner)
+    # point in polygon
+    assert P.intersects(P.Point(1, 1), a)
+    assert not P.intersects(P.Point(10, 10), a)
+
+
+def test_intersection_boxes_exact():
+    a = P.box(0, 0, 2, 2)
+    b = P.box(1, 1, 3, 3)
+    i = P.intersection(a, b)
+    assert i.area == pytest.approx(1.0)
+    assert i.bounds == (1, 1, 2, 2)
+
+
+def test_difference_box_minus_box():
+    a = P.box(0, 0, 4, 4)
+    b = P.box(1, 1, 3, 3)
+    d = P.difference(a, b)
+    assert d.area == pytest.approx(16 - 4)
+    # The hole region is excluded
+    assert not d.contains_point(2, 2) if hasattr(d, "contains_point") else True
+    # Difference with non-overlapping geom is identity
+    d2 = P.difference(a, P.box(10, 10, 11, 11))
+    assert d2.area == pytest.approx(16)
+
+
+def test_union_and_unary_union_rectilinear():
+    a = P.box(0, 0, 2, 2)
+    b = P.box(1, 0, 3, 2)   # overlapping
+    u = P.union(a, b)
+    assert u.area == pytest.approx(6.0)  # dissolved, not 8
+    uu = P.unary_union([a, b, P.box(10, 10, 11, 11)])
+    assert uu.area == pytest.approx(7.0)
+
+
+def test_greedy_coverage_difference_chain():
+    # The dedup pattern (reference utils.py:256-269): successively subtract
+    # existing coverage.
+    boxes = [P.box(0, 0, 2, 2), P.box(1, 0, 3, 2), P.box(2, 0, 4, 2)]
+    coverage = boxes[0]
+    kept = [boxes[0]]
+    for b in boxes[1:]:
+        nb = P.difference(b, coverage)
+        kept.append(nb)
+        coverage = P.union(coverage, nb)
+    assert kept[1].area == pytest.approx(2.0)   # [2,3] x [0,2]
+    assert kept[2].area == pytest.approx(2.0)   # [3,4] x [0,2]
+    assert coverage.area == pytest.approx(8.0)
+    total = sum(k.area for k in kept)
+    assert total == pytest.approx(8.0)
+
+
+def test_convex_clip_triangles():
+    tri = P.Polygon([(0, 0), (4, 0), (0, 4)])
+    sq = P.box(1, 1, 5, 5)
+    i = P.intersection(tri, sq)
+    # Triangle ∩ square: region x>=1,y>=1,x+y<=4 -> right triangle legs 2
+    assert i.area == pytest.approx(2.0)
+
+
+def test_intersection_area_raster_fallback():
+    # Two rotated (non-convex-marked) shapes trigger raster path via
+    # intersection_area on non-convex star polygon.
+    star = P.Polygon([(0, 0), (4, 1), (8, 0), (7, 4), (8, 8), (4, 7), (0, 8), (1, 4)])
+    sq = P.box(0, 0, 8, 8)
+    a = P.intersection_area(star, sq)
+    assert a == pytest.approx(star.area, rel=0.05)
+
+
+def test_region_algebra_exactness():
+    a = R.Region(np.array([[0, 0, 2, 2], [2, 0, 4, 1]]))
+    b = R.Region(np.array([[1, 0, 3, 3]]))
+    assert a.intersection(b).area == pytest.approx(1 * 2 + 1 * 1)
+    assert a.difference(b).area == pytest.approx(a.area - 3.0)
+    assert a.union(b).area == pytest.approx(a.area + b.area - 3.0)
+
+
+def test_region_from_to_geometry_roundtrip():
+    g = P.difference(P.box(0, 0, 4, 4), P.box(1, 1, 3, 3))
+    reg = R.from_geometry(g)
+    assert reg.area == pytest.approx(12.0)
+    g2 = R.to_geometry(reg)
+    assert g2.area == pytest.approx(12.0)
+
+
+def test_centroid_weighted_multipolygon():
+    mp = P.MultiPolygon([P.box(0, 0, 1, 1), P.box(2, 0, 4, 1)])
+    c = mp.centroid
+    # areas 1 and 2, centroids (0.5,0.5) and (3,0.5)
+    assert c.x == pytest.approx((0.5 * 1 + 3 * 2) / 3)
+    assert c.y == pytest.approx(0.5)
+
+
+def test_simplify_collinear():
+    ring = [(0, 0), (1, 0), (2, 0), (2, 2), (0, 2)]
+    p = P.Polygon(ring)
+    s = p.simplify(0.01)
+    assert s.area == pytest.approx(p.area)
+    assert len(s.exterior) == 4
+
+
+def test_wkt_roundtrip():
+    p = P.box(328356.83256960544, 5285567.07623245, 329556.83256960544, 5286767.07623245)
+    w = to_wkt(p)
+    p2 = from_wkt(w)
+    assert p2.area == pytest.approx(p.area)
+    assert p2.bounds == pytest.approx(p.bounds)
+    mp = P.MultiPolygon([P.box(0, 0, 1, 1), P.box(2, 2, 3, 3)])
+    mp2 = from_wkt(to_wkt(mp))
+    assert mp2.area == pytest.approx(2.0)
+    assert isinstance(from_wkt("POLYGON EMPTY"), P.Empty) or from_wkt("POLYGON EMPTY").is_empty
+
+
+def test_wkt_parse_reference_format(reference_data_dir):
+    # Parse the real wanted_bboxes.csv WKT strings (reference data artifact).
+    import pandas as pd
+
+    df = pd.read_csv(reference_data_dir / "wanted_bboxes.csv", index_col=0, nrows=50)
+    from aquaculture_tpu.geo.io import from_wkt as fw
+
+    geoms = [fw(w) for w in df["geometry"]]
+    for g in geoms:
+        assert g.area == pytest.approx(1200.0 * 1200.0, rel=1e-9)
+
+
+def test_transform_polygon_vertices():
+    p = P.box(0, 0, 1, 1)
+    q = p.transform(lambda x, y: (x * 2, y + 10))
+    assert q.bounds == (0, 10, 2, 11)
+    assert q.area == pytest.approx(2.0)
