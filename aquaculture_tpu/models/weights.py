@@ -1,0 +1,198 @@
+"""Ultralytics ``.pt`` checkpoint -> JAX parameter-tree porting.
+
+Lets the bundled reference weights (``multilabel_farms_exp2.pt``,
+reference README.md:60,77) drive this detector for output parity. The
+mapping is by layer INDEX in the ultralytics sequential model definition,
+which is fixed for the public v6 architecture:
+
+    model.0..9    backbone (Conv, Conv, C3, Conv, C3, Conv, C3, Conv, C3, SPPF)
+    model.10..23  PANet neck
+    model.24      Detect (m.0/m.1/m.2 1x1 convs)
+
+Torch tensors are OIHW; we store HWIO. BatchNorm maps 1:1
+(weight->scale, bias->bias, running_mean->mean, running_var->var).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import struct
+import zipfile
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+# our-name -> ultralytics model index
+_LAYER_INDEX = {
+    "b0": 0, "b1": 1, "b2": 2, "b3": 3, "b4": 4, "b5": 5, "b6": 6,
+    "b7": 7, "b8": 8, "b9": 9,
+    "n10": 10, "n13": 13, "n14": 14, "n17": 17, "n18": 18, "n20": 20,
+    "n21": 21, "n23": 23,
+}
+_DETECT_INDEX = 24
+
+
+def _conv_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    w = sd[f"{prefix}.conv.weight"]
+    out = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+    if f"{prefix}.bn.weight" in sd:
+        out["bn"] = {
+            "scale": jnp.asarray(sd[f"{prefix}.bn.weight"]),
+            "bias": jnp.asarray(sd[f"{prefix}.bn.bias"]),
+            "mean": jnp.asarray(sd[f"{prefix}.bn.running_mean"]),
+            "var": jnp.asarray(sd[f"{prefix}.bn.running_var"]),
+        }
+    elif f"{prefix}.conv.bias" in sd:
+        # Fused checkpoint: conv carries the folded bias.
+        out["b"] = jnp.asarray(sd[f"{prefix}.conv.bias"])
+    return out
+
+
+def _c3_from_torch(sd: Dict[str, np.ndarray], prefix: str, n: int) -> dict:
+    return {
+        "cv1": _conv_from_torch(sd, f"{prefix}.cv1"),
+        "cv2": _conv_from_torch(sd, f"{prefix}.cv2"),
+        "cv3": _conv_from_torch(sd, f"{prefix}.cv3"),
+        "m": [
+            {
+                "cv1": _conv_from_torch(sd, f"{prefix}.m.{i}.cv1"),
+                "cv2": _conv_from_torch(sd, f"{prefix}.m.{i}.cv2"),
+            }
+            for i in range(n)
+        ],
+    }
+
+
+def params_from_state_dict(model, state_dict: Dict[str, np.ndarray]) -> dict:
+    """Build this framework's param tree from an ultralytics state dict.
+
+    Args:
+        model: a :class:`aquaculture_tpu.models.yolov5.YoloV5`
+        state_dict: name -> numpy array, with keys like
+            ``model.4.cv1.conv.weight`` (a ``model.model.`` prefix is
+            stripped automatically).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("model.model.", "model.")
+        sd[k] = np.asarray(v, dtype=np.float32)
+
+    dp = model.depths()
+    c3_depths = {
+        "b2": dp["n3"], "b4": dp["n6"], "b6": dp["n9"], "b8": dp["n3"],
+        "n13": dp["n3"], "n17": dp["n3"], "n20": dp["n3"], "n23": dp["n3"],
+    }
+
+    params: dict = {}
+    for name, idx in _LAYER_INDEX.items():
+        prefix = f"model.{idx}"
+        if name in c3_depths:
+            params[name] = _c3_from_torch(sd, prefix, c3_depths[name])
+        elif name == "b9":
+            params[name] = {
+                "cv1": _conv_from_torch(sd, f"{prefix}.cv1"),
+                "cv2": _conv_from_torch(sd, f"{prefix}.cv2"),
+            }
+        else:
+            params[name] = _conv_from_torch(sd, prefix)
+
+    head = []
+    for i in range(3):
+        w = sd[f"model.{_DETECT_INDEX}.m.{i}.weight"]
+        b = sd[f"model.{_DETECT_INDEX}.m.{i}.bias"]
+        head.append({"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))), "b": jnp.asarray(b)})
+    params["head"] = head
+    return params
+
+
+def anchors_from_state_dict(state_dict: Dict[str, np.ndarray]):
+    """Extract the (3, 3, 2) per-stride anchor table if present."""
+    for k in state_dict:
+        if k.endswith("anchors"):
+            a = np.asarray(state_dict[k], dtype=np.float32)
+            if a.shape == (3, 3, 2):
+                # ultralytics stores anchors in grid units; scale by stride.
+                strides = np.array([8.0, 16.0, 32.0])[:, None, None]
+                return tuple(tuple(map(tuple, lvl)) for lvl in a * strides)
+    return None
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a ``.pt`` checkpoint into a flat numpy state dict.
+
+    Prefers the torch runtime when available (robust); falls back to a
+    self-contained zip+pickle reader for plain tensor-only checkpoints so
+    torch is not a hard runtime dependency.
+    """
+    try:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
+            sd = obj["model"].float().state_dict()
+        elif isinstance(obj, dict) and all(hasattr(v, "numpy") for v in obj.values()):
+            sd = obj
+        elif hasattr(obj, "state_dict"):
+            sd = obj.float().state_dict()
+        else:
+            sd = obj
+        return {k: v.detach().cpu().float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    except ImportError:
+        return _load_pt_no_torch(path)
+
+
+def _load_pt_no_torch(path: str) -> Dict[str, np.ndarray]:
+    """Minimal torch-zip state_dict reader (tensor-only checkpoints)."""
+    dtype_map = {
+        "FloatStorage": np.float32,
+        "HalfStorage": np.float16,
+        "DoubleStorage": np.float64,
+        "LongStorage": np.int64,
+        "IntStorage": np.int32,
+    }
+    zf = zipfile.ZipFile(path)
+    names = zf.namelist()
+    pkl_name = next(n for n in names if n.endswith("data.pkl"))
+    root = pkl_name[: -len("data.pkl")]
+
+    storages: Dict[str, tuple] = {}
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if name == "_rebuild_tensor_v2":
+                return _rebuild
+            if "Storage" in name:
+                return name
+            return super().find_class(module, name)
+
+        def persistent_load(self, pid):
+            # ('storage', storage_type, key, location, numel)
+            _, stype, key, _, numel = pid
+            return (stype if isinstance(stype, str) else stype, key, numel)
+
+    def _rebuild(storage, offset, size, stride, *args):
+        stype, key, numel = storage
+        dt = dtype_map.get(stype if isinstance(stype, str) else str(stype), np.float32)
+        raw = zf.read(f"{root}data/{key}")
+        arr = np.frombuffer(raw, dtype=dt)
+        flat = arr[offset : offset + int(np.prod(size))] if size else arr[offset : offset + 1]
+        if size:
+            return np.lib.stride_tricks.as_strided(
+                flat, shape=size, strides=[s * arr.itemsize for s in stride]
+            ).copy()
+        return flat.copy()
+
+    with zf.open(pkl_name) as f:
+        obj = _Unpickler(io.BytesIO(f.read())).load()
+    return {k: np.asarray(v, dtype=np.float32) for k, v in obj.items() if isinstance(v, np.ndarray)}
+
+
+def load_pretrained(model, path: str):
+    """Load a .pt checkpoint into (params, anchors?) for this model."""
+    sd = load_torch_checkpoint(path)
+    params = params_from_state_dict(model, sd)
+    anchors = anchors_from_state_dict(sd)
+    return params, anchors

@@ -1,0 +1,111 @@
+"""Fixed-shape class-aware non-maximum suppression for XLA/TPU.
+
+The JAX-hard part of detection: NMS output size is data-dependent, but XLA
+needs static shapes. Design: top-K candidate selection (lax.top_k), a KxK
+IoU matrix on the VPU, and an exact greedy suppression scan — emitting a
+fixed (max_det, 6) tensor plus a validity mask that all downstream stages
+consume (mask-aware, never ragged).
+
+Matches ultralytics non_max_suppression semantics (conf = obj*cls,
+class-offset boxes for class-aware NMS, hard suppression at iou_thresh).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_CLASS_OFFSET = 7680.0  # > max image dim; separates classes in box space
+
+
+def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(K,4) xyxy -> (K,K) IoU, f32 on the VPU."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area[:, None] + area[None, :] - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+
+
+def _greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
+    """Exact greedy NMS over score-sorted candidates.
+
+    keep[i] survives unless an earlier kept candidate overlaps > thresh.
+    Sequential scan as lax.fori_loop — K iterations of O(K) vector work.
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        suppress = (iou[i] > iou_thresh) & (idx > i) & keep[i]
+        return keep & ~suppress
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+def nms(
+    pred: jnp.ndarray,
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    class_agnostic: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-image NMS over decoded predictions.
+
+    Args:
+        pred: (N, 5+nc) decoded rows [cx, cy, w, h, obj, cls...]
+    Returns:
+        (det, valid): det is (max_det, 6) rows [x0, y0, x1, y1, conf, cls]
+        sorted by confidence; valid is the (max_det,) bool mask.
+    """
+    pred = pred.astype(jnp.float32)
+    nc = pred.shape[-1] - 5
+    obj = pred[:, 4]
+    cls_scores = pred[:, 5:] * obj[:, None]
+    cls_id = jnp.argmax(cls_scores, axis=-1)
+    conf = jnp.max(cls_scores, axis=-1) if nc > 1 else cls_scores[:, 0]
+
+    cand = conf >= conf_thresh
+    score = jnp.where(cand, conf, -1.0)
+    k = min(pre_topk, pred.shape[0])
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    valid = top_scores > 0
+
+    cxy = pred[top_idx, 0:2]
+    wh = pred[top_idx, 2:4]
+    boxes = jnp.concatenate([cxy - wh / 2.0, cxy + wh / 2.0], axis=-1)
+    cls_top = cls_id[top_idx]
+
+    nms_boxes = boxes
+    if not class_agnostic:
+        nms_boxes = boxes + (cls_top.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
+
+    iou = _iou_matrix(nms_boxes)
+    keep = _greedy_suppress(iou, valid, iou_thresh)
+
+    # Compact kept rows to the front, fixed max_det output.
+    kept_score = jnp.where(keep, top_scores, -1.0)
+    out_scores, order = jax.lax.top_k(kept_score, max_det)
+    det = jnp.concatenate(
+        [boxes[order], out_scores[:, None], cls_top[order].astype(jnp.float32)[:, None]],
+        axis=-1,
+    )
+    return det, out_scores > 0
+
+
+def batched_nms(
+    preds: jnp.ndarray,
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    class_agnostic: bool = False,
+):
+    """vmapped NMS over (B, N, 5+nc) -> ((B, max_det, 6), (B, max_det))."""
+    fn = lambda p: nms(p, conf_thresh, iou_thresh, max_det, pre_topk, class_agnostic)
+    return jax.vmap(fn)(preds)

@@ -1,0 +1,134 @@
+"""NMS tests vs a NumPy greedy oracle, plus letterbox geometry checks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aquaculture_tpu.ops.letterbox import letterbox, unletterbox_boxes
+from aquaculture_tpu.ops.nms import batched_nms, nms
+
+
+def _oracle_nms(boxes, scores, classes, iou_th, class_agnostic=False):
+    """Reference greedy NMS in plain numpy."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            if not class_agnostic and classes[i] != classes[j]:
+                continue
+            # IoU
+            lt = np.maximum(boxes[i, :2], boxes[j, :2])
+            rb = np.minimum(boxes[i, 2:], boxes[j, 2:])
+            wh = np.maximum(rb - lt, 0)
+            inter = wh[0] * wh[1]
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a + b - inter, 1e-9) > iou_th:
+                suppressed[j] = True
+    return keep
+
+
+def _make_preds(rng, n=200, nc=5, size=640):
+    cx = rng.uniform(50, size - 50, n)
+    cy = rng.uniform(50, size - 50, n)
+    w = rng.uniform(10, 120, n)
+    h = rng.uniform(10, 120, n)
+    obj = rng.uniform(0, 1, n)
+    cls = rng.dirichlet(np.ones(nc), n)  # peaked-ish class probs
+    pred = np.concatenate(
+        [np.stack([cx, cy, w, h, obj], 1), cls], axis=1
+    ).astype(np.float32)
+    return pred
+
+
+def test_nms_matches_oracle():
+    rng = np.random.default_rng(0)
+    pred = _make_preds(rng)
+    det, valid = nms(jnp.asarray(pred), conf_thresh=0.1, iou_thresh=0.45, max_det=100)
+    det, valid = np.asarray(det), np.asarray(valid)
+
+    # Build oracle candidate set
+    obj = pred[:, 4]
+    cls_scores = pred[:, 5:] * obj[:, None]
+    conf = cls_scores.max(1)
+    cls = cls_scores.argmax(1)
+    cand = conf >= 0.1
+    boxes = np.stack(
+        [
+            pred[:, 0] - pred[:, 2] / 2,
+            pred[:, 1] - pred[:, 3] / 2,
+            pred[:, 0] + pred[:, 2] / 2,
+            pred[:, 1] + pred[:, 3] / 2,
+        ],
+        axis=1,
+    )
+    idx = np.where(cand)[0]
+    keep = _oracle_nms(boxes[idx], conf[idx], cls[idx], 0.45)
+    oracle_idx = idx[keep]
+    oracle_order = oracle_idx[np.argsort(-conf[oracle_idx], kind="stable")]
+
+    n_valid = int(valid.sum())
+    assert n_valid == len(oracle_order)
+    np.testing.assert_allclose(det[:n_valid, 4], conf[oracle_order], rtol=1e-6)
+    np.testing.assert_allclose(det[:n_valid, :4], boxes[oracle_order], rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(det[:n_valid, 5].astype(int), cls[oracle_order])
+
+
+def test_nms_class_aware_keeps_overlapping_different_classes():
+    # Two perfectly-overlapping boxes of different classes both survive.
+    pred = np.zeros((2, 10), np.float32)
+    pred[:, :4] = [100, 100, 50, 50]
+    pred[:, 4] = 0.9
+    pred[0, 5] = 1.0  # class 0
+    pred[1, 6] = 0.9  # class 1
+    det, valid = nms(jnp.asarray(pred), conf_thresh=0.25, iou_thresh=0.45, max_det=10)
+    assert int(np.asarray(valid).sum()) == 2
+    det, valid = nms(jnp.asarray(pred), conf_thresh=0.25, iou_thresh=0.45, max_det=10, class_agnostic=True)
+    assert int(np.asarray(valid).sum()) == 1
+
+
+def test_nms_conf_threshold():
+    rng = np.random.default_rng(1)
+    pred = _make_preds(rng, n=100)
+    det, valid = nms(jnp.asarray(pred), conf_thresh=0.99, iou_thresh=0.45, max_det=10)
+    assert int(np.asarray(valid).sum()) == 0
+
+
+def test_batched_nms_shape():
+    rng = np.random.default_rng(2)
+    preds = np.stack([_make_preds(rng, n=50) for _ in range(4)])
+    det, valid = batched_nms(jnp.asarray(preds), max_det=20)
+    assert det.shape == (4, 20, 6)
+    assert valid.shape == (4, 20)
+
+
+def test_letterbox_square_1024_to_640():
+    img = jnp.ones((1024, 1024, 3), jnp.uint8) * 200
+    out, gain, pad = letterbox(img, 640)
+    assert out.shape == (640, 640, 3)
+    assert gain == pytest.approx(0.625)
+    assert pad == (0, 0)
+    assert float(np.asarray(out, np.float32).mean()) == pytest.approx(200 / 255, abs=1e-2)
+
+
+def test_letterbox_rect_pads_centered():
+    img = jnp.zeros((512, 1024, 3), jnp.uint8)
+    out, gain, pad = letterbox(img, 640)
+    assert out.shape == (640, 640, 3)
+    assert gain == pytest.approx(0.625)
+    assert pad == (0, 160)
+    o = np.asarray(out, np.float32)
+    # top pad rows are gray 114
+    assert o[0, 0, 0] == pytest.approx(114 / 255, abs=1e-2)
+    assert o[320, 0, 0] == pytest.approx(0, abs=1e-3)
+    # inverse box map
+    boxes = jnp.asarray([[0.0, 160.0, 640.0, 480.0]])
+    src = np.asarray(unletterbox_boxes(boxes, gain, pad))
+    np.testing.assert_allclose(src[0], [0, 0, 1024, 512], atol=1e-5)

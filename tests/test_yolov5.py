@@ -1,0 +1,128 @@
+"""YOLOv5 model tests: architecture shapes, param counts, torch-oracle layers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aquaculture_tpu.models import layers as L
+from aquaculture_tpu.models.yolov5 import VARIANTS, YoloV5, yolov5_init
+
+
+def test_channel_widths_m():
+    m = YoloV5(variant="m")
+    ch = m.channels()
+    assert ch == {"c1": 48, "c2": 96, "c3": 192, "c4": 384, "c5": 768}
+    assert m.depths() == {"n3": 2, "n6": 4, "n9": 6}
+
+
+def test_param_count_yolov5m():
+    # Public YOLOv5m has 21.2M params at nc=80; at nc=5 the detect head
+    # shrinks by 3*(192+384+768+3)*75 params. Expect ~20.9M.
+    model, params = yolov5_init("m", num_classes=5, seed=0)
+    n = model.num_params(params)
+    assert 20.5e6 < n < 21.5e6
+
+
+def test_param_count_yolov5s():
+    model, params = yolov5_init("s", num_classes=80, seed=0)
+    n = model.num_params(params)
+    # Public figure: 7.2M
+    assert 7.0e6 < n < 7.5e6
+
+
+def test_forward_shapes_and_decode():
+    model, params = yolov5_init("m", num_classes=5, seed=0)
+    x = jnp.zeros((1, 320, 320, 3), jnp.float32)
+    feats, _ = jax.jit(lambda p, t: model.features(p, t))(params, x)
+    assert [f.shape for f in feats] == [
+        (1, 40, 40, 30),
+        (1, 20, 20, 30),
+        (1, 10, 10, 30),
+    ]
+    preds = model.decode(feats)
+    assert preds.shape == (1, (40 * 40 + 20 * 20 + 10 * 10) * 3, 10)
+    p = np.asarray(preds)
+    assert p[..., 2:4].min() >= 0
+    assert np.isfinite(p).all()
+
+
+def test_fused_matches_unfused():
+    model, params = yolov5_init("n", num_classes=5, seed=1)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 128, 128, 3))
+    apply = jax.jit(lambda p, t: model.apply(p, t)[0])
+    preds = apply(params, x)
+    preds_fused = apply(model.fuse(params), x)
+    # BN folding reorders f32 arithmetic; coordinates are O(100) so compare
+    # with a relative tolerance.
+    np.testing.assert_allclose(
+        np.asarray(preds), np.asarray(preds_fused), rtol=2e-3, atol=2e-2
+    )
+
+
+def test_conv_block_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 16, 8), dtype=np.float32)
+    w = rng.standard_normal((3, 3, 8, 12), dtype=np.float32) * 0.1
+    scale = rng.uniform(0.5, 1.5, 12).astype(np.float32)
+    bias = rng.standard_normal(12).astype(np.float32)
+    mean = rng.standard_normal(12).astype(np.float32) * 0.1
+    var = rng.uniform(0.5, 2.0, 12).astype(np.float32)
+
+    p = {
+        "w": jnp.asarray(w),
+        "bn": {
+            "scale": jnp.asarray(scale),
+            "bias": jnp.asarray(bias),
+            "mean": jnp.asarray(mean),
+            "var": jnp.asarray(var),
+        },
+    }
+    y, _ = L.conv_block(jnp.asarray(x), p, stride=1)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+    yt = torch.nn.functional.conv2d(xt, wt, padding=1)
+    bn = torch.nn.BatchNorm2d(12, eps=1e-3)
+    bn.weight.data = torch.from_numpy(scale)
+    bn.bias.data = torch.from_numpy(bias)
+    bn.running_mean.data = torch.from_numpy(mean)
+    bn.running_var.data = torch.from_numpy(var)
+    bn.eval()
+    with torch.no_grad():
+        yt = bn(yt)
+        yt = yt * torch.sigmoid(yt)
+    yt = yt.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), yt, atol=1e-4)
+
+
+def test_maxpool_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 16, 16, 4), dtype=np.float32)
+    y = L.max_pool(jnp.asarray(x), k=5)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    yt = torch.nn.functional.max_pool2d(xt, 5, stride=1, padding=2).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), yt, atol=1e-6)
+
+
+def test_upsample2x():
+    x = jnp.arange(8.0).reshape(1, 2, 2, 2)
+    y = L.upsample2x(x)
+    assert y.shape == (1, 4, 4, 2)
+    np.testing.assert_array_equal(np.asarray(y[0, :2, :2, 0]), np.asarray(x[0, 0, 0, 0]) * np.ones((2, 2)))
+
+
+def test_variants_all_build():
+    x = jnp.zeros((1, 64, 64, 3))
+    n = (8 * 8 + 4 * 4 + 2 * 2) * 3
+    for v in ("n", "s"):
+        model, params = yolov5_init(v, num_classes=5, seed=0)
+        preds = jax.jit(lambda p, t: model.apply(p, t)[0])(params, x)
+        assert preds.shape == (1, n, 10)
+    # l/x: architecture construction only (forward covered by n/s/m paths)
+    for v in ("l", "x"):
+        model, params = yolov5_init(v, num_classes=5, seed=0)
+        assert model.num_params(params) > 0
