@@ -90,11 +90,15 @@ def nms(
 
     # Compact kept rows to the front, fixed max_det output.
     kept_score = jnp.where(keep, top_scores, -1.0)
-    out_scores, order = jax.lax.top_k(kept_score, max_det)
+    k_out = min(max_det, k)
+    out_scores, order = jax.lax.top_k(kept_score, k_out)
     det = jnp.concatenate(
         [boxes[order], out_scores[:, None], cls_top[order].astype(jnp.float32)[:, None]],
         axis=-1,
     )
+    if k_out < max_det:  # fewer candidates than requested slots: pad
+        det = jnp.pad(det, ((0, max_det - k_out), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, max_det - k_out), constant_values=-1.0)
     return det, out_scores > 0
 
 

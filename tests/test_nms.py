@@ -51,7 +51,7 @@ def _make_preds(rng, n=200, nc=5, size=640):
 def test_nms_matches_oracle():
     rng = np.random.default_rng(0)
     pred = _make_preds(rng)
-    det, valid = nms(jnp.asarray(pred), conf_thresh=0.1, iou_thresh=0.45, max_det=100)
+    det, valid = nms(jnp.asarray(pred), conf_thresh=0.1, iou_thresh=0.45, max_det=300)
     det, valid = np.asarray(det), np.asarray(valid)
 
     # Build oracle candidate set
@@ -79,6 +79,12 @@ def test_nms_matches_oracle():
     np.testing.assert_allclose(det[:n_valid, 4], conf[oracle_order], rtol=1e-6)
     np.testing.assert_allclose(det[:n_valid, :4], boxes[oracle_order], rtol=1e-5, atol=1e-3)
     np.testing.assert_array_equal(det[:n_valid, 5].astype(int), cls[oracle_order])
+
+    # max_det truncation keeps the top-confidence survivors, like ultralytics.
+    det_t, valid_t = nms(jnp.asarray(pred), conf_thresh=0.1, iou_thresh=0.45, max_det=50)
+    det_t, valid_t = np.asarray(det_t), np.asarray(valid_t)
+    assert int(valid_t.sum()) == 50
+    np.testing.assert_allclose(det_t[:50, 4], conf[oracle_order[:50]], rtol=1e-6)
 
 
 def test_nms_class_aware_keeps_overlapping_different_classes():
