@@ -1,0 +1,106 @@
+"""Jittable training step + host-side training loop.
+
+The step is a pure function (state, batch) -> (state, metrics) designed to
+be jit/pjit'd over a device mesh: batch sharded on the data axis, parameters
+replicated (or channel-sharded — see aquaculture_tpu.parallel). BatchNorm
+running statistics update inside the step; cross-shard stat agreement comes
+from the data-parallel gradient mean (stats themselves stay per-replica
+consistent because inputs are identically distributed; for exact sync use
+sync_batch_stats once per epoch).
+
+Reference capability: ultralytics train.py's epoch loop — warmup, grouped
+SGD, EMA, per-epoch LR (reference: README.md:52 invocation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aquaculture_tpu.config import TrainConfig
+from aquaculture_tpu.models.yolov5 import YoloV5
+from aquaculture_tpu.train.ema import ema_update
+from aquaculture_tpu.train.loss import yolo_loss
+from aquaculture_tpu.train.optimizer import SGDState, sgd_init, sgd_update
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt: SGDState
+    ema: Any
+    step: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt, s.ema, s.step), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def init_train_state(model: YoloV5, params) -> TrainState:
+    return TrainState(
+        params=params,
+        opt=sgd_init(params),
+        ema=jax.tree_util.tree_map(lambda a: a, params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model: YoloV5,
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the pure train-step function.
+
+    Batch dict: images (B, S, S, 3) in [0,1]; labels (B, M, 5) pixel
+    [cls,cx,cy,w,h]; label_mask (B, M) bool.
+    """
+
+    def loss_fn(params, batch):
+        feats, new_params = model.features(params, batch["images"], training=True)
+        loss, metrics = yolo_loss(
+            feats,
+            batch["labels"],
+            batch["label_mask"],
+            model.anchors,
+            model.num_classes,
+            box_gain=cfg.box_gain,
+            cls_gain=cfg.cls_gain,
+            obj_gain=cfg.obj_gain,
+            anchor_t=cfg.anchor_t,
+            label_smoothing=cfg.label_smoothing,
+        )
+        return loss, (new_params, metrics)
+
+    def train_step(state: TrainState, batch):
+        grads, (new_params, metrics) = jax.grad(loss_fn, has_aux=True)(state.params, batch)
+        params, opt = sgd_update(new_params, grads, state.opt, steps_per_epoch, cfg)
+        ema = ema_update(state.ema, params, state.step + 1, cfg.ema_decay)
+        new_state = TrainState(params=params, opt=opt, ema=ema, step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def fit(
+    model: YoloV5,
+    state: TrainState,
+    batches: Iterable[Dict[str, jnp.ndarray]],
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    log_every: int = 50,
+    log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> TrainState:
+    """Host loop: jit the step once and fold batches through it."""
+    step_fn = jax.jit(make_train_step(model, cfg, steps_per_epoch), donate_argnums=0)
+    for i, batch in enumerate(batches):
+        state, metrics = step_fn(state, batch)
+        if log_fn is not None and (i % log_every == 0):
+            log_fn(i, {k: float(v) for k, v in metrics.items()})
+    return state

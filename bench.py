@@ -1,0 +1,85 @@
+"""Headline benchmark: YOLOv5m 640px inference + fused NMS throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.json published: {}),
+so vs_baseline is measured against a fixed reference point: ultralytics
+YOLOv5m batch-1 GPU inference is commonly ~140 img/s on a V100-class chip;
+we report vs_baseline = value / 140.0 as the cross-accelerator anchor.
+
+Runs on whatever jax.devices() provides (the driver supplies one real TPU
+chip). Steady-state timing: compile + 3 warmup batches excluded, then the
+median of 5 timed windows.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 32
+IMG = 640
+WARMUP = 3
+WINDOWS = 5
+BATCHES_PER_WINDOW = 4
+BASELINE_IMG_PER_S = 140.0  # ultralytics YOLOv5m V100-class batch GPU anchor
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.ops.nms import batched_nms
+
+    model, params = yolov5_init("m", num_classes=5, seed=0)
+    params = model.fuse(params)
+    cfg = DetectConfig()
+
+    @jax.jit
+    def infer(params, images):
+        preds, _ = model.apply(params, images.astype(jnp.bfloat16))
+        return batched_nms(
+            preds,
+            conf_thresh=cfg.conf_threshold,
+            iou_thresh=cfg.iou_threshold,
+            max_det=cfg.max_detections,
+            pre_topk=cfg.pre_nms_topk,
+        )
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        jnp.asarray(rng.random((BATCH, IMG, IMG, 3), dtype=np.float32))
+    )
+    params = jax.device_put(params)
+
+    for _ in range(WARMUP):
+        det, valid = infer(params, images)
+    jax.block_until_ready(det)
+
+    rates = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(BATCHES_PER_WINDOW):
+            det, valid = infer(params, images)
+        jax.block_until_ready(det)
+        dt = time.perf_counter() - t0
+        rates.append(BATCH * BATCHES_PER_WINDOW / dt)
+
+    value = float(np.median(rates))
+    print(
+        json.dumps(
+            {
+                "metric": "yolov5m_640px_infer_nms_tiles_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "tiles/sec/chip",
+                "vs_baseline": round(value / BASELINE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -7,10 +7,17 @@ test strategy — real TPU topology is unavailable in CI.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The machine's sitecustomize registers the axon TPU backend and force-sets
+# jax_platforms at interpreter boot; override it in-process so tests run on
+# the 8-device virtual CPU mesh (fast compiles, deterministic).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
