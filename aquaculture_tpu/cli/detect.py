@@ -1,0 +1,91 @@
+"""Detection CLI: images -> YOLO-format label .txt files.
+
+Equivalent of the reference's ``yolov5/detect.py --source ... --save-txt
+--save-conf`` invocation (reference: README.md:77). Emits one
+``<image-stem>.txt`` per image with detections, rows
+``class cx cy w h conf`` normalized to the tile — the exact format the
+downstream geocoder parses (reference: geocode_results.py:140-165).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from aquaculture_tpu.config import IM_HEIGHT, IM_WIDTH, DetectConfig
+from aquaculture_tpu.data.filenames import encode_tile_name
+from aquaculture_tpu.models.yolov5 import YoloV5, yolov5_init
+from aquaculture_tpu.models.weights import load_pretrained
+from aquaculture_tpu.pipeline import detect_files
+
+
+def load_model(weights: str | None, variant: str = "m", num_classes: int = 5):
+    model = YoloV5(variant=variant, num_classes=num_classes)
+    if weights and os.path.exists(weights):
+        if weights.endswith(".pt"):
+            params, anchors = load_pretrained(model, weights)
+            if anchors is not None:
+                model = YoloV5(variant=variant, num_classes=num_classes, anchors=anchors)
+        else:
+            from aquaculture_tpu.utils.checkpoint import load_params
+
+            params = load_params(weights)
+        params = model.fuse(params)
+    else:
+        _, params = yolov5_init(variant, num_classes)
+        params = model.fuse(params)
+    return model, params
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True, help="image file, directory, or glob")
+    ap.add_argument("--weights", default=None, help=".pt or checkpoint directory")
+    ap.add_argument("--out", required=True, help="directory for label .txt files")
+    ap.add_argument("--variant", default="m", choices=list("nsmlx"))
+    ap.add_argument("--num-classes", type=int, default=5)
+    ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--iou", type=float, default=0.45)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--img", type=int, default=640)
+    args = ap.parse_args(argv)
+
+    if os.path.isdir(args.source):
+        paths = sorted(
+            p
+            for ext in ("jpeg", "jpg", "png", "tif", "tiff")
+            for p in glob.glob(os.path.join(args.source, f"*.{ext}"))
+        )
+    else:
+        paths = sorted(glob.glob(args.source)) or [args.source]
+
+    model, params = load_model(args.weights, args.variant, args.num_classes)
+    cfg = DetectConfig(img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou)
+    boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
+
+    os.makedirs(args.out, exist_ok=True)
+    per_image: dict = {}
+    for b, c, k, s in zip(boxes, conf, cls, specs):
+        per_image.setdefault(s, []).append((k, b, c))
+    for spec, rows in per_image.items():
+        lines = []
+        for k, b, c in rows:
+            cx = (b[0] + b[2]) / 2 / IM_WIDTH
+            cy = (b[1] + b[3]) / 2 / IM_HEIGHT
+            w = (b[2] - b[0]) / IM_WIDTH
+            h = (b[3] - b[1]) / IM_HEIGHT
+            lines.append(f"{int(k)} {cx:.6f} {cy:.6f} {w:.6f} {h:.6f} {c:.6f}")
+        name = encode_tile_name(spec, extension="txt")
+        with open(os.path.join(args.out, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    print(
+        f"[INFO] {stats.tiles} tiles, {stats.detections} detections, "
+        f"{stats.tiles_per_second:.1f} tiles/s -> {args.out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

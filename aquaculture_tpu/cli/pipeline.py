@@ -1,0 +1,65 @@
+"""Fused pipeline CLI: images -> detections.geojson (+ facilities).
+
+The TPU-native single-process path (SURVEY §7 step 4-5): what the reference
+runs as four staged scripts with file handoffs
+(tile_tifs -> detect -> geocode_results -> calc_net_areas) executes here as
+one streaming program.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+from aquaculture_tpu import frame as gf
+from aquaculture_tpu.cli.detect import load_model
+from aquaculture_tpu.cli.geocode import load_download_bboxes
+from aquaculture_tpu.config import DetectConfig
+from aquaculture_tpu.pipeline import run_pipeline
+from aquaculture_tpu.utils.logging import log_info
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True, help="image directory or glob")
+    ap.add_argument("--download-bboxes", required=True, help="wanted_bboxes.csv path")
+    ap.add_argument("--out", required=True, help="detections.geojson output path")
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--variant", default="m", choices=list("nsmlx"))
+    ap.add_argument("--num-classes", type=int, default=5)
+    ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--land", default=None, help="land polygons GeoJSON")
+    ap.add_argument("--no-dedup", action="store_true")
+    args = ap.parse_args(argv)
+
+    if os.path.isdir(args.source):
+        paths = sorted(
+            p
+            for ext in ("jpeg", "jpg", "png", "tif", "tiff")
+            for p in glob.glob(os.path.join(args.source, f"*.{ext}"))
+        )
+    else:
+        paths = sorted(glob.glob(args.source)) or [args.source]
+
+    model, params = load_model(args.weights, args.variant, args.num_classes)
+    cfg = DetectConfig(conf_threshold=args.conf)
+    dl = load_download_bboxes(args.download_bboxes)
+    land = gf.read_file(args.land) if args.land else None
+
+    det, stats = run_pipeline(
+        paths, model, params, dl, cfg, args.batch, land=land, dedup=not args.no_dedup
+    )
+    det.to_file(args.out)
+    log_info(
+        "%d tiles -> %d detections at %.1f tiles/s -> %s",
+        stats.tiles,
+        len(det),
+        stats.tiles_per_second,
+        args.out,
+    )
+
+
+if __name__ == "__main__":
+    main()

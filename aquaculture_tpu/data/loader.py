@@ -1,0 +1,130 @@
+"""Batched, prefetching tile loader feeding the detector.
+
+Pipeline: image files -> decode (PIL, C fast path) -> tile grid split ->
+fixed-size batches -> async device_put (optionally mesh-sharded). Host decode
+overlaps device compute via a bounded background prefetch thread — the
+TPU-native analogue of the reference's staged GDAL translate + separate
+detect.py process (reference: src/load_data/tile_tifs.py, README.md:77).
+
+Batches are fixed-shape: the final partial batch is padded and accompanied
+by a validity mask so downstream XLA stages never see a ragged shape.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from aquaculture_tpu.config import IM_WIDTH
+from aquaculture_tpu.data.filenames import TileSpec, decode_tile_name
+from aquaculture_tpu.data.geotiff import read_image
+from aquaculture_tpu.data.tiling import split_image, tile_offsets
+
+
+class TileBatch:
+    """One fixed-shape batch: images + per-tile specs + validity mask."""
+
+    __slots__ = ("images", "specs", "valid")
+
+    def __init__(self, images: np.ndarray, specs: List[Optional[TileSpec]], valid: np.ndarray):
+        self.images = images
+        self.specs = specs
+        self.valid = valid
+
+
+def iter_tiles_from_files(
+    paths: Sequence[str], tile: int = IM_WIDTH
+) -> Iterator[Tuple[np.ndarray, TileSpec]]:
+    """Yield (tile_array, spec) over whole pre-tiled images or large rasters.
+
+    A 1024px file is one tile (its offsets come from its name); larger files
+    are split into the offset grid with offsets ADDED to the name's base
+    offsets (supports re-tiling 6144px downloads).
+    """
+    for path in paths:
+        arr = read_image(path)
+        base = decode_tile_name(path)
+        if arr.shape[0] <= tile and arr.shape[1] <= tile:
+            yield arr, base
+            continue
+        tiles, offs = split_image(arr, tile)
+        for t, (dx, dy) in zip(tiles, offs):
+            yield t, TileSpec(
+                year=base.year,
+                bbox_ind=base.bbox_ind,
+                x_offset=base.x_offset + dx,
+                y_offset=base.y_offset + dy,
+                layer=base.layer,
+            )
+
+
+def batch_tiles(
+    tiles: Iterable[Tuple[np.ndarray, TileSpec]],
+    batch_size: int,
+    tile: int = IM_WIDTH,
+) -> Iterator[TileBatch]:
+    """Group tiles into fixed (B, tile, tile, 3) uint8 batches, padding the
+    tail batch with zeros + validity mask."""
+    buf_imgs: List[np.ndarray] = []
+    buf_specs: List[Optional[TileSpec]] = []
+
+    def flush() -> TileBatch:
+        n = len(buf_imgs)
+        images = np.zeros((batch_size, tile, tile, 3), np.uint8)
+        for i, im in enumerate(buf_imgs):
+            h, w = im.shape[:2]
+            images[i, :h, :w] = im[..., :3]
+        valid = np.zeros((batch_size,), bool)
+        valid[:n] = True
+        specs = buf_specs + [None] * (batch_size - n)
+        return TileBatch(images, specs, valid)
+
+    for arr, spec in tiles:
+        buf_imgs.append(arr)
+        buf_specs.append(spec)
+        if len(buf_imgs) == batch_size:
+            yield flush()
+            buf_imgs, buf_specs = [], []
+    if buf_imgs:
+        yield flush()
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run `iterator` in a daemon thread with a bounded queue (double
+    buffering): host decode overlaps device compute."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def tile_batches(
+    paths: Sequence[str],
+    batch_size: int = 32,
+    tile: int = IM_WIDTH,
+    prefetch_depth: int = 2,
+) -> Iterator[TileBatch]:
+    """paths -> prefetched fixed-shape TileBatches (the full input pipeline)."""
+    it = batch_tiles(iter_tiles_from_files(paths, tile), batch_size, tile)
+    return prefetch(it, prefetch_depth)

@@ -1,0 +1,53 @@
+"""Array-level tile slicing of large downloaded images.
+
+Equivalent of the reference's gdal.Translate srcWin grid
+(reference: src/load_data/tile_tifs.py:33-47): a LARGE_TIF_SIZE (6144 px)
+image yields a 6x6 grid of 1024 px tiles named by pixel offset. Here the
+slice is a single reshape-transpose over the in-memory array — zero copies
+per tile beyond the final contiguity, and the whole grid can be shipped to
+device as one (36, 1024, 1024, 3) batch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from aquaculture_tpu.config import IM_HEIGHT, IM_WIDTH, LARGE_TIF_SIZE
+from aquaculture_tpu.data.filenames import TileSpec
+
+
+def tile_offsets(large: int = LARGE_TIF_SIZE, tile: int = IM_WIDTH) -> List[Tuple[int, int]]:
+    """(x_offset, y_offset) grid in the reference's iteration order
+    (x-major then y; tile_tifs.py:33-37 loops i in x, j in y)."""
+    steps = large // tile
+    return [(i * tile, j * tile) for i in range(steps) for j in range(steps)]
+
+
+def split_image(
+    img: np.ndarray, tile: int = IM_WIDTH
+) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
+    """Split a (H, W, C) image into the full tile grid.
+
+    Returns (tiles, offsets): tiles is (N, tile, tile, C) in the same order
+    as :func:`tile_offsets`; ragged edges are ignored (the reference's grid
+    assumes exact divisibility: 6144 = 6*1024).
+    """
+    h, w = img.shape[:2]
+    ny, nx = h // tile, w // tile
+    c = img.shape[2] if img.ndim == 3 else 1
+    view = img[: ny * tile, : nx * tile].reshape(ny, tile, nx, tile, c)
+    # -> (nx, ny, tile, tile, c) to match x-major offset order
+    tiles = np.ascontiguousarray(view.transpose(2, 0, 1, 3, 4)).reshape(nx * ny, tile, tile, c)
+    offsets = [(i * tile, j * tile) for i in range(nx) for j in range(ny)]
+    return tiles, offsets
+
+
+def tile_specs_for_image(
+    year: int, bbox_ind: int, large: int = LARGE_TIF_SIZE, tile: int = IM_WIDTH
+) -> List[TileSpec]:
+    return [
+        TileSpec(year=year, bbox_ind=bbox_ind, x_offset=x, y_offset=y)
+        for x, y in tile_offsets(large, tile)
+    ]

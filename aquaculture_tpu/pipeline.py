@@ -1,0 +1,161 @@
+"""End-to-end detection pipeline: image files -> detections GeoJSON.
+
+The TPU-native fusion of the reference's four staged processes
+(tile_tifs.py -> detect.py -> geocode_results.py -> calc_net_areas.py):
+tiles stream through a prefetched loader, letterbox+forward+NMS run as one
+jitted program per fixed-shape batch, and geocoding/areas are vectorized
+host passes over the padded detection tensors. One process, no intermediate
+.txt/.jpeg staging, device never blocks on host IO.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from aquaculture_tpu import frame as gf
+from aquaculture_tpu.config import IM_WIDTH, DetectConfig
+from aquaculture_tpu.data.filenames import TileSpec
+from aquaculture_tpu.data.loader import TileBatch, tile_batches
+from aquaculture_tpu.models.yolov5 import YoloV5
+from aquaculture_tpu.ops.nms import batched_nms
+from aquaculture_tpu.post.areas import cage_areas
+from aquaculture_tpu.post.dedup import deduplicate_download_boxes, deduplicate_gdf_with_bboxes
+from aquaculture_tpu.post.geocode import geocode_detections, remove_land_detections
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    tiles: int = 0
+    batches: int = 0
+    detections: int = 0
+    infer_seconds: float = 0.0
+
+    @property
+    def tiles_per_second(self) -> float:
+        return self.tiles / self.infer_seconds if self.infer_seconds else 0.0
+
+
+def make_infer_fn(model: YoloV5, params, cfg: DetectConfig, tile: int = IM_WIDTH):
+    """Build the jitted (uint8 tile batch) -> (dets, valid) program.
+
+    Letterbox resize + normalize + forward + decode + NMS fuse into one XLA
+    computation; output boxes are mapped back to tile-pixel space on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    gain = cfg.img_size / tile
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def infer(params, images_u8):
+        x = images_u8.astype(dtype) / 255.0
+        x = jax.image.resize(
+            x, (images_u8.shape[0], cfg.img_size, cfg.img_size, 3), method="bilinear"
+        )
+        preds, _ = model.apply(params, x)
+        det, valid = batched_nms(
+            preds,
+            conf_thresh=cfg.conf_threshold,
+            iou_thresh=cfg.iou_threshold,
+            max_det=cfg.max_detections,
+            pre_topk=cfg.pre_nms_topk,
+            class_agnostic=cfg.class_agnostic,
+        )
+        # letterboxed 640-space -> tile pixel space (square tiles: pure gain)
+        boxes = det[:, :, :4] / gain
+        det = jnp.concatenate([boxes, det[:, :, 4:]], axis=-1)
+        return det, valid
+
+    return infer
+
+
+def detect_files(
+    paths: Sequence[str],
+    model: YoloV5,
+    params,
+    cfg: DetectConfig = DetectConfig(),
+    batch_size: int = 32,
+    tile: int = IM_WIDTH,
+):
+    """Run inference over image files.
+
+    Returns (boxes_px (N,4) int64, conf (N,), cls (N,), specs, stats).
+    """
+    import jax
+
+    infer = make_infer_fn(model, params, cfg, tile)
+    stats = PipelineStats()
+
+    all_boxes: List[np.ndarray] = []
+    all_conf: List[np.ndarray] = []
+    all_cls: List[np.ndarray] = []
+    all_specs: List[TileSpec] = []
+
+    t0 = time.perf_counter()
+    for batch in tile_batches(paths, batch_size=batch_size, tile=tile):
+        det, valid = infer(params, batch.images)
+        det = np.asarray(jax.device_get(det))
+        valid = np.asarray(jax.device_get(valid))
+        stats.batches += 1
+        stats.tiles += int(batch.valid.sum())
+        for i, spec in enumerate(batch.specs):
+            if spec is None:
+                continue
+            v = valid[i]
+            if not v.any():
+                continue
+            d = det[i][v]
+            boxes = np.trunc(d[:, :4]).astype(np.int64)  # reference int() semantics
+            all_boxes.append(boxes)
+            all_conf.append(d[:, 4].astype(np.float64))
+            all_cls.append(d[:, 5].astype(np.int64))
+            all_specs.extend([spec] * len(d))
+    stats.infer_seconds = time.perf_counter() - t0
+
+    if all_boxes:
+        boxes = np.concatenate(all_boxes)
+        conf = np.concatenate(all_conf)
+        cls = np.concatenate(all_cls)
+    else:
+        boxes = np.zeros((0, 4), np.int64)
+        conf = np.zeros(0)
+        cls = np.zeros(0, np.int64)
+    stats.detections = len(boxes)
+    return boxes, conf, cls, all_specs, stats
+
+
+def run_pipeline(
+    paths: Sequence[str],
+    model: YoloV5,
+    params,
+    download_bboxes: "gf.GeoFrame",
+    cfg: DetectConfig = DetectConfig(),
+    batch_size: int = 32,
+    land: Optional["gf.GeoFrame"] = None,
+    dedup: bool = True,
+):
+    """Full slice: files -> geocoded + area-annotated (ocean) detections.
+
+    Mirrors geocode_results.py __main__ + calc_net_areas.py __main__
+    (reference: src/process_yolo/) in one call.
+    Returns (detections GeoFrame in EPSG:4326, PipelineStats).
+    """
+    boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, batch_size)
+    det = geocode_detections(boxes, conf, cls, specs, download_bboxes)
+    if len(det) and dedup:
+        dd = deduplicate_download_boxes(download_bboxes)
+        det["bbox_ind"] = [s.bbox_ind for s in specs]
+        det = deduplicate_gdf_with_bboxes(dd, det)
+        det = det.drop(columns=["bbox_ind"])
+        det.crs = 4326
+    if len(det):
+        det = cage_areas(det)
+        det.crs = 4326
+    if land is not None and len(det):
+        det = remove_land_detections(det, land)
+    return det, stats

@@ -1,0 +1,304 @@
+"""Postprocessing tests: geocode math, areas, dedup region algebra, DBSCAN
+vs the sklearn oracle, facility aggregation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aquaculture_tpu import frame as gf
+from aquaculture_tpu.config import LARGE_TIF_SIZE
+from aquaculture_tpu.data.filenames import TileSpec
+from aquaculture_tpu.geo import polygon as _poly
+from aquaculture_tpu.post.areas import cage_areas, circle_areas, square_areas
+from aquaculture_tpu.post.cluster import cluster_facilities, dbscan, predictions_cluster
+from aquaculture_tpu.post.dedup import deduplicate_download_boxes, deduplicate_gdf_with_bboxes
+from aquaculture_tpu.post.geocode import (
+    geocode_detections,
+    pixels_to_mercator,
+    remove_land_detections,
+    yolo_norm_to_pixels,
+)
+
+
+def _boxes_frame(bounds_list, crs=3857):
+    geoms = [_poly.box(*b) for b in bounds_list]
+    out = gf.GeoFrame({"dummy": range(len(geoms))}, geometry=geoms, crs=crs)
+    return out
+
+
+# ---------------------------------------------------------------- geocode
+
+
+def test_yolo_norm_to_pixels_truncation():
+    # reference: int(IM_WIDTH*(cx - w/2)) truncates toward zero
+    boxes = np.asarray([[0.5, 0.5, 0.25, 0.125]])
+    px = yolo_norm_to_pixels(boxes)
+    assert px.tolist() == [[384, 448, 640, 576]]
+
+
+def test_pixels_to_mercator_matches_reference_formula():
+    bounds = np.asarray([[100000.0, 200000.0, 101200.0, 201200.0]])
+    # pixel (0,0) of tile at offset (0,0) -> top-left corner (minx, maxy)
+    x, y = pixels_to_mercator(np.r_[0.0], np.r_[0.0], np.r_[0.0], np.r_[0.0], bounds)
+    assert (x[0], y[0]) == (100000.0, 201200.0)
+    # pixel (6144, 6144) -> bottom-right corner
+    x, y = pixels_to_mercator(
+        np.r_[float(LARGE_TIF_SIZE)], np.r_[float(LARGE_TIF_SIZE)], np.r_[0.0], np.r_[0.0], bounds
+    )
+    assert (x[0], y[0]) == (101200.0, 200000.0)
+    # offset adds linearly: pixel 512 at x_offset 1024 == pixel 1536
+    x1, _ = pixels_to_mercator(np.r_[512.0], np.r_[0.0], np.r_[1024.0], np.r_[0.0], bounds)
+    x2, _ = pixels_to_mercator(np.r_[1536.0], np.r_[0.0], np.r_[0.0], np.r_[0.0], bounds)
+    assert x1[0] == x2[0]
+
+
+def test_geocode_detections_schema_and_crs():
+    dl = _boxes_frame([[0.0, 0.0, 1200.0, 1200.0]])
+    specs = [TileSpec(year=2014, bbox_ind=0, x_offset=1024, y_offset=2048)]
+    det = geocode_detections(
+        boxes_px=np.asarray([[100, 100, 300, 200]]),
+        conf=np.asarray([0.9]),
+        cls_id=np.asarray([0]),
+        specs=specs,
+        download_bboxes=dl,
+    )
+    assert det.crs == 4326
+    for c in ("image", "xmin", "xmax", "ymin", "ymax", "xmin_m", "xmax_m",
+              "ymin_m", "ymax_m", "type", "year", "det_conf", "geometry"):
+        assert c in det.columns, c
+    assert det["type"].iloc[0] == "circle_farm"
+    assert det["year"].iloc[0] == 2014
+    # geometry is in lat/lon range
+    g = det["geometry"].iloc[0]
+    minx, miny, maxx, maxy = g.bounds
+    assert -180 < minx < maxx < 180 and -85 < miny < maxy < 85
+    # 3035 corner columns follow the reference's authority-order unpack
+    # (geocode_results.py:31,177-178): the transformer returns (northing,
+    # easting) and the reference stores the first as x. Verify assembly
+    # against the closed-form transform directly.
+    from aquaculture_tpu.geo import crs as _crs
+    from aquaculture_tpu.post.geocode import pixels_to_mercator as p2m
+
+    b = np.asarray([[0.0, 0.0, 1200.0, 1200.0]])
+    xmin_m, ymax_m = p2m(np.r_[100.0], np.r_[100.0], np.r_[1024.0], np.r_[2048.0], b)
+    east, north = _crs.transform(3857, 3035, xmin_m, ymax_m)
+    assert det["xmin_m"].iloc[0] == pytest.approx(float(north))  # swapped
+    assert det["ymax_m"].iloc[0] == pytest.approx(float(east))
+
+    # authority_order=False gives true (easting, northing)
+    det2 = geocode_detections(
+        boxes_px=np.asarray([[100, 100, 300, 200]]),
+        conf=np.asarray([0.9]),
+        cls_id=np.asarray([0]),
+        specs=specs,
+        download_bboxes=dl,
+        authority_order=False,
+    )
+    assert det2["xmin_m"].iloc[0] == pytest.approx(float(east))
+    assert det2["ymax_m"].iloc[0] == pytest.approx(float(north))
+
+
+def test_geocode_empty():
+    dl = _boxes_frame([[0.0, 0.0, 1200.0, 1200.0]])
+    det = geocode_detections(np.zeros((0, 4)), np.zeros(0), np.zeros(0, int), [], dl)
+    assert len(det) == 0
+
+
+def test_remove_land_detections():
+    dets = gf.GeoFrame(
+        {"id": [0, 1]},
+        geometry=[_poly.box(0, 0, 1, 1), _poly.box(10, 10, 11, 11)],
+        crs=3857,
+    )
+    land = gf.GeoFrame({"n": [0]}, geometry=[_poly.box(-5, -5, 5, 5)], crs=3857)
+    ocean = remove_land_detections(dets, land)
+    assert ocean["id"].tolist() == [1]
+
+
+# ---------------------------------------------------------------- areas
+
+
+def test_circle_area_no_border():
+    est, var, mn, mx = circle_areas(np.r_[10.0], np.r_[6.0], np.r_[False], np.r_[False])
+    assert est[0] == pytest.approx(np.pi * 5 * 3)
+    assert var[0] == 0 and mn[0] == est[0] and mx[0] == est[0]
+
+
+def test_circle_area_x_border():
+    w, h = 10.0, 6.0
+    est, var, mn, mx = circle_areas(np.r_[w], np.r_[h], np.r_[True], np.r_[False])
+    assert mn[0] == pytest.approx(w * h / 2)
+    assert mx[0] == pytest.approx(np.pi * (h / 2) * w / 2)
+    assert est[0] == pytest.approx((mn[0] + mx[0]) / 2)
+    assert var[0] == pytest.approx((mx[0] - mn[0]) ** 2 / 12)
+
+
+def test_circle_area_corner():
+    w, h = 8.0, 8.0
+    est, var, mn, mx = circle_areas(np.r_[w], np.r_[h], np.r_[True], np.r_[True])
+    assert mx[0] == pytest.approx(np.pi * h * w / 4)
+
+
+def test_square_area():
+    est, var, mn, mx = square_areas(np.r_[4.0], np.r_[5.0])
+    assert (mn[0], mx[0]) == (10.0, 20.0)
+    assert est[0] == 15.0
+    assert var[0] == pytest.approx(100 / 12)
+
+
+def test_cage_areas_frame():
+    det = gf.GeoFrame(
+        {
+            "xmin": [0, 100],
+            "xmax": [50, 200],
+            "ymin": [10, 20],
+            "ymax": [60, 120],
+            "xmin_m": [0.0, 0.0],
+            "xmax_m": [10.0, 8.0],
+            "ymin_m": [0.0, 0.0],
+            "ymax_m": [6.0, 8.0],
+            "type": ["circle_farm", "square_farm"],
+        },
+        geometry=[_poly.box(0, 0, 1, 1)] * 2,
+        crs=4326,
+    )
+    out = cage_areas(det)
+    # row 0: circle on x border (xmin==0)
+    mn = 10 * 6 / 2
+    mx = np.pi * 3 * 10 / 2
+    assert out["area"].iloc[0] == pytest.approx((mn + mx) / 2)
+    # row 1: square
+    assert out["area"].iloc[1] == pytest.approx((32 + 64) / 2)
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_deduplicate_download_boxes_disjoint_cover():
+    boxes = _boxes_frame(
+        [
+            [0.0, 0.0, 10.0, 10.0],
+            [5.0, 0.0, 15.0, 10.0],   # overlaps box 0 by 5x10
+            [20.0, 0.0, 30.0, 10.0],  # disjoint
+            [0.0, 0.0, 10.0, 10.0],   # fully covered -> dropped
+        ]
+    )
+    dd = deduplicate_download_boxes(boxes)
+    assert dd["bbox_ind"].tolist() == [0, 1, 2]
+    areas = [g.area for g in dd["geometry"]]
+    assert areas[0] == pytest.approx(100.0)
+    assert areas[1] == pytest.approx(50.0)
+    assert areas[2] == pytest.approx(100.0)
+    # total area == union area (no double counting)
+    assert sum(areas) == pytest.approx(250.0)
+
+
+def test_deduplicate_gdf_clips_and_drops():
+    boxes = _boxes_frame([[0.0, 0.0, 10.0, 10.0], [5.0, 0.0, 15.0, 10.0]])
+    dd = deduplicate_download_boxes(boxes)
+    gdf = gf.GeoFrame(
+        {"bbox_ind": [1, 1, 0]},
+        geometry=[
+            _poly.box(6.0, 1.0, 8.0, 3.0),   # inside box 1's surviving strip
+            _poly.box(5.5, 1.0, 9.0, 3.0),   # straddles the cut at x=10 -> clipped
+            _poly.box(1.0, 1.0, 2.0, 2.0),   # in box 0 entirely
+        ],
+        crs=3857,
+    )
+    # detection fully inside the removed overlap of box 1 -> dropped
+    gdf2 = gf.GeoFrame(
+        {"bbox_ind": [1]}, geometry=[_poly.box(6.0, 1.0, 8.0, 3.0)], crs=3857
+    )
+    out = deduplicate_gdf_with_bboxes(dd, gdf2)
+    assert len(out) == 0
+
+    gdf3 = gf.GeoFrame(
+        {"bbox_ind": [1, 0]},
+        geometry=[_poly.box(9.0, 1.0, 12.0, 3.0), _poly.box(1.0, 1.0, 2.0, 2.0)],
+        crs=3857,
+    )
+    out = deduplicate_gdf_with_bboxes(dd, gdf3)
+    assert len(out) == 2
+    # first geometry clipped to x >= 10
+    assert out["geometry"].iloc[0].bounds == pytest.approx((10.0, 1.0, 12.0, 3.0))
+
+
+# ---------------------------------------------------------------- dbscan
+
+
+def test_dbscan_matches_sklearn():
+    from sklearn.cluster import DBSCAN
+
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [
+            rng.normal([0, 0], 1.0, (40, 2)),
+            rng.normal([20, 20], 1.0, (30, 2)),
+            rng.uniform(-50, 50, (20, 2)),
+        ]
+    )
+    for eps, ms in [(2.0, 5), (3.0, 3), (1.0, 10)]:
+        ours = dbscan(pts, eps, ms)
+        oracle = DBSCAN(eps=eps, min_samples=ms).fit(pts).labels_
+        np.testing.assert_array_equal(ours, oracle)
+
+
+def test_dbscan_empty_and_all_noise():
+    assert dbscan(np.zeros((0, 2)), 1.0, 3).shape == (0,)
+    pts = np.asarray([[0.0, 0.0], [100.0, 0.0], [0.0, 100.0]])
+    assert (dbscan(pts, 1.0, 2) == -1).all()
+
+
+# ---------------------------------------------------------------- facilities
+
+
+def _cages_frame():
+    # two tight clusters of 5 + 2 noise points, in EPSG:3035 meters
+    pts = []
+    types = []
+    for cx, cy, t in [(1000.0, 1000.0, "circle_farm"), (5000.0, 5000.0, "square_farm")]:
+        for k in range(5):
+            pts.append((cx + 3 * k, cy))
+            types.append(t)
+    pts += [(9000.0, 9000.0), (12000.0, 12000.0)]
+    types += ["circle_farm", "circle_farm"]
+    geoms = [_poly.box(x - 5, y - 5, x + 5, y + 5) for x, y in pts]
+    df = gf.GeoFrame(
+        {
+            "index": list(range(len(pts))),
+            "type": types,
+            "year": [2014] * len(pts),
+            "det_conf": [0.9] * len(pts),
+            "area": [10.0] * len(pts),
+            "area_var": [1.0] * len(pts),
+            "min_area": [5.0] * len(pts),
+            "max_area": [15.0] * len(pts),
+        },
+        geometry=geoms,
+        crs=3035,
+    )
+    return df
+
+
+def test_cluster_facilities():
+    fac = cluster_facilities(_cages_frame(), "year", distance_threshold=50.0, min_cluster_size=5)
+    assert len(fac) == 2
+    assert fac.crs == 3857
+    assert set(fac["facility_index"]) == {0, 1}
+    counts = sorted(
+        (int(r["num_circle_farms"]), int(r["num_square_farms"])) for _, r in fac.iterrows()
+    )
+    assert counts == [(0, 5), (5, 0)]
+    assert fac["noise_points"].iloc[0] == 2
+    assert fac["area"].iloc[0] == pytest.approx(50.0)
+    assert sorted(len(c) for c in fac["cage_ids"]) == [5, 5]
+    # geometry is a Point (cluster centroid transformed to 3857)
+    assert isinstance(fac["geometry"].iloc[0], _poly.Point)
+
+
+def test_predictions_cluster_conf_filter():
+    cages = _cages_frame()
+    cages.loc[cages.index[:3], "det_conf"] = 0.1  # break up cluster 1
+    fac = predictions_cluster(cages, "year", conf_thresh=0.5, distance_threshold=50.0, min_cluster_size=5)
+    assert len(fac) == 1  # only the square cluster survives
+    assert int(fac["num_square_farms"].iloc[0]) == 5
