@@ -26,6 +26,8 @@ class TileSpec:
 
     @property
     def name(self) -> str:
+        if self.bbox_ind < 0:  # generic (non-pipeline) image: layer IS the stem
+            return self.layer
         return f"{self.layer or _layer_for_year(self.year)}{self.year}"
 
 
@@ -37,6 +39,8 @@ def _layer_for_year(year: int) -> str:
 
 
 def encode_tile_name(spec: TileSpec, extension: str = "jpeg") -> str:
+    if spec.bbox_ind < 0:
+        return f"{spec.name}.{extension}"
     return f"{spec.name}_{spec.bbox_ind}_{spec.x_offset}_{spec.y_offset}.{extension}"
 
 
@@ -51,9 +55,15 @@ def decode_tile_name(path: str) -> TileSpec:
         if base.endswith(ext):
             base = base[: -len(ext)]
             break
-    name, bbox_ind, x_offset, y_offset = base.split("_")
-    year = int(name[-4:])
-    layer = name[:-4]
-    return TileSpec(
-        year=year, bbox_ind=int(bbox_ind), x_offset=int(x_offset), y_offset=int(y_offset), layer=layer
-    )
+    try:
+        name, bbox_ind, x_offset, y_offset = base.split("_")
+        return TileSpec(
+            year=int(name[-4:]),
+            bbox_ind=int(bbox_ind),
+            x_offset=int(x_offset),
+            y_offset=int(y_offset),
+            layer=name[:-4],
+        )
+    except ValueError:
+        # Not a pipeline tile name: generic image, no geospatial identity.
+        return TileSpec(year=0, bbox_ind=-1, x_offset=0, y_offset=0, layer=base)

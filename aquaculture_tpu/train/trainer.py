@@ -46,7 +46,9 @@ def init_train_state(model: YoloV5, params) -> TrainState:
     return TrainState(
         params=params,
         opt=sgd_init(params),
-        ema=jax.tree_util.tree_map(lambda a: a, params),
+        # real copy, not an alias: params and ema must not share buffers or
+        # donation of the state would donate the same buffer twice
+        ema=jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params),
         step=jnp.zeros((), jnp.int32),
     )
 
