@@ -119,6 +119,88 @@ class Point(Geometry):
         return f"POINT ({self.x} {self.y})"
 
 
+class LineString(Geometry):
+    """A polyline (N, 2). Used for coastline linework (shapefile IO,
+    linemerge/polygonize); no boolean ops."""
+
+    __slots__ = ("coords",)
+
+    def __init__(self, coords):
+        self.coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+
+    @property
+    def is_empty(self) -> bool:
+        return len(self.coords) < 2
+
+    @property
+    def area(self) -> float:
+        return 0.0
+
+    @property
+    def length(self) -> float:
+        d = np.diff(self.coords, axis=0)
+        return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+    @property
+    def bounds(self):
+        c = self.coords
+        return (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+
+    @property
+    def centroid(self) -> "Point":
+        c = self.coords.mean(axis=0)
+        return Point(float(c[0]), float(c[1]))
+
+    @property
+    def is_ring(self) -> bool:
+        return len(self.coords) >= 4 and np.allclose(self.coords[0], self.coords[-1])
+
+    def transform(self, fn) -> "LineString":
+        x, y = fn(self.coords[:, 0], self.coords[:, 1])
+        return LineString(np.stack([np.asarray(x), np.asarray(y)], axis=1))
+
+    def __repr__(self):
+        return f"LINESTRING ({len(self.coords)} pts)"
+
+
+class MultiLineString(Geometry):
+    __slots__ = ("geoms",)
+
+    def __init__(self, lines):
+        self.geoms = [l if isinstance(l, LineString) else LineString(l) for l in lines]
+
+    @property
+    def is_empty(self) -> bool:
+        return all(l.is_empty for l in self.geoms)
+
+    @property
+    def area(self) -> float:
+        return 0.0
+
+    @property
+    def length(self) -> float:
+        return sum(l.length for l in self.geoms)
+
+    @property
+    def bounds(self):
+        bs = np.asarray([l.bounds for l in self.geoms if not l.is_empty])
+        if len(bs) == 0:
+            return (np.nan,) * 4
+        return (bs[:, 0].min(), bs[:, 1].min(), bs[:, 2].max(), bs[:, 3].max())
+
+    @property
+    def centroid(self) -> "Point":
+        pts = np.concatenate([l.coords for l in self.geoms]) if self.geoms else np.zeros((0, 2))
+        c = pts.mean(axis=0) if len(pts) else (np.nan, np.nan)
+        return Point(float(c[0]), float(c[1]))
+
+    def transform(self, fn) -> "MultiLineString":
+        return MultiLineString([l.transform(fn) for l in self.geoms])
+
+    def __repr__(self):
+        return f"MULTILINESTRING ({len(self.geoms)} lines)"
+
+
 def _ring_area(ring: np.ndarray) -> float:
     """Signed shoelace area of a closed or open ring array (N, 2)."""
     x, y = ring[:, 0], ring[:, 1]

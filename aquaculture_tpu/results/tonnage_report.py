@@ -1,0 +1,199 @@
+"""Tonnage report: Figure-6 computations and the Trujillo comparison.
+
+Port of tonnage_estimates.py (reference: src/Results/tonnage_estimates.py):
+period tonnage with missing-imagery adjustment (facilities from a
+comparison period outside the current period's imagery coverage are
+imputed), the bounded within-1km-of-Trujillo tonnage, and the combined
+model/HITL/FAO plot.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from aquaculture_tpu import frame as gf
+from aquaculture_tpu.geo import polygon as _poly
+from aquaculture_tpu.tonnage.bootstrap import compute_facility_tonnage_estimates
+from aquaculture_tpu.tonnage.facility import (
+    AquaFacility,
+    compute_complete_period_tonnage_estimates,
+    modify_cage_list_using_geometry,
+)
+from aquaculture_tpu.utils.logging import log_info
+
+# Period pairs used for missing-imagery adjustment (tonnage_estimates.py:111-118)
+PERIOD_COMPARISON = {
+    "2000-2004": "2005-2009",
+    "2005-2009": "2000-2004",
+    "2010-2012": "2013-2015",
+    "2013-2015": "2010-2012",
+    "2016-2018": "2019-2021",
+    "2019-2021": "2016-2018",
+}
+
+# Trujillo et al. literature anchors (tonnage_estimates.py:303-306)
+TRUJILLO_TONNAGE_75 = 2008.0
+TRUJILLO_TONNAGE_100 = 2678.0
+TRUJILLO_NUM_CAGES = 1213
+
+
+def compute_complete_tonnage_estimates(
+    facility: AquaFacility,
+    model_error_distributions: pd.DataFrame,
+    period_factor_table: pd.DataFrame,
+    min_cage_threshold: float,
+    depth_dist_mixture_param: float,
+    K: int = 10_000,
+    period_comparison: Dict[str, str] = PERIOD_COMPARISON,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Per-period tonnage with missing-imagery imputation
+    (reference compute_complete_tonnage_estimates_for_plot, :72-126)."""
+    out = []
+    for period, compare in period_comparison.items():
+        if period not in facility.annual_coverage:
+            continue
+        est = compute_complete_period_tonnage_estimates(
+            facility,
+            current_period=period,
+            compare_period=compare,
+            model_error_distributions=model_error_distributions,
+            min_cage_threshold=min_cage_threshold,
+            period_factor_table=period_factor_table,
+            depth_dist_mixture_param=depth_dist_mixture_param,
+            K=K,
+            seed=seed,
+        )
+        out.append(est)
+    return pd.concat(out).sort_index()
+
+
+def compute_bounded_tonnage(
+    facility: AquaFacility,
+    model_error_distributions: pd.DataFrame,
+    bound_geom: _poly.Geometry,
+    sbound: str,
+    period_factor_table: pd.DataFrame,
+    min_cage_threshold: float,
+    depth_dist_mixture_param: float,
+    K: int = 10_000,
+    seed: int = 0,
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Tonnage restricted to cages inside/outside a geometry
+    (reference compute_bounded_tonnage wiring, tonnage_estimates.py:290-300)."""
+    bounded = facility.final_facilities.copy()
+    preds_df = facility.preds
+    for col in ("cage_ids", "cage_ids_max", "cage_ids_min"):
+        if col not in bounded.columns:
+            continue
+        bounded[col] = [
+            modify_cage_list_using_geometry(ids, bound_geom, preds_df, sbound)
+            for ids in bounded[col]
+        ]
+    bounded = bounded[bounded["cage_ids"].apply(len) > 0]
+    if len(bounded) == 0:
+        return bounded, pd.DataFrame({"tonnage": []})
+    est = compute_facility_tonnage_estimates(
+        facility_df=bounded,
+        period_factor_table=period_factor_table,
+        period_var=facility.time_group,
+        min_cage_threshold=min_cage_threshold,
+        preds_df=preds_df,
+        model_error_distributions=model_error_distributions,
+        depth_dist_mixture_param=depth_dist_mixture_param,
+        K=K,
+        seed=seed,
+    )
+    return bounded, est
+
+
+def trujillo_comparison(
+    facility: AquaFacility,
+    trujillo_1km_boxes: _poly.Geometry,
+    model_error_distributions: pd.DataFrame,
+    period_factor_table: pd.DataFrame,
+    min_cage_threshold: float,
+    depth_dist_mixture_param: float,
+    compare_period: str = "2005-2009",
+    K: int = 10_000,
+) -> pd.DataFrame:
+    """Predicted vs literature tonnage/cage-count near Trujillo facilities
+    (reference trujillo_comparison, :303-320)."""
+    bounded, est = compute_bounded_tonnage(
+        facility,
+        model_error_distributions,
+        trujillo_1km_boxes,
+        "inside",
+        period_factor_table,
+        min_cage_threshold,
+        depth_dist_mixture_param,
+        K=K,
+    )
+    pred_tonnage = float(est.loc[compare_period, "tonnage"]) if compare_period in est.index else 0.0
+    n_cages = int(
+        bounded.loc[bounded["pass"] == compare_period, "cage_ids"].apply(len).sum()
+    ) if len(bounded) else 0
+    return pd.DataFrame(
+        {
+            "Measure": ["Tonnage", "Number of cages"] * 3,
+            "Source": ["Trujillo (75%)"] * 2 + ["Trujillo (100%)"] * 2 + ["Predicted"] * 2,
+            "Value": [
+                TRUJILLO_TONNAGE_75,
+                TRUJILLO_NUM_CAGES,
+                TRUJILLO_TONNAGE_100,
+                TRUJILLO_NUM_CAGES,
+                pred_tonnage,
+                n_cages,
+            ],
+        }
+    )
+
+
+def combined_tonnage_plot(
+    model_estimates: pd.DataFrame,
+    hitl_estimates: Optional[pd.DataFrame] = None,
+    fao_by_period: Optional[pd.Series] = None,
+    out_path: Optional[str] = None,
+):
+    """Model vs HITL vs FAO per-period tonnage with +-1.96 sd error bars
+    (reference combined_tonnage_plot, :136-198)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 3))
+    periods = list(model_estimates.index)
+    x = np.arange(len(periods))
+    ax.errorbar(
+        x,
+        model_estimates["tonnage"],
+        yerr=1.96 * model_estimates.get("tonnage_sd", pd.Series(0, index=model_estimates.index)),
+        fmt="o-",
+        capsize=3,
+        label="Model",
+        color="darkred",
+    )
+    if hitl_estimates is not None:
+        hx = [periods.index(p) for p in hitl_estimates.index if p in periods]
+        hs = hitl_estimates.loc[[periods[i] for i in hx]]
+        ax.errorbar(
+            hx, hs["tonnage"], yerr=1.96 * hs.get("tonnage_sd", 0), fmt="s--",
+            capsize=3, label="HITL", color="steelblue",
+        )
+    if fao_by_period is not None:
+        fx = [periods.index(p) for p in fao_by_period.index if p in periods]
+        ax.plot(fx, fao_by_period.loc[[periods[i] for i in fx]], "k^:", label="FAO")
+    ax.set_xticks(x)
+    ax.set_xticklabels(periods, rotation=30, fontsize=8)
+    ax.set_ylabel("Tonnage (t)")
+    ax.legend(frameon=False, fontsize=8)
+    ax.spines["top"].set_visible(False)
+    ax.spines["right"].set_visible(False)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=300, bbox_inches="tight")
+    return fig

@@ -1,0 +1,95 @@
+"""Parity tests against the reference's REAL data artifacts.
+
+These exercise our IO + geometry stack on the upstream repo's actual files:
+output/humanlabels.geojson (4,142 CloudFactory cage labels, README.md:152),
+data/wanted_bboxes.csv (download boxes), data/aquaculture_med_dedupe.csv
+(Trujillo locations). Skipped when the reference checkout is absent.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aquaculture_tpu import frame as gf
+from aquaculture_tpu.config import CRS_AREA
+from aquaculture_tpu.data.filenames import decode_tile_name
+from aquaculture_tpu.geo import polygon as _poly
+
+
+@pytest.fixture(scope="module")
+def humanlabels(reference_output_dir):
+    return gf.read_file(str(reference_output_dir / "humanlabels.geojson"))
+
+
+def test_humanlabels_load_and_schema(humanlabels):
+    hl = humanlabels
+    assert len(hl) == 4142
+    assert hl.crs == 3857
+    assert set(hl["type"].unique()) <= {"circle_cage", "square_cage", "triangle_cage", "other_cage", "rectangle_cage"}
+    # every image name parses through our codec
+    specs = [decode_tile_name(f) for f in hl["image"]]
+    assert all(s.bbox_ind >= 0 for s in specs)
+    assert {s.year for s in specs} <= set(range(2000, 2022))
+
+
+def test_humanlabels_crs_roundtrip(humanlabels):
+    # 3857 -> 4326 -> 3857 roundtrip error under 1e-6 m on real geometry
+    hl = humanlabels.iloc[:50].copy()
+    hl.crs = humanlabels.crs
+    b0 = hl.bounds_array()
+    rt = hl.to_crs(4326).to_crs(3857)
+    b1 = rt.bounds_array()
+    np.testing.assert_allclose(b1, b0, atol=1e-6)
+    # labels are on the French Mediterranean coast: lat 41..44, lon -1..10
+    ll = hl.to_crs(4326).bounds_array()
+    assert ll[:, 1].min() > 41 and ll[:, 3].max() < 44.5
+    assert ll[:, 0].min() > -2 and ll[:, 2].max() < 10.5
+
+
+def test_humanlabels_areas_positive(humanlabels):
+    hl = humanlabels.iloc[:200].copy()
+    hl.crs = humanlabels.crs
+    areas = hl.to_crs(CRS_AREA).area.to_numpy()
+    assert (areas > 0).all()
+    # cage boxes are tens-to-thousands of m2, never km2
+    assert areas.max() < 1e6 and areas.min() > 1.0
+
+
+def test_wanted_bboxes_csv(reference_data_dir):
+    from aquaculture_tpu.cli.geocode import load_download_bboxes
+
+    dl = load_download_bboxes(str(reference_data_dir / "wanted_bboxes.csv"))
+    assert len(dl) > 1000
+    assert dl.crs == 3857
+    # every box is ~1200 m square in 3857
+    b = dl.bounds_array()
+    w = b[:, 2] - b[:, 0]
+    h = b[:, 3] - b[:, 1]
+    np.testing.assert_allclose(w, 1200.0, atol=1.0)
+    np.testing.assert_allclose(h, 1200.0, atol=1.0)
+
+
+def test_trujillo_locations(reference_data_dir):
+    from aquaculture_tpu.tonnage.periods import load_trujillo_locations
+
+    t = load_trujillo_locations(str(reference_data_dir / "aquaculture_med_dedupe.csv"))
+    assert t.crs == 3857
+    assert len(t) > 10
+    assert all(isinstance(g, _poly.Point) for g in t["geometry"])
+
+
+def test_label_matching_on_real_labels(humanlabels):
+    """Run the error-matching machinery label-vs-label on real data: every
+    label must match itself with error 0."""
+    from aquaculture_tpu.tonnage.errors import get_cage_area_errors_from_labels
+
+    hl = humanlabels.iloc[:40].copy()
+    hl.crs = humanlabels.crs
+    frame = gf.GeoFrame(
+        pd.DataFrame({"year": hl["year"].to_numpy(), "area": np.ones(len(hl))}),
+        geometry=list(hl["geometry"]),
+        crs=3857,
+    )
+    errors = get_cage_area_errors_from_labels(frame, frame.copy())
+    assert len(errors) == len(hl)
+    np.testing.assert_allclose(errors.to_numpy(), 0.0, atol=1e-9)

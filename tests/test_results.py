@@ -1,0 +1,128 @@
+"""Results-layer tests: threshold sweep vs the slow oracle, upper-bound
+simulation vs binomial expectation, facility classification, map outputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aquaculture_tpu import frame as gf
+from aquaculture_tpu.eval.metrics import get_stats_total
+from aquaculture_tpu.geo import polygon as _poly
+from aquaculture_tpu.results.maps import (
+    classify_facilities,
+    facility_map_html,
+    plot_facility_map,
+    trujillo_1km_boxes,
+    unique_locations,
+)
+from aquaculture_tpu.results.performance import (
+    false_positive_reduction,
+    plot_precision_recall_curves,
+    stats_at_thresholds,
+)
+from aquaculture_tpu.results.upper_bound import upper_bound_simulation
+
+
+def _preds_labels():
+    preds = gf.GeoFrame(
+        {
+            "year": [2014] * 4,
+            "type": ["circle_farm"] * 4,
+            "det_conf": [0.9, 0.7, 0.5, 0.3],
+        },
+        geometry=[
+            _poly.box(0, 0, 10, 10),     # TP (label A)
+            _poly.box(20, 0, 30, 10),    # TP (label B)
+            _poly.box(50, 0, 60, 10),    # FP
+            _poly.box(70, 0, 80, 10),    # FP
+        ],
+        crs=3857,
+    )
+    labels = gf.GeoFrame(
+        {"year": [2014] * 3, "type": ["circle_farm"] * 3},
+        geometry=[
+            _poly.box(5, 5, 12, 12),     # matched at conf .9
+            _poly.box(25, 5, 32, 12),    # matched at conf .7
+            _poly.box(100, 0, 110, 10),  # never matched
+        ],
+        crs=3857,
+    )
+    return preds, labels
+
+
+def test_stats_at_thresholds_matches_per_threshold_oracle():
+    preds, labels = _preds_labels()
+    sweep = stats_at_thresholds(labels, preds, thresholds=[0.0, 0.6, 0.8, 0.95])
+    # oracle: filter + full join per threshold
+    for _, row in sweep.iterrows():
+        sub = preds[preds["det_conf"] >= row["threshold"]].copy()
+        sub.crs = preds.crs
+        oracle = get_stats_total(labels=labels, preds=sub)
+        if np.isnan(oracle["precision"]):
+            assert np.isnan(row["precision"])
+        else:
+            assert row["precision"] == pytest.approx(oracle["precision"])
+        assert row["recall"] == pytest.approx(oracle["recall"])
+    # monotone content checks
+    assert sweep.loc[0, "recall"] == pytest.approx(2 / 3)
+    assert sweep.loc[2, "precision"] == 1.0  # only the conf-.9 TP remains
+
+
+def test_false_positive_reduction():
+    preds, labels = _preds_labels()
+    bucket = pd.Series(["ocean", "ocean", "land", "ocean"], index=preds.index)
+    out = false_positive_reduction(preds, labels, bucket)
+    assert out["fp_share_raw"] == pytest.approx(0.5)
+    assert out["fp_removed_by_land_filter"] == pytest.approx(0.5)  # 1 of 2 FPs on land
+
+
+def test_plot_curves_smoke(tmp_path):
+    preds, labels = _preds_labels()
+    sweep = stats_at_thresholds(labels, preds, thresholds=np.linspace(0, 1, 10))
+    fig = plot_precision_recall_curves(sweep, sweep, sweep, out_path=str(tmp_path / "f.pdf"))
+    assert (tmp_path / "f.pdf").exists()
+
+
+def test_upper_bound_simulation():
+    out = upper_bound_simulation(K=2000, seed=0)
+    # at rate 7e-5 the expected labels in 10518 samples is ~0.74 -> the
+    # median crosses zero near the reference's final rate
+    assert out["final_rate"] == pytest.approx(7e-5, abs=2e-5)
+    assert out["population_upper_bound_total"] > 4010
+    t = out["rate_table"]
+    assert (t["all_zeros_50"].diff().fillna(0) >= 0).all()  # monotone in rate
+
+
+def test_trujillo_classification_and_unique_locations():
+    trujillo = gf.GeoFrame({"n": [0]}, geometry=[_poly.Point(1000.0, 1000.0)], crs=3857)
+    boxes = trujillo_1km_boxes(trujillo)
+    assert boxes["geometry"].iloc[0].bounds == (500.0, 500.0, 1500.0, 1500.0)
+
+    fac = gf.GeoFrame(
+        {"pass": ["2013-2015", "2013-2015"]},
+        geometry=[_poly.Point(1100.0, 1100.0), _poly.Point(9000.0, 9000.0)],
+        crs=3857,
+    )
+    tagged = classify_facilities(fac, boxes)
+    assert tagged["status"].tolist() == ["known", "additional"]
+    assert unique_locations(fac) == 2
+    # two nearby points collapse to one unique location
+    fac2 = gf.GeoFrame(
+        {"pass": ["a", "b"]},
+        geometry=[_poly.Point(0.0, 0.0), _poly.Point(100.0, 0.0)],
+        crs=3857,
+    )
+    assert unique_locations(fac2) == 1
+
+
+def test_facility_maps_outputs(tmp_path):
+    fac = gf.GeoFrame(
+        {"pass": ["2013-2015", "2016-2018"], "status": ["known", "additional"]},
+        geometry=[_poly.Point(500000.0, 5200000.0), _poly.Point(510000.0, 5210000.0)],
+        crs=3857,
+    )
+    plot_facility_map(fac, period="2013-2015", out_path=str(tmp_path / "map.png"))
+    assert (tmp_path / "map.png").exists()
+    facility_map_html(fac, str(tmp_path / "map.html"))
+    html = (tmp_path / "map.html").read_text()
+    assert "2013-2015" in html and "<svg" in html
