@@ -81,12 +81,20 @@ def detect_files(
     cfg: DetectConfig = DetectConfig(),
     batch_size: int = 32,
     tile: int = IM_WIDTH,
+    use_native: Optional[bool] = None,
 ):
     """Run inference over image files.
 
+    Decode/tiling runs on the native C++ loader (threaded, off-GIL) when
+    libaquatile.so is built; use_native=False forces the Python loader.
     Returns (boxes_px (N,4) int64, conf (N,), cls (N,), specs, stats).
     """
     import jax
+
+    from aquaculture_tpu.data import native_loader
+
+    if use_native is None:
+        use_native = native_loader.available()
 
     infer = make_infer_fn(model, params, cfg, tile)
     stats = PipelineStats()
@@ -97,7 +105,11 @@ def detect_files(
     all_specs: List[TileSpec] = []
 
     t0 = time.perf_counter()
-    for batch in tile_batches(paths, batch_size=batch_size, tile=tile):
+    if use_native:
+        batches = native_loader.native_tile_batches(paths, batch_size=batch_size, tile=tile)
+    else:
+        batches = tile_batches(paths, batch_size=batch_size, tile=tile)
+    for batch in batches:
         det, valid = infer(params, batch.images)
         det = np.asarray(jax.device_get(det))
         valid = np.asarray(jax.device_get(valid))
