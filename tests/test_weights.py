@@ -1,0 +1,138 @@
+"""Checkpoint-porting tests: ultralytics-style .pt state dicts -> our param
+trees, via the torch loader AND the torch-free zip/pickle reader."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aquaculture_tpu.models.weights import (
+    _load_pt_no_torch,
+    anchors_from_state_dict,
+    load_torch_checkpoint,
+    params_from_state_dict,
+)
+from aquaculture_tpu.models.yolov5 import VARIANTS, YoloV5
+from aquaculture_tpu.utils.checkpoint import load_params, save_params
+
+torch = pytest.importorskip("torch")
+
+
+def _ultralytics_state_dict(model: YoloV5, seed: int = 0):
+    """Random tensors under the public ultralytics v6 naming scheme, with
+    shapes derived from the architecture (OIHW)."""
+    rng = np.random.default_rng(seed)
+    ch = model.channels()
+    dp = model.depths()
+    sd = {}
+
+    def conv(prefix, cin, cout, k):
+        sd[f"{prefix}.conv.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32)
+        for suffix, val in (
+            ("weight", np.ones(cout)),
+            ("bias", np.zeros(cout)),
+            ("running_mean", np.zeros(cout)),
+            ("running_var", np.ones(cout)),
+        ):
+            sd[f"{prefix}.bn.{suffix}"] = val.astype(np.float32)
+
+    def c3(prefix, cin, cout, n):
+        h = cout // 2
+        conv(f"{prefix}.cv1", cin, h, 1)
+        conv(f"{prefix}.cv2", cin, h, 1)
+        conv(f"{prefix}.cv3", 2 * h, cout, 1)
+        for i in range(n):
+            conv(f"{prefix}.m.{i}.cv1", h, h, 1)
+            conv(f"{prefix}.m.{i}.cv2", h, h, 3)
+
+    conv("model.0", 3, ch["c1"], 6)
+    conv("model.1", ch["c1"], ch["c2"], 3)
+    c3("model.2", ch["c2"], ch["c2"], dp["n3"])
+    conv("model.3", ch["c2"], ch["c3"], 3)
+    c3("model.4", ch["c3"], ch["c3"], dp["n6"])
+    conv("model.5", ch["c3"], ch["c4"], 3)
+    c3("model.6", ch["c4"], ch["c4"], dp["n9"])
+    conv("model.7", ch["c4"], ch["c5"], 3)
+    c3("model.8", ch["c5"], ch["c5"], dp["n3"])
+    conv("model.9.cv1", ch["c5"], ch["c5"] // 2, 1)
+    conv("model.9.cv2", 2 * ch["c5"], ch["c5"], 1)
+    conv("model.10", ch["c5"], ch["c4"], 1)
+    c3("model.13", 2 * ch["c4"], ch["c4"], dp["n3"])
+    conv("model.14", ch["c4"], ch["c3"], 1)
+    c3("model.17", 2 * ch["c3"], ch["c3"], dp["n3"])
+    conv("model.18", ch["c3"], ch["c3"], 3)
+    c3("model.20", 2 * ch["c3"], ch["c4"], dp["n3"])
+    conv("model.21", ch["c4"], ch["c4"], 3)
+    c3("model.23", 2 * ch["c4"], ch["c5"], dp["n3"])
+    no = model.na * model.no
+    for i, c in enumerate((ch["c3"], ch["c4"], ch["c5"])):
+        sd[f"model.24.m.{i}.weight"] = rng.standard_normal((no, c, 1, 1)).astype(np.float32)
+        sd[f"model.24.m.{i}.bias"] = rng.standard_normal(no).astype(np.float32)
+    anchors = np.asarray(
+        [[[1.25, 1.625], [2.0, 3.75], [4.125, 2.875]],
+         [[1.875, 3.8125], [3.875, 2.8125], [3.6875, 7.4375]],
+         [[3.625, 2.8125], [4.875, 6.1875], [11.65625, 10.1875]]],
+        np.float32,
+    )
+    sd["model.24.anchors"] = anchors
+    return sd
+
+
+def _tree_shapes(t):
+    return {jax.tree_util.keystr(p): tuple(l.shape) for p, l in jax.tree_util.tree_flatten_with_path(t)[0]}
+
+
+@pytest.mark.parametrize("variant", ["n", "m"])
+def test_state_dict_mapping_shapes_match_init(variant):
+    model = YoloV5(variant=variant, num_classes=5)
+    sd = _ultralytics_state_dict(model)
+    params = params_from_state_dict(model, sd)
+    init = model.init(seed=0)
+    assert _tree_shapes(params) == _tree_shapes(init)
+
+
+def test_mapped_params_run_forward():
+    model = YoloV5(variant="n", num_classes=5)
+    sd = _ultralytics_state_dict(model)
+    params = params_from_state_dict(model, sd)
+    x = jnp.zeros((1, 64, 64, 3))
+    preds, _ = model.apply(params, x)
+    assert preds.shape == (1, (8 * 8 + 4 * 4 + 2 * 2) * 3, 10)
+    assert bool(jnp.isfinite(preds).all())
+
+
+def test_anchors_extracted_and_scaled():
+    model = YoloV5(variant="n", num_classes=5)
+    sd = _ultralytics_state_dict(model)
+    anchors = anchors_from_state_dict(sd)
+    assert anchors is not None
+    # grid units * stride: first P3 anchor 1.25 * 8 = 10
+    assert anchors[0][0][0] == pytest.approx(10.0)
+    assert anchors[2][2][1] == pytest.approx(10.1875 * 32)
+
+
+def test_pt_loader_torch_and_torchfree_agree(tmp_path):
+    model = YoloV5(variant="n", num_classes=5)
+    sd = _ultralytics_state_dict(model)
+    pt = str(tmp_path / "w.pt")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, pt)
+
+    via_torch = load_torch_checkpoint(pt)
+    via_zip = _load_pt_no_torch(pt)
+    assert set(via_torch) == set(via_zip) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(via_torch[k], sd[k])
+        np.testing.assert_array_equal(via_zip[k], sd[k])
+
+
+def test_npz_checkpoint_roundtrip(tmp_path):
+    model = YoloV5(variant="n", num_classes=2)
+    params = model.init(seed=1)
+    save_params(str(tmp_path / "ck"), params, metadata={"epoch": 3})
+    back = load_params(str(tmp_path / "ck"))
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
