@@ -93,3 +93,28 @@ def test_label_matching_on_real_labels(humanlabels):
     errors = get_cage_area_errors_from_labels(frame, frame.copy())
     assert len(errors) == len(hl)
     np.testing.assert_allclose(errors.to_numpy(), 0.0, atol=1e-9)
+
+
+def test_load_cf_labels_and_images(reference_output_dir):
+    from aquaculture_tpu.data.labels import load_cf_images, load_cf_labels
+
+    labels = load_cf_labels(str(reference_output_dir / "humanlabels.geojson"))
+    assert labels.crs == 3857
+    assert len(labels) == 4142
+    imgs = load_cf_images(str(reference_output_dir / "cf_images.csv"))
+    assert "image" in imgs.columns
+    assert len(imgs) > 30000
+
+
+def test_mark_land_images():
+    from aquaculture_tpu.data.labels import mark_land_images
+    from aquaculture_tpu.geo import polygon as _poly
+
+    images = gf.GeoFrame(
+        {"image": ["a", "b"]},
+        geometry=[_poly.box(1, 1, 2, 2), _poly.box(100, 100, 101, 101)],
+        crs=3857,
+    )
+    land = gf.GeoFrame({"n": [0]}, geometry=[_poly.box(0, 0, 10, 10)], crs=3857)
+    flags = mark_land_images(images, land, projected_crs=3857)
+    assert flags.tolist() == [True, False]
