@@ -3,14 +3,20 @@
 The suppression scan is the serial heart of NMS: candidate g may only
 suppress later candidates if g itself survived, so the K steps are
 inherently sequential. The trick is WIDTH, not depth: one kernel owns the
-whole batch, IoU tiles (B, BLOCK, K) are staged in VMEM scratch, and each
-sequential step suppresses across all B images at once — a (B, K) VPU op —
-so the serial chain is K steps of full-width vector work with zero HBM
-traffic in between.
+whole batch, IoU tiles are staged in VMEM scratch, and each sequential step
+suppresses across all B images at once — one (K, B) VPU op — with zero HBM
+traffic between steps.
 
-Semantics are exactly the reference greedy NMS (score-descending order,
-hard suppression at iou > thresh, suppressed candidates suppress nobody);
-tests cross-check elementwise against the XLA implementation.
+TPU layout rules drove the data layout (learned the hard way):
+* trailing singleton dims are poison — the tiler pads the last dim to 128
+  lanes, so a (B, K, 1) mask occupies 128x its logical size (OOM);
+* lane-dimension dynamic slices must be 128-aligned, sublane slices only
+  8-aligned — so CANDIDATES live on the sublane axis and BATCH on lanes:
+  every operand is a (K, B) plane, and the per-tile slice x0[s:s+8, :] is a
+  legal sublane slice.
+
+Semantics are exactly the reference greedy NMS; tests cross-check
+elementwise against the XLA implementation.
 """
 
 from __future__ import annotations
@@ -20,48 +26,64 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_BLOCK = 16  # rows of IoU staged per tile; K steps run in K/_BLOCK tiles
+_BLOCK = 8    # IoU rows staged per tile (f32 sublane alignment)
+_CHUNK = 256  # K-chunk for tile construction (VMEM temporary budget)
 
 
-def _suppress_kernel(boxes_ref, valid_ref, keep_ref, iou_scratch, *, iou_thresh: float, k: int, b: int):
-    """boxes (B, K, 4) score-sorted, valid (B, K, 1) -> keep (B, K, 1);
-    iou_scratch is a (B, BLOCK, K) VMEM tile. Dynamic indexing goes through
-    refs with pl.ds (value-level dynamic_slice has no TPU lowering)."""
+def _suppress_kernel(
+    x0_ref, y0_ref, x1_ref, y1_ref, valid_ref, keep_ref, iou_scratch,
+    *, iou_thresh: float, k: int, b: int,
+):
+    """All refs (K, B); iou_scratch (BLOCK, K, B) VMEM."""
     import jax.experimental.pallas as pl
 
-    boxes = boxes_ref[:, :, :]  # (B, K, 4)
-    x0, y0, x1, y1 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
-    area = jnp.maximum(x1 - x0, 0.0) * jnp.maximum(y1 - y0, 0.0)  # (B, K)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)       # (B, K)
+    x0, y0, x1, y1 = x0_ref[:, :], y0_ref[:, :], x1_ref[:, :], y1_ref[:, :]
+    area = jnp.maximum(x1 - x0, 0.0) * jnp.maximum(y1 - y0, 0.0)  # (K, B)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (k, b), 0)       # (K, B)
 
-    keep_ref[:, :, 0] = valid_ref[:, :, 0]
+    keep_ref[:, :] = valid_ref[:, :]
 
     n_blocks = k // _BLOCK
 
     def block_body(bi, _):
         s = pl.multiple_of(bi * _BLOCK, _BLOCK)
-        blk = boxes_ref[:, pl.ds(s, _BLOCK), :]  # (B, BLOCK, 4)
-        bx0, by0, bx1, by1 = blk[..., 0], blk[..., 1], blk[..., 2], blk[..., 3]
-        barea = jnp.maximum(bx1 - bx0, 0.0) * jnp.maximum(by1 - by0, 0.0)  # (B, BLOCK)
+        bx0 = x0_ref[pl.ds(s, _BLOCK), :]  # (BLOCK, B) — sublane slice, legal
+        by0 = y0_ref[pl.ds(s, _BLOCK), :]
+        bx1 = x1_ref[pl.ds(s, _BLOCK), :]
+        by1 = y1_ref[pl.ds(s, _BLOCK), :]
+        barea = jnp.maximum(bx1 - bx0, 0.0) * jnp.maximum(by1 - by0, 0.0)
 
-        # IoU of this row-block vs ALL candidates -> scratch (B, BLOCK, K)
-        ix0 = jnp.maximum(bx0[:, :, None], x0[:, None, :])
-        iy0 = jnp.maximum(by0[:, :, None], y0[:, None, :])
-        ix1 = jnp.minimum(bx1[:, :, None], x1[:, None, :])
-        iy1 = jnp.minimum(by1[:, :, None], y1[:, None, :])
-        inter = jnp.maximum(ix1 - ix0, 0.0) * jnp.maximum(iy1 - iy0, 0.0)
-        union = barea[:, :, None] + area[:, None, :] - inter
-        iou_scratch[:, :, :] = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+        # IoU of this candidate-block vs ALL candidates -> (BLOCK, K, B),
+        # built in static K-chunks so the (BLOCK, CHUNK, B) temporaries
+        # stay inside the VMEM budget (lane padding to 128 makes full-K
+        # temporaries ~4 MB each).
+        chunk = min(_CHUNK, k)
+        for ci in range(k // chunk):
+            c0 = ci * chunk
+            cx0 = x0[c0 : c0 + chunk, :]
+            cy0 = y0[c0 : c0 + chunk, :]
+            cx1 = x1[c0 : c0 + chunk, :]
+            cy1 = y1[c0 : c0 + chunk, :]
+            carea = area[c0 : c0 + chunk, :]
+            ix0 = jnp.maximum(bx0[:, None, :], cx0[None, :, :])
+            iy0 = jnp.maximum(by0[:, None, :], cy0[None, :, :])
+            ix1 = jnp.minimum(bx1[:, None, :], cx1[None, :, :])
+            iy1 = jnp.minimum(by1[:, None, :], cy1[None, :, :])
+            inter = jnp.maximum(ix1 - ix0, 0.0) * jnp.maximum(iy1 - iy0, 0.0)
+            union = barea[:, None, :] + carea[None, :, :] - inter
+            iou_scratch[:, c0 : c0 + chunk, :] = jnp.where(
+                union > 0, inter / jnp.maximum(union, 1e-9), 0.0
+            )
 
-        def row_body(r, _):
+        # Static unroll: scratch row index stays static; the per-candidate
+        # survivor flag comes from a masked reduction (no lane gathers).
+        for r in range(_BLOCK):
             g = s + r
-            kr = keep_ref[:, pl.ds(g, 1), 0]          # (B, 1) survivor flags
-            row = iou_scratch[:, pl.ds(r, 1), :][:, 0, :]  # (B, K)
-            suppress = (row > iou_thresh) & (col_idx > g) & (kr > 0.0)
-            keep_ref[:, :, 0] = jnp.where(suppress, 0.0, keep_ref[:, :, 0])
-            return 0
-
-        jax.lax.fori_loop(0, _BLOCK, row_body, 0)
+            keep = keep_ref[:, :]
+            kr = jnp.sum(jnp.where(row_idx == g, keep, 0.0), axis=0, keepdims=True)  # (1, B)
+            row = iou_scratch[r, :, :]  # (K, B)
+            suppress = (row > iou_thresh) & (row_idx > g) & (kr > 0.0)
+            keep_ref[:, :] = jnp.where(suppress, 0.0, keep)
         return 0
 
     jax.lax.fori_loop(0, n_blocks, block_body, 0)
@@ -71,26 +93,31 @@ def greedy_suppress_pallas(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_thresh: float = 0.45,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Batched greedy suppression: boxes (B, K, 4) score-sorted xyxy,
-    valid (B, K) bool -> keep (B, K) bool. K must be a multiple of 128."""
+    valid (B, K) bool -> keep (B, K) bool. K must be a multiple of 128.
+    interpret=None auto-selects interpreter mode off-TPU."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        except Exception:
+            interpret = True
 
     b, k, _ = boxes.shape
     assert k % 128 == 0, f"K={k} must be a multiple of 128"
     kernel = functools.partial(_suppress_kernel, iou_thresh=float(iou_thresh), k=k, b=b)
     mem = pl.ANY if interpret else pltpu.VMEM
+    planes = jnp.transpose(boxes.astype(jnp.float32), (2, 1, 0))  # (4, K, B)
     keep = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=mem),
-            pl.BlockSpec(memory_space=mem),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=mem)] * 5,
         out_specs=pl.BlockSpec(memory_space=mem),
-        out_shape=jax.ShapeDtypeStruct((b, k, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((b, _BLOCK, k), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((k, b), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BLOCK, k, b), jnp.float32)],
         interpret=interpret,
-    )(boxes.astype(jnp.float32), valid.astype(jnp.float32)[..., None])
-    return keep[..., 0] > 0.5
+    )(planes[0], planes[1], planes[2], planes[3], valid.astype(jnp.float32).T)
+    return keep.T > 0.5

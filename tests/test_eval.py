@@ -214,3 +214,45 @@ def test_buckets_assignment():
     info = get_bucket_info_table(bucketed)
     assert info.loc["land", "num_images_bucket"] == 1
     assert info.loc["(0.785, 0.9]", "num_detections_bucket"] == 1
+
+
+def test_assemble_evaluation_datasets():
+    from aquaculture_tpu.eval.datasets import assemble_evaluation_datasets
+
+    dl = gf.GeoFrame({"d": [0]}, geometry=[_poly.box(0, 0, 1200, 1200)], crs=3857)
+    img_name = "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0.jpeg"
+    land_img = "ORTHOIMAGERY.ORTHOPHOTOS2014_0_1024_0.jpeg"
+    image_boxes = gf.GeoFrame(
+        {"image": [img_name, land_img], "year": [2014, 2014], "bbox_ind": [0, 0],
+         "x_offset": [0, 1024], "y_offset": [0, 0]},
+        geometry=[_poly.box(0, 1000, 200, 1200), _poly.box(170, 1000, 370, 1200)],
+        crs=3857,
+    )
+    dets = gf.GeoFrame(
+        {"image": [img_name, img_name], "year": [2014, 2014],
+         "type": ["circle_farm", "triangle_farm"], "det_conf": [0.9, 0.9]},
+        geometry=[_poly.box(10, 1010, 20, 1020), _poly.box(30, 1030, 40, 1040)],
+        crs=3857,
+    )
+    labels = gf.GeoFrame(
+        {"image": [img_name], "year": [2014], "type": ["circle_cage"]},
+        geometry=[_poly.box(12, 1012, 22, 1022)],
+        crs=3857,
+    )
+    trujillo = gf.GeoFrame({"n": [0]}, geometry=[_poly.Point(15.0, 1015.0)], crs=3857)
+    sampled = pd.DataFrame({"image": [img_name]})
+    land = gf.GeoFrame({"n": [0]}, geometry=[_poly.box(150, 990, 400, 1210)], crs=3857)
+
+    ds = assemble_evaluation_datasets(dets, labels, image_boxes, dl, trujillo, sampled, land)
+    # triangle detections filtered, circle kept with label match
+    assert len(ds["detections"]) == 1
+    assert ds["detections"]["type"].iloc[0] == "circle_farm"
+    assert len(ds["labels"]) == 1
+    assert ds["labels"]["type"].iloc[0] == "circle_farm"  # renamed from _cage
+    # land image flagged and excluded from ocean set
+    ai = ds["all_images"].set_index("image")
+    assert bool(ai.loc[land_img, "only_land"])
+    assert land_img not in set(ds["ocean_images"]["image"])
+    # buckets exist and detections inherit them
+    assert "bucket" in ds["detections"].columns
+    assert str(ai.loc[img_name, "bucket"]) != "nan"

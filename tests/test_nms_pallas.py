@@ -51,3 +51,31 @@ def test_pallas_suppress_all_identical_keeps_first():
     keep = greedy_suppress_pallas(boxes, valid, 0.45, interpret=True)
     k = np.asarray(keep)[0]
     assert k[0] and not k[1:].any()
+
+
+def test_batched_nms_backends_agree():
+    from aquaculture_tpu.ops.nms import batched_nms
+
+    rng = np.random.default_rng(3)
+    n, nc = 300, 5
+    preds = np.concatenate(
+        [
+            np.stack(
+                [
+                    rng.uniform(50, 590, (2, n)),
+                    rng.uniform(50, 590, (2, n)),
+                    rng.uniform(10, 120, (2, n)),
+                    rng.uniform(10, 120, (2, n)),
+                    rng.uniform(0, 1, (2, n)),
+                ],
+                axis=-1,
+            ),
+            rng.dirichlet(np.ones(nc), (2, n)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    p = jnp.asarray(preds)
+    det_x, val_x = batched_nms(p, conf_thresh=0.1, max_det=100, pre_topk=256, backend="xla")
+    det_p, val_p = batched_nms(p, conf_thresh=0.1, max_det=100, pre_topk=256, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(val_x), np.asarray(val_p))
+    np.testing.assert_allclose(np.asarray(det_x), np.asarray(det_p), atol=1e-5)

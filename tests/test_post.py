@@ -302,3 +302,41 @@ def test_predictions_cluster_conf_filter():
     fac = predictions_cluster(cages, "year", conf_thresh=0.5, distance_threshold=50.0, min_cluster_size=5)
     assert len(fac) == 1  # only the square cluster survives
     assert int(fac["num_square_farms"].iloc[0]) == 5
+
+
+# ---------------------------------------------------------------- land mask
+
+
+def test_land_mask_matches_sjoin_filter():
+    from aquaculture_tpu.post.landmask import build_land_mask, remove_land_detections_masked
+
+    land = gf.GeoFrame(
+        {"n": [0, 1]},
+        geometry=[_poly.box(0, 0, 100, 100), _poly.box(300, 0, 400, 100)],
+        crs=3857,
+    )
+    dets = gf.GeoFrame(
+        {"id": [0, 1, 2, 3]},
+        geometry=[
+            _poly.box(10, 10, 20, 20),     # on land 1
+            _poly.box(150, 10, 160, 20),   # ocean
+            _poly.box(310, 10, 320, 20),   # on land 2
+            _poly.box(500, 10, 510, 20),   # outside mask bounds -> ocean
+        ],
+        crs=3857,
+    )
+    mask = build_land_mask(land, resolution_m=5.0)
+    masked = remove_land_detections_masked(dets, mask)
+    assert masked["id"].tolist() == [1, 3]
+    # agreement with the exact sjoin path on in-bounds detections
+    exact = remove_land_detections(dets, land)
+    assert exact["id"].tolist() == [1, 3]
+
+
+def test_land_mask_contains_vectorized():
+    from aquaculture_tpu.post.landmask import build_land_mask
+
+    land = gf.GeoFrame({"n": [0]}, geometry=[_poly.box(0, 0, 10, 10)], crs=3857)
+    m = build_land_mask(land, resolution_m=1.0)
+    hits = m.contains(np.asarray([5.0, 15.0, -5.0]), np.asarray([5.0, 5.0, 5.0]))
+    assert hits.tolist() == [True, False, False]
