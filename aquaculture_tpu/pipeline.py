@@ -150,6 +150,7 @@ def run_pipeline(
     batch_size: int = 32,
     land: Optional["gf.GeoFrame"] = None,
     dedup: bool = True,
+    use_native: Optional[bool] = None,
 ):
     """Full slice: files -> geocoded + area-annotated (ocean) detections.
 
@@ -157,7 +158,9 @@ def run_pipeline(
     (reference: src/process_yolo/) in one call.
     Returns (detections GeoFrame in EPSG:4326, PipelineStats).
     """
-    boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, batch_size)
+    boxes, conf, cls, specs, stats = detect_files(
+        paths, model, params, cfg, batch_size, use_native=use_native
+    )
     det = geocode_detections(boxes, conf, cls, specs, download_bboxes)
     if len(det) and dedup:
         dd = deduplicate_download_boxes(download_bboxes)
