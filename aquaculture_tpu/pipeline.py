@@ -104,18 +104,12 @@ def detect_files(
     all_cls: List[np.ndarray] = []
     all_specs: List[TileSpec] = []
 
-    t0 = time.perf_counter()
-    if use_native:
-        batches = native_loader.native_tile_batches(paths, batch_size=batch_size, tile=tile)
-    else:
-        batches = tile_batches(paths, batch_size=batch_size, tile=tile)
-    for batch in batches:
-        det, valid = infer(params, batch.images)
-        det = np.asarray(jax.device_get(det))
-        valid = np.asarray(jax.device_get(valid))
+    def harvest(det_dev, valid_dev, specs_batch, n_valid):
+        det = np.asarray(jax.device_get(det_dev))
+        valid = np.asarray(jax.device_get(valid_dev))
         stats.batches += 1
-        stats.tiles += int(batch.valid.sum())
-        for i, spec in enumerate(batch.specs):
+        stats.tiles += n_valid
+        for i, spec in enumerate(specs_batch):
             if spec is None:
                 continue
             v = valid[i]
@@ -127,6 +121,23 @@ def detect_files(
             all_conf.append(d[:, 4].astype(np.float64))
             all_cls.append(d[:, 5].astype(np.int64))
             all_specs.extend([spec] * len(d))
+
+    t0 = time.perf_counter()
+    if use_native:
+        batches = native_loader.native_tile_batches(paths, batch_size=batch_size, tile=tile)
+    else:
+        batches = tile_batches(paths, batch_size=batch_size, tile=tile)
+    # Double-buffered: dispatch batch N+1 before harvesting batch N so the
+    # device-to-host transfer and python postprocess overlap device compute
+    # (jax dispatch is async; device_get is the only sync point).
+    pending = None
+    for batch in batches:
+        det_dev, valid_dev = infer(params, batch.images)
+        if pending is not None:
+            harvest(*pending)
+        pending = (det_dev, valid_dev, batch.specs, int(batch.valid.sum()))
+    if pending is not None:
+        harvest(*pending)
     stats.infer_seconds = time.perf_counter() - t0
 
     if all_boxes:
