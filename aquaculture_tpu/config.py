@@ -55,7 +55,9 @@ class DetectConfig:
     # cage count; the greedy-suppression scan is O(K) sequential steps of
     # O(K) vector work, so 4096 costs 16x the NMS time of 1024.
     pre_nms_topk: int = 1024
-    multi_label: bool = False
+    multi_label: bool = False       # reserved (ultralytics parity flag);
+                                    # the pipeline uses argmax class like
+                                    # the reference's detect.py defaults
     class_agnostic: bool = False
     dtype: str = "bfloat16"
 
@@ -93,3 +95,6 @@ class TrainConfig:
     scale: float = 0.5
     ema_decay: float = 0.9999
     max_boxes_per_image: int = 120  # fixed-shape label padding
+    remat: bool = False             # jax.checkpoint the backbone forward:
+                                    # trades recompute for activation memory
+                                    # (bigger per-chip batches)

@@ -8,7 +8,7 @@ bathymetry depth, and pickle the result.
 
 Dependency-injected: predictions, image boxes and labels arrive as
 GeoFrames (the reference reads them from fixed GCS/main_dir paths inside
-__init__); `from_artifacts` reproduces the path-based loading."""
+__init__); the path-based wiring lives in cli/facilities.py."""
 
 from __future__ import annotations
 

@@ -64,8 +64,14 @@ def make_train_step(
     [cls,cx,cy,w,h]; label_mask (B, M) bool.
     """
 
+    forward = lambda p, x: model.features(p, x, True)
+    if cfg.remat:
+        # Rematerialize backbone activations on the backward pass: the conv
+        # pyramid's activations dominate training memory at 640px.
+        forward = jax.checkpoint(forward)
+
     def loss_fn(params, batch):
-        feats, new_params = model.features(params, batch["images"], training=True)
+        feats, new_params = forward(params, batch["images"])
         loss, metrics = yolo_loss(
             feats,
             batch["labels"],

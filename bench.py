@@ -18,11 +18,14 @@ import time
 
 import numpy as np
 
-BATCH = 32
+# Batch sweep on the v5e (pallas NMS backend): 32 -> 885, 64 -> 1230,
+# 128 -> 1509 tiles/s/chip. 128 saturates the MXU without risking HBM
+# pressure at larger activation footprints.
+BATCH = 128
 IMG = 640
 WARMUP = 3
 WINDOWS = 5
-BATCHES_PER_WINDOW = 4
+BATCHES_PER_WINDOW = 2
 BASELINE_IMG_PER_S = 140.0  # ultralytics YOLOv5m V100-class batch GPU anchor
 
 

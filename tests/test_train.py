@@ -182,3 +182,24 @@ def test_sharded_train_step_8dev():
         new_state, metrics = step_fn(sh_state, batch)
     assert np.isfinite(float(metrics["total"]))
     assert int(jax.device_get(new_state.step)) == 1
+
+
+def test_remat_train_step_matches_plain():
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    rng = np.random.default_rng(3)
+    batch = {
+        "images": jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32)),
+        "labels": jnp.asarray([[[0.0, 20.0, 20.0, 12.0, 12.0]], [[1.0, 40.0, 40.0, 16.0, 16.0]]]),
+        "label_mask": jnp.ones((2, 1), bool),
+    }
+    outs = {}
+    for remat in (False, True):
+        cfg = TrainConfig(epochs=50, lr0=0.01, warmup_epochs=0.0, remat=remat)
+        state = init_train_state(model, params)
+        step_fn = jax.jit(make_train_step(model, cfg, steps_per_epoch=1))
+        state, m = step_fn(state, batch)
+        outs[remat] = (float(m["total"]), jax.tree_util.tree_leaves(state.params)[0])
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(outs[False][1]), np.asarray(outs[True][1]), rtol=1e-5, atol=1e-7
+    )
