@@ -100,13 +100,43 @@ def clustered_detections(
     return out
 
 
+def _match_matrix(labels: "gf.GeoFrame", preds: "gf.GeoFrame") -> np.ndarray:
+    """(n_labels, n_preds) bool: label i and pred j intersect with the same
+    year and type — the TP relation, computed ONCE for the whole grid."""
+    m = np.zeros((len(labels), len(preds)), bool)
+    if len(labels) == 0 or len(preds) == 0:
+        return m
+    lab = labels.copy()
+    lab.crs = labels.crs
+    lab["__lab_pos"] = range(len(labels))
+    pr = preds.copy()
+    pr.crs = preds.crs
+    pr["__pred_pos"] = range(len(preds))
+    joined = lab.sjoin(pr, how="inner", predicate="intersects", lsuffix="query", rsuffix="key")
+    ok = (joined["year_query"] == joined["year_key"]) & (
+        joined["type_query"] == joined["type_key"]
+    )
+    li = joined.loc[ok, "__lab_pos"].to_numpy(np.int64)
+    pi = joined.loc[ok, "__pred_pos"].to_numpy(np.int64)
+    m[li, pi] = True
+    return m
+
+
 def grid_search(
     preds: "gf.GeoFrame",
     labels: "gf.GeoFrame",
     grid: GridConfig = GridConfig(),
 ) -> pd.DataFrame:
     """Sweep the full grid; returns a frame with precision/recall/product/f
-    per combination. Distance matrices are computed once per year group."""
+    per combination.
+
+    Two shared precomputations make the 6,560-combo sweep cheap where the
+    reference re-ran sklearn DBSCAN + a geopandas sjoin per combo:
+    * pairwise distances once per year group (clustering reuses them)
+    * the label<->pred TP match matrix once (precision = mean of the
+      per-pred TP flags over the member set; recall = mean over labels of
+      'any matching pred in the member set') — per combo it's pure masking.
+    """
     preds3035 = preds.to_crs(CRS_AREA)
     centers = np.asarray([[g.centroid.x, g.centroid.y] for g in preds3035["geometry"]]).reshape(-1, 2)
     years = preds["year"].to_numpy()
@@ -120,6 +150,10 @@ def grid_search(
         conf_by_year[y] = conf[rows]
         rows_by_year[y] = rows
 
+    match = _match_matrix(labels.to_crs(preds.crs), preds)  # (L, P)
+    tp_pred = match.any(axis=0)                             # (P,) pred is TP
+    n_labels = len(labels)
+
     records = []
     for eps in grid.distance_thresholds:
         for ms in grid.minimum_cluster_sizes:
@@ -128,13 +162,20 @@ def grid_search(
                 mm = _masked_cluster_members(d2_by_year, conf_by_year, eps, ms, ct)
                 for y, m in mm.items():
                     member[rows_by_year[y][m]] = True
-                sub = preds[member].copy()
-                sub.crs = preds.crs
-                stats = get_stats_total(labels=labels, preds=sub)
-                stats.update(
-                    conf_thresh=ct, distance_threshold=eps, min_cluster_size=ms
+                n = int(member.sum())
+                precision = float(tp_pred[member].mean()) if n else np.nan
+                recall = (
+                    float((match[:, member].any(axis=1)).mean()) if n_labels else np.nan
                 )
-                records.append(stats)
+                records.append(
+                    {
+                        "precision": precision,
+                        "recall": recall,
+                        "conf_thresh": ct,
+                        "distance_threshold": eps,
+                        "min_cluster_size": ms,
+                    }
+                )
     df = pd.DataFrame.from_records(records)
     df["product"] = df["precision"] * df["recall"]
     df["f_score"] = 2 * df["product"] / (df["precision"] + df["recall"])

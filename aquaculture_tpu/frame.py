@@ -110,13 +110,22 @@ class GeoFrame(pd.DataFrame):
         li, ri = _candidate_pairs(self.bounds_array(), other.bounds_array())
         lg = list(self["geometry"])
         rg = list(other["geometry"])
+        # Rectangle fast path: for two axis-aligned rectangles the bounds
+        # overlap (already established by the candidate filter) IS the
+        # intersects predicate — most pipeline geometry (detections, tiles,
+        # download boxes) is rectangles, so this skips the exact test.
+        l_rect = np.asarray([isinstance(g, _poly.Polygon) and g.is_rectangle for g in lg])
+        r_rect = np.asarray([isinstance(g, _poly.Polygon) and g.is_rectangle for g in rg])
         keep = np.zeros(len(li), dtype=bool)
         for k in range(len(li)):
             a, b = lg[li[k]], rg[ri[k]]
             if a is None or b is None or a.is_empty or b.is_empty:
                 continue
             if predicate == "intersects":
-                keep[k] = _poly.intersects(a, b)
+                if l_rect[li[k]] and r_rect[ri[k]]:
+                    keep[k] = True
+                else:
+                    keep[k] = _poly.intersects(a, b)
             else:  # within: approximate as all exterior vertices inside + intersects
                 keep[k] = _within(a, b)
         li, ri = li[keep], ri[keep]

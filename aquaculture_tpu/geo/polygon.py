@@ -302,6 +302,22 @@ class Polygon(Geometry):
         return Point(num_x / den, num_y / den)
 
     @property
+    def is_rectangle(self) -> bool:
+        """True for an axis-aligned solid rectangle (4 vertices spanning the
+        bounds, no holes). Enables the sjoin fast path: for two rectangles,
+        bounds overlap IS the intersects predicate."""
+        if self.holes or len(self.exterior) != 4:
+            return False
+        minx, miny, maxx, maxy = self.bounds
+        xs = self.exterior[:, 0]
+        ys = self.exterior[:, 1]
+        on_x = (np.abs(xs - minx) < 1e-12) | (np.abs(xs - maxx) < 1e-12)
+        on_y = (np.abs(ys - miny) < 1e-12) | (np.abs(ys - maxy) < 1e-12)
+        return bool(np.all(on_x) and np.all(on_y)) and abs(
+            self.area - (maxx - minx) * (maxy - miny)
+        ) < 1e-9 * max(self.area, 1.0)
+
+    @property
     def is_rectilinear(self) -> bool:
         for ring in [self.exterior, *self.holes]:
             r = _close_ring(ring)

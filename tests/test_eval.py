@@ -256,3 +256,45 @@ def test_assemble_evaluation_datasets():
     # buckets exist and detections inherit them
     assert "bucket" in ds["detections"].columns
     assert str(ai.loc[img_name, "bucket"]) != "nan"
+
+
+def test_grid_search_matches_per_combo_oracle():
+    from aquaculture_tpu.eval.kfold import clustered_detections
+
+    rng = np.random.default_rng(5)
+    n = 40
+    geoms, years, types, confs = [], [], [], []
+    for i in range(n):
+        x, y = rng.uniform(0, 400, 2)
+        geoms.append(_poly.box(x, y, x + 12, y + 12))
+        years.append(int(rng.choice([2014, 2016])))
+        types.append(str(rng.choice(["circle_farm", "square_farm"])))
+        confs.append(float(rng.uniform(0.3, 1.0)))
+    dets = gf.GeoFrame(
+        {"image": ["a"] * n, "year": years, "type": types, "det_conf": confs},
+        geometry=geoms,
+        crs=3857,
+    )
+    labels = dets.iloc[::2].copy()
+    labels = labels.drop(columns=["det_conf"])
+    labels.crs = 3857
+
+    grid = GridConfig(
+        confidence_thresholds=(0.4, 0.7, 0.95),
+        distance_thresholds=(30.0, 300.0),
+        minimum_cluster_sizes=(1, 3),
+        folds=2,
+    )
+    res = grid_search(dets, labels, grid)
+    assert len(res) == 12
+    for _, row in res.iterrows():
+        sub = clustered_detections(
+            dets, float(row["conf_thresh"]), float(row["distance_threshold"]),
+            int(row["min_cluster_size"]),
+        )
+        oracle = get_stats_total(labels=labels, preds=sub)
+        if np.isnan(oracle["precision"]):
+            assert np.isnan(row["precision"])
+        else:
+            assert row["precision"] == pytest.approx(oracle["precision"]), row
+        assert row["recall"] == pytest.approx(oracle["recall"]), row

@@ -165,3 +165,45 @@ def test_transform_polygon_vertices():
     q = p.transform(lambda x, y: (x * 2, y + 10))
     assert q.bounds == (0, 10, 2, 11)
     assert q.area == pytest.approx(2.0)
+
+
+def test_is_rectangle():
+    from aquaculture_tpu.geo.polygon import Polygon, box
+
+    assert box(0, 0, 10, 5).is_rectangle
+    assert not Polygon([(0, 0), (10, 0), (5, 8)]).is_rectangle          # triangle
+    assert not Polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                       holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]]).is_rectangle
+    assert not Polygon([(0, 0), (10, 0), (12, 10), (0, 10)]).is_rectangle  # skewed
+
+
+def test_sjoin_rect_fast_path_matches_exact():
+    import numpy as np
+
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.geo.polygon import Polygon, box, intersects
+
+    rng = np.random.default_rng(0)
+    n = 60
+    left_geoms, right_geoms = [], []
+    for i in range(n):
+        x, y = rng.uniform(0, 500, 2)
+        w, h = rng.uniform(5, 50, 2)
+        left_geoms.append(box(x, y, x + w, y + h))
+        x, y = rng.uniform(0, 500, 2)
+        if i % 3 == 0:  # mix in non-rectangles on the right
+            right_geoms.append(Polygon([(x, y), (x + 40, y), (x + 20, y + 35)]))
+        else:
+            right_geoms.append(box(x, y, x + 30, y + 30))
+    L = gf.GeoFrame({"i": range(n)}, geometry=left_geoms, crs=3857)
+    R = gf.GeoFrame({"j": range(n)}, geometry=right_geoms, crs=3857)
+    joined = L.sjoin(R, how="inner", predicate="intersects")
+    # oracle: brute-force exact predicate
+    expected = {
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if intersects(left_geoms[i], right_geoms[j])
+    }
+    got = set(zip(joined.index, joined["index_right"].astype(int)))
+    assert got == expected
