@@ -20,7 +20,7 @@ from aquaculture_tpu.cli.detect import load_model
 from aquaculture_tpu.models.yolov5 import YoloV5, init_detect_biases, yolov5_init
 from aquaculture_tpu.train.dataset import DetectionDataset
 from aquaculture_tpu.train.trainer import init_train_state, make_train_step
-from aquaculture_tpu.utils.checkpoint import save_params
+from aquaculture_tpu.utils.checkpoint import load_params, save_params
 from aquaculture_tpu.utils.logging import log_info
 
 
@@ -37,6 +37,7 @@ def main(argv=None) -> None:
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true", help="resume from <out>/state if present")
     args = ap.parse_args(argv)
 
     cfg = TrainConfig(img_size=args.img, batch_size=args.batch, epochs=args.epochs)
@@ -50,12 +51,29 @@ def main(argv=None) -> None:
         model, params = yolov5_init(args.variant, args.num_classes, seed=args.seed)
 
     state = init_train_state(model, params)
+    start_epoch = 0
+    state_dir = os.path.join(args.out, "state")
+    if args.resume and os.path.exists(os.path.join(state_dir, "treedef.json")):
+        from aquaculture_tpu.train.trainer import TrainState
+        from aquaculture_tpu.train.optimizer import SGDState
+        from aquaculture_tpu.utils.checkpoint import load_metadata
+
+        loaded = load_params(state_dir)
+        state = TrainState(
+            params=loaded["params"],
+            opt=SGDState(momentum=loaded["opt_momentum"], step=loaded["opt_step"]),
+            ema=loaded["ema"],
+            step=loaded["step"],
+        )
+        start_epoch = int(load_metadata(state_dir).get("epoch", 0))
+        log_info("resumed from %s at epoch %d", state_dir, start_epoch)
+
     step_fn = jax.jit(make_train_step(model, cfg, ds.steps_per_epoch), donate_argnums=0)
 
     os.makedirs(args.out, exist_ok=True)
     import jax.numpy as jnp
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         last = {}
         for batch in ds.epoch(epoch):
@@ -78,6 +96,18 @@ def main(argv=None) -> None:
             os.path.join(args.out, "last"),
             state.ema,
             metadata={"epoch": epoch + 1, "variant": args.variant, "num_classes": args.num_classes},
+        )
+        # full resumable state (params + optimizer momenta + EMA + step)
+        save_params(
+            state_dir,
+            {
+                "params": state.params,
+                "opt_momentum": state.opt.momentum,
+                "opt_step": state.opt.step,
+                "ema": state.ema,
+                "step": state.step,
+            },
+            metadata={"epoch": epoch + 1},
         )
     log_info("saved EMA checkpoint -> %s", os.path.join(args.out, "last"))
 
