@@ -202,8 +202,12 @@ class MultiLineString(Geometry):
 
 
 def _ring_area(ring: np.ndarray) -> float:
-    """Signed shoelace area of a closed or open ring array (N, 2)."""
-    x, y = ring[:, 0], ring[:, 1]
+    """Signed shoelace area of a closed or open ring array (N, 2).
+
+    Computed about the ring's own mean: at projected-CRS magnitudes the raw
+    cross products lose ~13 digits to cancellation."""
+    x = ring[:, 0] - ring[:, 0].mean()
+    y = ring[:, 1] - ring[:, 1].mean()
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
@@ -275,11 +279,18 @@ class Polygon(Geometry):
     def centroid(self) -> Point:
         if self.is_empty:
             return Point(np.nan, np.nan)
-        # Area-weighted centroid over exterior minus holes.
+        # Area-weighted centroid over exterior minus holes. Coordinates are
+        # shifted to a local origin first: at projected-CRS magnitudes
+        # (EPSG:3035 ~ 3e6 m) the shoelace cross terms reach ~1e19 and
+        # cancel catastrophically, displacing small polygons' centroids by
+        # hundreds of meters.
+        ox = float(self.exterior[:, 0].mean())
+        oy = float(self.exterior[:, 1].mean())
+
         def ring_c(ring):
             r = _close_ring(ring)
-            x, y = r[:-1, 0], r[:-1, 1]
-            xn, yn = r[1:, 0], r[1:, 1]
+            x, y = r[:-1, 0] - ox, r[:-1, 1] - oy
+            xn, yn = r[1:, 0] - ox, r[1:, 1] - oy
             cross = x * yn - xn * y
             a = 0.5 * np.sum(cross)
             if abs(a) < _EPS:
@@ -290,7 +301,7 @@ class Polygon(Geometry):
 
         a0, cx, cy = ring_c(self.exterior)
         if a0 == 0.0:
-            return Point(cx, cy)
+            return Point(cx + ox, cy + oy)
         num_x, num_y, den = a0 * cx, a0 * cy, a0
         for h in self.holes:
             ah, hx, hy = ring_c(h)
@@ -299,7 +310,7 @@ class Polygon(Geometry):
             den += ah
         if abs(den) < _EPS:
             return Point(float(np.mean(self.exterior[:, 0])), float(np.mean(self.exterior[:, 1])))
-        return Point(num_x / den, num_y / den)
+        return Point(num_x / den + ox, num_y / den + oy)
 
     @property
     def is_rectangle(self) -> bool:

@@ -1,0 +1,98 @@
+"""CLI smoke tests for the staged script surface (no detector involved:
+label files -> geocode -> areas -> cluster -> facilities chain)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def world(tmp_path):
+    """Synthetic label world: one download box, two tiles, clustered cages."""
+    labels = tmp_path / "labels"
+    labels.mkdir()
+    # 6 clustered cages on one tile + 1 isolated on another
+    rows = []
+    for i in range(6):
+        cx = (100 + 14 * i) / 1024
+        rows.append(f"0 {cx:.6f} 0.5 0.01 0.01 0.9")
+    (labels / "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0.txt").write_text("\n".join(rows) + "\n")
+    (labels / "ORTHOIMAGERY.ORTHOPHOTOS2014_0_1024_0.txt").write_text("1 0.5 0.5 0.01 0.01 0.95\n")
+    bboxes = tmp_path / "wanted_bboxes.csv"
+    bboxes.write_text('geometry\n"POLYGON ((0 0, 1200 0, 1200 1200, 0 1200, 0 0))"\n')
+    return tmp_path
+
+
+def test_geocode_areas_cluster_chain(world):
+    from aquaculture_tpu.cli.areas import main as areas_main
+    from aquaculture_tpu.cli.cluster import main as cluster_main
+    from aquaculture_tpu.cli.geocode import main as geocode_main
+
+    det_path = str(world / "detections.geojson")
+    geocode_main(
+        [
+            "--labels", str(world / "labels"),
+            "--download-bboxes", str(world / "wanted_bboxes.csv"),
+            "--out", det_path,
+        ]
+    )
+    fc = json.load(open(det_path))
+    assert len(fc["features"]) == 7
+    props = fc["features"][0]["properties"]
+    for c in ("image", "xmin_m", "type", "year", "det_conf"):
+        assert c in props
+
+    areas_main(["--detections", det_path])
+    fc = json.load(open(det_path))
+    assert "area" in fc["features"][0]["properties"]
+    assert fc["features"][0]["properties"]["area"] > 0
+
+    fac_path = str(world / "facilities.geojson")
+    cluster_main(
+        ["--detections", det_path, "--out", fac_path,
+         "--conf", "0.5", "--distance", "50", "--min-size", "5"]
+    )
+    fc = json.load(open(fac_path))
+    assert len(fc["features"]) == 1  # the 6-cage cluster; isolated cage is noise
+    p = fc["features"][0]["properties"]
+    assert p["num_circle_farms"] == 6
+    assert p["area"] > 0
+
+
+def test_facilities_cli(world, tmp_path):
+    from aquaculture_tpu.cli.facilities import main as facilities_main
+    from aquaculture_tpu.cli.geocode import main as geocode_main
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.geo import polygon as _poly
+
+    det_path = str(world / "detections.geojson")
+    geocode_main(
+        ["--labels", str(world / "labels"),
+         "--download-bboxes", str(world / "wanted_bboxes.csv"),
+         "--out", det_path]
+    )
+    from aquaculture_tpu.cli.areas import main as areas_main
+
+    areas_main(["--detections", det_path])
+
+    boxes_path = str(world / "image_boxes.geojson")
+    boxes = gf.GeoFrame(
+        {"bbox_ind": [0, 0], "x_offset": [0, 1024], "y_offset": [0, 0],
+         "year": [2014, 2014], "image_file": ["a", "b"]},
+        geometry=[_poly.box(0, 1000, 200, 1200), _poly.box(200, 1000, 400, 1200)],
+        crs=3857,
+    )
+    boxes.to_file(boxes_path)
+
+    out_pkl = str(world / "fac.pkl")
+    facilities_main(
+        ["--detections", det_path, "--image-boxes", boxes_path, "--out", out_pkl,
+         "--conf", "0.5", "--distance", "50", "--min-size", "5", "--no-min-max"]
+    )
+    import pickle
+
+    with open(out_pkl, "rb") as f:
+        fac = pickle.load(f)
+    assert len(fac.final_facilities) == 1

@@ -207,3 +207,28 @@ def test_sjoin_rect_fast_path_matches_exact():
     }
     got = set(zip(joined.index, joined["index_right"].astype(int)))
     assert got == expected
+
+
+def test_centroid_and_area_precision_at_projected_magnitudes():
+    """Regression: shoelace cancellation at EPSG:3035-scale coordinates
+    displaced small-polygon centroids by ~100 m (found via DBSCAN giving
+    all-noise on correctly spaced cages)."""
+    import numpy as np
+
+    from aquaculture_tpu.geo.polygon import Polygon
+
+    ox, oy = 3086730.0, -2291272.0  # real 3035 magnitudes
+    # ~2x2 m quadrilateral, slightly rotated
+    ring = [
+        (ox + 0.0, oy + 0.0),
+        (ox + 2.0, oy + 0.1),
+        (ox + 1.9, oy + 2.1),
+        (ox - 0.1, oy + 2.0),
+    ]
+    p = Polygon(ring)
+    c = p.centroid
+    assert abs(c.x - (ox + 0.95)) < 0.01
+    assert abs(c.y - (oy + 1.05)) < 0.01
+    # area matches the same polygon at the origin
+    p0 = Polygon([(x - ox, y - oy) for x, y in ring])
+    assert abs(p.area - p0.area) < 1e-6
