@@ -86,8 +86,38 @@ def silu(x):
     return x * jax.nn.sigmoid(x)
 
 
+_CALIB_STATS: dict | None = None
+
+
 def conv_block(x, p: dict, stride: int = 1, padding=None, training: bool = False):
-    """Conv2d + BN + SiLU ("Conv" in YOLOv5). Returns (y, new_params)."""
+    """Conv2d + BN + SiLU ("Conv" in YOLOv5). Returns (y, new_params).
+
+    Three parameter layouts: training {w, bn}, fused inference {w, b},
+    int8-quantized inference {wq, wscale, xscale, b} (built by
+    models.quantize): activations quantize per-tensor, weights per-output-
+    channel, MXU runs int8 x int8 -> int32, dequant fuses into the bias add.
+    """
+    if "wq" in p:  # int8 PTQ path
+        xscale = p["xscale"].astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xscale), -127, 127).astype(jnp.int8)
+        k = p["wq"].shape[0]
+        if padding is None:
+            pad = k // 2
+            padding = [(pad, pad), (pad, pad)]
+        y32 = jax.lax.conv_general_dilated(
+            xq,
+            p["wq"],
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y32.astype(jnp.float32) * (xscale * p["wscale"])[None, None, None, :] + p["b"]
+        return silu(y.astype(x.dtype)), p
+    if _CALIB_STATS is not None:  # eager calibration pass (models.quantize)
+        key = id(p["w"])
+        m = float(jnp.max(jnp.abs(x)))
+        _CALIB_STATS[key] = max(_CALIB_STATS.get(key, 0.0), m)
     y = conv2d(x, p["w"], stride, padding).astype(x.dtype)
     if "b" in p:  # fused inference path
         return silu(y + p["b"].astype(x.dtype)), p

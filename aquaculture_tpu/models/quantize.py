@@ -1,0 +1,84 @@
+"""Post-training int8 quantization for the detector's conv stack.
+
+Production-serving path: weights quantize per-output-channel, activations
+per-tensor with scales calibrated from sample batches, and every Conv+SiLU
+block runs int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e) with
+dequantization fused into the bias add. The detect head stays in floating
+point (it feeds the box decode directly).
+
+Usage:
+    fused = model.fuse(params)
+    stats = calibrate(model, fused, sample_images)   # eager pass
+    qparams = quantize(fused, stats)
+    preds, _ = model.apply(qparams, images)          # same apply()
+
+Calibration keys activation maxima by the identity of each conv's weight
+array — the param tree maps 1:1 onto conv call sites, so no graph hooks are
+needed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from aquaculture_tpu.models import layers as L
+
+
+def calibrate(model, fused_params, sample_images) -> Dict[int, float]:
+    """Run eager forward passes recording per-conv input absmax.
+
+    sample_images: (N, H, W, 3) array in [0, 1] (a handful of batches is
+    enough; this runs un-jitted).
+    """
+    L._CALIB_STATS = {}
+    try:
+        model.features(fused_params, jnp.asarray(sample_images), training=False)
+        stats = dict(L._CALIB_STATS)
+    finally:
+        L._CALIB_STATS = None
+    return stats
+
+
+def quantize(fused_params, calib: Dict[int, float], default_xscale: float = 1.0):
+    """Fused {w, b} conv dicts -> {wq, wscale, xscale, b} int8 dicts.
+
+    Convs without calibration stats (never executed during calibration) and
+    the detect head stay in floating point.
+    """
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and "b" in node and "bn" not in node:
+                key = id(node["w"])
+                if key not in calib:
+                    return node  # uncalibrated (e.g. detect head): keep fp
+                w = np.asarray(node["w"], np.float32)
+                wmax = np.abs(w).max(axis=(0, 1, 2))
+                wscale = np.where(wmax > 0, wmax / 127.0, 1.0)
+                wq = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
+                amax = calib[key]
+                xscale = amax / 127.0 if amax > 0 else default_xscale
+                return {
+                    "wq": jnp.asarray(wq),
+                    "wscale": jnp.asarray(wscale.astype(np.float32)),
+                    "xscale": jnp.asarray(np.float32(xscale)),
+                    "b": node["b"],
+                }
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    out = walk(fused_params)
+    # The detect head feeds the box decode: always keep it floating point.
+    if isinstance(out, dict) and "head" in out:
+        out["head"] = fused_params["head"]
+    return out
+
+
+def quantize_model(model, fused_params, sample_images):
+    """calibrate + quantize in one call."""
+    return quantize(fused_params, calibrate(model, fused_params, sample_images))

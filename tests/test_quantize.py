@@ -1,0 +1,86 @@
+"""int8 PTQ tests: quantized conv error bounds, full-model agreement."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aquaculture_tpu.models import layers as L
+from aquaculture_tpu.models.quantize import calibrate, quantize, quantize_model
+from aquaculture_tpu.models.yolov5 import yolov5_init
+
+
+def test_calibration_records_every_conv_block():
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    fused = model.fuse(params)
+    imgs = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3), dtype=np.float32))
+    stats = calibrate(model, fused, imgs)
+    # count conv_block call sites = conv dicts outside the head
+    def count(node):
+        if isinstance(node, dict):
+            if "w" in node and "b" in node:
+                return 1
+            return sum(count(v) for v in node.values())
+        if isinstance(node, (list, tuple)):
+            return sum(count(v) for v in node)
+        return 0
+
+    n_convs = count({k: v for k, v in fused.items() if k != "head"})
+    assert len(stats) == n_convs
+    assert all(v > 0 for v in stats.values())
+
+
+def test_quantized_conv_block_error_bound():
+    rng = np.random.default_rng(1)
+    cin, cout = 8, 16
+    w = rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.1
+    b = rng.standard_normal(cout).astype(np.float32) * 0.01
+    x = rng.random((1, 16, 16, cin)).astype(np.float32)
+
+    exact, _ = L.conv_block(jnp.asarray(x), {"w": jnp.asarray(w), "b": jnp.asarray(b)})
+
+    wmax = np.abs(w).max(axis=(0, 1, 2))
+    wscale = wmax / 127.0
+    wq = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
+    xscale = np.float32(np.abs(x).max() / 127.0)
+    qp = {
+        "wq": jnp.asarray(wq),
+        "wscale": jnp.asarray(wscale.astype(np.float32)),
+        "xscale": jnp.asarray(xscale),
+        "b": jnp.asarray(b),
+    }
+    qout, _ = L.conv_block(jnp.asarray(x), qp)
+    err = np.abs(np.asarray(qout, np.float32) - np.asarray(exact, np.float32))
+    # int8 quantization noise: small relative to activation magnitudes
+    assert err.mean() < 0.02
+    assert err.max() < 0.2
+
+
+def test_full_model_quantized_agreement():
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    fused = model.fuse(params)
+    rng = np.random.default_rng(2)
+    calib_imgs = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    qparams = quantize_model(model, fused, calib_imgs)
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    p_f, _ = model.apply(fused, x)
+    p_q, _ = model.apply(qparams, x)
+    a = np.asarray(p_f, np.float32).ravel()
+    b = np.asarray(p_q, np.float32).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.99, cos
+    # decoded box centers stay within a few pixels
+    xy_f = np.asarray(p_f[0, :, :2])
+    xy_q = np.asarray(p_q[0, :, :2])
+    assert np.median(np.abs(xy_f - xy_q)) < 2.0
+
+
+def test_head_stays_float():
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    fused = model.fuse(params)
+    imgs = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3), dtype=np.float32))
+    qparams = quantize_model(model, fused, imgs)
+    assert "wq" not in qparams["head"][0]
+    assert "wq" in qparams["b0"]
