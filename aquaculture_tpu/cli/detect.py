@@ -22,6 +22,26 @@ from aquaculture_tpu.models.weights import load_pretrained
 from aquaculture_tpu.pipeline import detect_files
 
 
+def quantize_for_serving(model, fused_params, sample_paths, img_size: int = 640):
+    """int8 PTQ calibrated on up to 8 real source images."""
+    import jax.numpy as jnp
+
+    from aquaculture_tpu.data.geotiff import read_image
+    from aquaculture_tpu.models.quantize import quantize_model
+
+    imgs = []
+    for p in sample_paths[:8]:
+        arr = read_image(p)
+        if arr is None:
+            continue
+        import cv2
+
+        imgs.append(cv2.resize(arr, (img_size, img_size)).astype(np.float32) / 255.0)
+    if not imgs:
+        raise ValueError("no readable calibration images")
+    return quantize_model(model, fused_params, jnp.asarray(np.stack(imgs)))
+
+
 def load_model(weights: str | None, variant: str = "m", num_classes: int = 5):
     model = YoloV5(variant=variant, num_classes=num_classes)
     if weights and os.path.exists(weights):
@@ -51,6 +71,7 @@ def main(argv=None) -> None:
     ap.add_argument("--iou", type=float, default=0.45)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--int8", action="store_true", help="int8 PTQ serving path (calibrates on the first source images)")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.source):
@@ -63,6 +84,8 @@ def main(argv=None) -> None:
         paths = sorted(glob.glob(args.source)) or [args.source]
 
     model, params = load_model(args.weights, args.variant, args.num_classes)
+    if args.int8:
+        params = quantize_for_serving(model, params, paths, args.img)
     cfg = DetectConfig(img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou)
     boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
 

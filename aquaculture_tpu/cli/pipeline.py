@@ -32,6 +32,7 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--land", default=None, help="land polygons GeoJSON")
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--int8", action="store_true", help="int8 PTQ serving path")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.source):
@@ -44,6 +45,10 @@ def main(argv=None) -> None:
         paths = sorted(glob.glob(args.source)) or [args.source]
 
     model, params = load_model(args.weights, args.variant, args.num_classes)
+    if args.int8:
+        from aquaculture_tpu.cli.detect import quantize_for_serving
+
+        params = quantize_for_serving(model, params, paths)
     cfg = DetectConfig(conf_threshold=args.conf)
     dl = load_download_bboxes(args.download_bboxes)
     land = gf.read_file(args.land) if args.land else None

@@ -18,14 +18,19 @@ import time
 
 import numpy as np
 
-# Batch sweep on the v5e (pallas NMS backend): 32 -> 885, 64 -> 1230,
-# 128 -> 1509 tiles/s/chip. 128 saturates the MXU without risking HBM
-# pressure at larger activation footprints.
+# v5e findings (pallas NMS backend): batch sweep 32/64/128 -> 885/1230/1509
+# tiles/s at short (2-batch) timing windows; 8-batch windows measure the
+# steady state at ~1730 (short windows count a per-sync stall). int8 PTQ
+# (models.quantize) measures ~1749 — end-to-end parity with bf16 at these
+# layer sizes (the per-layer quant/dequant elementwise eats the MXU gain),
+# so the benchmark runs the simpler bf16 config; INT8=True flips the
+# serving path for A/B runs.
 BATCH = 128
+INT8 = False
 IMG = 640
 WARMUP = 3
-WINDOWS = 5
-BATCHES_PER_WINDOW = 2
+WINDOWS = 3
+BATCHES_PER_WINDOW = 8
 BASELINE_IMG_PER_S = 140.0  # ultralytics YOLOv5m V100-class batch GPU anchor
 
 
@@ -39,6 +44,13 @@ def main() -> None:
 
     model, params = yolov5_init("m", num_classes=5, seed=0)
     params = model.fuse(params)
+    if INT8:
+        from aquaculture_tpu.models.quantize import quantize_model
+
+        calib = jnp.asarray(
+            np.random.default_rng(1).random((2, IMG, IMG, 3), dtype=np.float32)
+        )
+        params = quantize_model(model, params, calib)
     cfg = DetectConfig()
 
     @jax.jit
