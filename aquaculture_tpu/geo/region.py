@@ -25,14 +25,38 @@ from aquaculture_tpu.geo import polygon as _poly
 _EPS = 1e-9
 
 
+def _any_overlap(r: np.ndarray) -> bool:
+    """True if any pair of rects overlaps with positive area."""
+    ix = np.minimum(r[:, None, 2], r[None, :, 2]) - np.maximum(r[:, None, 0], r[None, :, 0])
+    iy = np.minimum(r[:, None, 3], r[None, :, 3]) - np.maximum(r[:, None, 1], r[None, :, 1])
+    ov = (ix > _EPS) & (iy > _EPS)
+    np.fill_diagonal(ov, False)
+    return bool(ov.any())
+
+
 class Region:
     __slots__ = ("rects",)
 
-    def __init__(self, rects: np.ndarray):
+    def __init__(self, rects: np.ndarray, _assume_disjoint: bool = False):
         r = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
         # Drop degenerate rectangles
         keep = (r[:, 2] - r[:, 0] > _EPS) & (r[:, 3] - r[:, 1] > _EPS)
-        self.rects = r[keep]
+        r = r[keep]
+        # The algebra requires disjoint rects; normalize overlapping input
+        # (internal ops pass _assume_disjoint — their outputs are disjoint
+        # by construction). Found by fuzzing: Region(overlapping).union(x)
+        # silently double-counted area.
+        if not _assume_disjoint and len(r) > 1 and _any_overlap(r):
+            acc = r[:1]
+            base = Region(acc, _assume_disjoint=True)
+            for rect in r[1:]:
+                extra = Region(rect[None, :], _assume_disjoint=True).difference(base)
+                if not extra.is_empty:
+                    base = Region(
+                        np.concatenate([base.rects, extra.rects]), _assume_disjoint=True
+                    )
+            r = base.rects
+        self.rects = r
 
     @property
     def is_empty(self) -> bool:
@@ -67,13 +91,13 @@ class Region:
         hi = np.minimum(a[:, None, 2:], b[None, :, 2:])
         valid = np.all(hi - lo > _EPS, axis=2)
         out = np.concatenate([lo[valid], hi[valid]], axis=1)
-        return Region(out)
+        return Region(out, _assume_disjoint=True)
 
     def difference(self, other: "Region") -> "Region":
         if self.is_empty:
             return Region(np.zeros((0, 4)))
         if other.is_empty:
-            return Region(self.rects.copy())
+            return Region(self.rects.copy(), _assume_disjoint=True)
         pieces: List[np.ndarray] = []
         b = other.rects
         for rect in self.rects:
@@ -104,15 +128,17 @@ class Region:
                 pieces.append(_cells_to_rects(xs, ys, kept))
         if not pieces:
             return Region(np.zeros((0, 4)))
-        return Region(np.concatenate(pieces, axis=0))
+        return Region(np.concatenate(pieces, axis=0), _assume_disjoint=True)
 
     def union(self, other: "Region") -> "Region":
         extra = other.difference(self)
         if self.is_empty:
             return extra
         if extra.is_empty:
-            return Region(self.rects.copy())
-        return Region(np.concatenate([self.rects, extra.rects], axis=0))
+            return Region(self.rects.copy(), _assume_disjoint=True)
+        return Region(
+            np.concatenate([self.rects, extra.rects], axis=0), _assume_disjoint=True
+        )
 
     def contains_point(self, x: float, y: float) -> bool:
         r = self.rects
