@@ -1,0 +1,63 @@
+"""Pod-scale inference CLI: sharded corpus -> one global detections GeoJSON.
+
+The config-5 runner (SURVEY §7 step 7): every host detects over its
+contiguous shard of the tile corpus; host 0 writes the gathered output.
+Single-host it degenerates to the fused pipeline.
+
+    # per host (same command everywhere):
+    python -m aquaculture_tpu.cli.pod --source gs-mirror/jpegs \\
+        --download-bboxes wanted_bboxes.csv --out global_detections.geojson \\
+        --coordinator host0:1234 --num-processes 4 --process-id $HOST_ID
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+from aquaculture_tpu.cli.detect import load_model
+from aquaculture_tpu.cli.geocode import load_download_bboxes
+from aquaculture_tpu.config import DetectConfig
+from aquaculture_tpu.parallel.pod import init_distributed, run_pod_pipeline
+from aquaculture_tpu.utils.logging import log_info
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True, help="image directory or glob (same corpus on every host)")
+    ap.add_argument("--download-bboxes", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--variant", default="m", choices=list("nsmlx"))
+    ap.add_argument("--num-classes", type=int, default=5)
+    ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--coordinator", default=None, help="host:port of process 0 (multi-host)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    host, n_hosts = init_distributed(args.coordinator, args.num_processes, args.process_id)
+    log_info("process %d of %d", host, n_hosts)
+
+    if os.path.isdir(args.source):
+        paths = sorted(
+            p
+            for ext in ("jpeg", "jpg", "png", "tif", "tiff")
+            for p in glob.glob(os.path.join(args.source, f"*.{ext}"))
+        )
+    else:
+        paths = sorted(glob.glob(args.source))
+
+    model, params = load_model(args.weights, args.variant, args.num_classes)
+    dl = load_download_bboxes(args.download_bboxes)
+    det, stats = run_pod_pipeline(
+        paths, model, params, dl, DetectConfig(conf_threshold=args.conf),
+        batch_size=args.batch, out_path=args.out,
+    )
+    log_info("done: %d local tiles at %.1f tiles/s", stats.tiles, stats.tiles_per_second)
+
+
+if __name__ == "__main__":
+    main()

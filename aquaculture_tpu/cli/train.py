@@ -38,9 +38,12 @@ def main(argv=None) -> None:
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true", help="resume from <out>/state if present")
+    ap.add_argument("--mesh", default=None,
+                    help="shard the train step over local devices, e.g. '8' (data) or '4x2' (data x model)")
+    ap.add_argument("--remat", action="store_true", help="rematerialize backbone activations")
     args = ap.parse_args(argv)
 
-    cfg = TrainConfig(img_size=args.img, batch_size=args.batch, epochs=args.epochs)
+    cfg = TrainConfig(img_size=args.img, batch_size=args.batch, epochs=args.epochs, remat=args.remat)
     ds = DetectionDataset(args.images, args.labels, cfg, augment=not args.no_augment, seed=args.seed)
     log_info("%d images, %d steps/epoch", len(ds), ds.steps_per_epoch)
 
@@ -68,7 +71,22 @@ def main(argv=None) -> None:
         start_epoch = int(load_metadata(state_dir).get("epoch", 0))
         log_info("resumed from %s at epoch %d", state_dir, start_epoch)
 
-    step_fn = jax.jit(make_train_step(model, cfg, ds.steps_per_epoch), donate_argnums=0)
+    if args.mesh:
+        # Mesh-sharded SPMD training: batch over `data`, optional channel
+        # sharding over `model` (parallel.sharded).
+        from aquaculture_tpu.parallel.mesh import make_mesh
+        from aquaculture_tpu.parallel.sharded import sharded_train_step
+
+        dims = [int(v) for v in args.mesh.split("x")]
+        n_data, n_model = (dims + [1])[:2]
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        assert cfg.batch_size % n_data == 0, "batch must divide the data axis"
+        mesh_cm = mesh
+        step_fn, state = sharded_train_step(model, cfg, mesh, ds.steps_per_epoch, state)
+        log_info("training over mesh %s", dict(mesh.shape))
+    else:
+        mesh_cm = None
+        step_fn = jax.jit(make_train_step(model, cfg, ds.steps_per_epoch), donate_argnums=0)
 
     os.makedirs(args.out, exist_ok=True)
     import jax.numpy as jnp
@@ -77,7 +95,12 @@ def main(argv=None) -> None:
         t0 = time.perf_counter()
         last = {}
         for batch in ds.epoch(epoch):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh_cm is not None:
+                from aquaculture_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh_cm)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, batch)
             last = metrics
         dt = time.perf_counter() - t0
