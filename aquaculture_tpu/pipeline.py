@@ -11,6 +11,7 @@ host passes over the padded detection tensors. One process, no intermediate
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import List, Optional, Sequence
 
@@ -39,11 +40,15 @@ class PipelineStats:
         return self.tiles / self.infer_seconds if self.infer_seconds else 0.0
 
 
-def make_infer_fn(model: YoloV5, params, cfg: DetectConfig, tile: int = IM_WIDTH):
+def make_infer_fn(
+    model: YoloV5, params, cfg: DetectConfig, tile: int = IM_WIDTH, batch_size: int = 0
+):
     """Build the jitted (uint8 tile batch) -> (dets, valid) program.
 
     Letterbox resize + normalize + forward + decode + NMS fuse into one XLA
     computation; output boxes are mapped back to tile-pixel space on device.
+    On a multi-chip host the batch shards over a `data` mesh of the local
+    devices (params replicated); GSPMD handles the rest.
     """
     import jax
     import jax.numpy as jnp
@@ -51,7 +56,22 @@ def make_infer_fn(model: YoloV5, params, cfg: DetectConfig, tile: int = IM_WIDTH
     gain = cfg.img_size / tile
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
-    @jax.jit
+    import math
+
+    n_dev = jax.local_device_count()
+    # shard over the largest device count that divides the batch
+    n_data = math.gcd(batch_size, n_dev) if batch_size else n_dev
+    shardings = {}
+    if n_data > 1:
+        from aquaculture_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(n_data=n_data, n_model=1)
+        shardings = dict(
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=(batch_sharding(mesh), batch_sharding(mesh)),
+        )
+
+    @functools.partial(jax.jit, **shardings)
     def infer(params, images_u8):
         x = images_u8.astype(dtype) / 255.0
         x = jax.image.resize(
@@ -96,7 +116,7 @@ def detect_files(
     if use_native is None:
         use_native = native_loader.available()
 
-    infer = make_infer_fn(model, params, cfg, tile)
+    infer = make_infer_fn(model, params, cfg, tile, batch_size=batch_size)
     stats = PipelineStats()
 
     all_boxes: List[np.ndarray] = []
