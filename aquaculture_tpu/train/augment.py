@@ -121,13 +121,18 @@ def random_affine(
     b[:, 3] *= sc
     b[:, 4] *= sc
     # clip to image, recompute w/h from clipped corners
+    pre_area = b[:, 3] * b[:, 4]  # post-scale, pre-clip
     x0 = np.clip(b[:, 1] - b[:, 3] / 2, 0, size)
     x1 = np.clip(b[:, 1] + b[:, 3] / 2, 0, size)
     y0 = np.clip(b[:, 2] - b[:, 4] / 2, 0, size)
     y1 = np.clip(b[:, 2] + b[:, 4] / 2, 0, size)
     b[:, 1], b[:, 2] = (x0 + x1) / 2, (y0 + y1) / 2
     b[:, 3], b[:, 4] = x1 - x0, y1 - y0
-    keep = (b[:, 3] >= 2) & (b[:, 4] >= 2)
+    # Candidate filter (ultralytics box_candidates semantics): a mostly
+    # clipped-away box is a poisoned target — its visible sliver often
+    # contains no object pixels at all.
+    visible = (b[:, 3] * b[:, 4]) / np.maximum(pre_area, 1e-9)
+    keep = (b[:, 3] >= 2) & (b[:, 4] >= 2) & (visible > 0.25)
     return out, b[keep]
 
 

@@ -70,6 +70,7 @@ class DetectionDataset:
         self.augment = augment
         self.seed = seed
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._resized_cache: Dict[Tuple[int, int], Tuple[np.ndarray, float]] = {}
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -98,17 +99,33 @@ class DetectionDataset:
         return self._resized(int(rng.integers(len(self.pairs))), s)
 
     def _resized(self, i: int, s: int) -> Tuple[np.ndarray, np.ndarray]:
-        import cv2
+        """Base sample at training resolution.
 
-        img, boxes = self._get(i)
-        h, w = img.shape[:2]
-        if (h, w) != (s, s):
-            g = s / max(h, w)
-            img = cv2.resize(img, (int(round(w * g)), int(round(h * g))))
-            boxes[:, 1:5] *= g
-            pad_h, pad_w = s - img.shape[0], s - img.shape[1]
-            img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), constant_values=114)
-        return img, boxes
+        The resize MUST be the same operator the inference pipeline applies
+        (jax.image.resize, antialiased bilinear — see pipeline.make_infer_fn):
+        training on cv2-resized pixels and serving jax-resized pixels is a
+        train/infer domain gap that measurably hurts transfer. Resized
+        images are cached per (index, size)."""
+        key = (i, s)
+        if key not in self._resized_cache:
+            import jax.image
+
+            img, boxes = self._get(i)
+            h, w = img.shape[:2]
+            if (h, w) != (s, s):
+                g = s / max(h, w)
+                nh, nw = int(round(h * g)), int(round(w * g))
+                r = jax.image.resize(img.astype(np.float32), (nh, nw, 3), method="bilinear")
+                img = np.clip(np.asarray(r), 0, 255).astype(np.uint8)
+                pad_h, pad_w = s - nh, s - nw
+                img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), constant_values=114)
+            else:
+                g = 1.0
+            self._resized_cache[key] = (img, g)
+        img, g = self._resized_cache[key]
+        _, boxes = self._get(i)
+        boxes[:, 1:5] *= g
+        return img.copy(), boxes
 
     def epoch(self, epoch_index: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch of fixed-shape batches (prefetched)."""

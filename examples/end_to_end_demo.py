@@ -62,7 +62,7 @@ def render_world(out_dir: str, n_images: int = 24, size: int = 1024, seed: int =
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="/tmp/aq_demo")
-    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--img", type=int, default=160)
     args = ap.parse_args()
 
@@ -86,7 +86,11 @@ def main() -> None:
     log_info("rendered synthetic world -> %s", args.out)
 
     # --- train ---
-    cfg = TrainConfig(img_size=args.img, batch_size=8, epochs=args.epochs, mosaic=0.5)
+    # batch 4 -> 6 steps/epoch: the default 150 epochs = 900 steps. YOLO
+    # objectness converges slowly (the obj BCE averages over all cells, so
+    # the positive gradient is diluted ~1000x); short runs stay inside the
+    # 100-step warmup and look untrained.
+    cfg = TrainConfig(img_size=args.img, batch_size=4, epochs=args.epochs, mosaic=0.5)
     ds = DetectionDataset(img_dir, lab_dir, cfg, augment=True, seed=0)
     model, params = yolov5_init("n", num_classes=2, seed=0)
     state = init_train_state(model, params)
@@ -109,17 +113,42 @@ def main() -> None:
         os.path.join(img_dir, f) for f in os.listdir(img_dir) if f.endswith(".jpeg")
     )
     det, stats = run_pipeline(
-        paths, model2, params2, dl, DetectConfig(img_size=args.img, conf_threshold=0.3),
+        paths, model2, params2, dl, DetectConfig(img_size=args.img, conf_threshold=0.05),
         batch_size=8,
     )
     det.to_file(os.path.join(args.out, "detections.geojson"))
     log_info("%d tiles -> %d detections (%.1f tiles/s)", stats.tiles, len(det), stats.tiles_per_second)
 
+    # --- mAP against the rendered labels ---
+    import glob as _glob
+
+    from aquaculture_tpu.eval.map import evaluate_map
+    from aquaculture_tpu.pipeline import detect_files
+
+    boxes, conf, cls, specs, _ = detect_files(
+        paths, model2, params2, DetectConfig(img_size=args.img, conf_threshold=0.001), batch_size=8
+    )
+    dets_by_img, gts_by_img = [], []
+    for lp in sorted(_glob.glob(os.path.join(lab_dir, "*.txt"))):
+        stem = os.path.basename(lp)[:-4]
+        rows = np.loadtxt(lp, ndmin=2)
+        g = rows[:, 1:5] * 1024.0
+        gb = np.stack([g[:, 0] - g[:, 2] / 2, g[:, 1] - g[:, 3] / 2,
+                       g[:, 0] + g[:, 2] / 2, g[:, 1] + g[:, 3] / 2], axis=1)
+        gts_by_img.append((gb, rows[:, 0].astype(int)))
+        sel = [i for i, sp in enumerate(specs) if f"{sp.name}_{sp.bbox_ind}" in stem or stem.startswith(sp.name)]
+        sel = [i for i, sp in enumerate(specs)
+               if f"{sp.name}_{sp.bbox_ind}_{sp.x_offset}_{sp.y_offset}" == stem]
+        sel = np.asarray(sel, int)
+        dets_by_img.append((boxes[sel].astype(float), conf[sel], cls[sel]))
+    m = evaluate_map(dets_by_img, gts_by_img, num_classes=2)
+    log_info("mAP@.5 = %.3f, mAP@.5:.95 = %.3f", m["map50"], m["map"])
+
     # --- cluster into facilities ---
     if len(det):
         det["index"] = range(len(det))
         fac = predictions_cluster(
-            det.to_crs(3035), "year", conf_thresh=0.3, distance_threshold=150.0, min_cluster_size=3
+            det.to_crs(3035), "year", conf_thresh=0.05, distance_threshold=150.0, min_cluster_size=3
         )
         log_info("%d facilities", len(fac))
     log_info("demo artifacts in %s", args.out)
