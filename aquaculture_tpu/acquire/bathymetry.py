@@ -9,7 +9,7 @@ mosaic replace rasterio.merge; download is behind a fetch callable.
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 

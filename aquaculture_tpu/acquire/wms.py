@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import io
 import os
-from typing import Callable, Iterable, List, Optional, Protocol, Sequence, Tuple
+from typing import Iterable, List, Optional, Protocol, Sequence, Tuple
 
 import numpy as np
 

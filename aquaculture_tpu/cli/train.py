@@ -17,7 +17,7 @@ import numpy as np
 
 from aquaculture_tpu.config import TrainConfig
 from aquaculture_tpu.cli.detect import load_model
-from aquaculture_tpu.models.yolov5 import YoloV5, init_detect_biases, yolov5_init
+from aquaculture_tpu.models.yolov5 import yolov5_init
 from aquaculture_tpu.train.dataset import DetectionDataset
 from aquaculture_tpu.train.trainer import init_train_state, make_train_step
 from aquaculture_tpu.utils.checkpoint import load_params, save_params

@@ -13,7 +13,6 @@ single image per file, EPSG-coded CRS.
 from __future__ import annotations
 
 import dataclasses
-import struct
 from typing import Optional, Tuple
 
 import numpy as np

@@ -12,7 +12,7 @@ pipeline is testable offline and streams from object storage in production.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, List, Optional, Protocol, Sequence
+from typing import Iterable, List, Optional, Protocol
 
 import numpy as np
 import pandas as pd

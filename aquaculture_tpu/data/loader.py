@@ -21,7 +21,7 @@ import numpy as np
 from aquaculture_tpu.config import IM_WIDTH
 from aquaculture_tpu.data.filenames import TileSpec, decode_tile_name
 from aquaculture_tpu.data.geotiff import read_image
-from aquaculture_tpu.data.tiling import split_image, tile_offsets
+from aquaculture_tpu.data.tiling import split_image
 
 
 class TileBatch:

@@ -14,7 +14,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from aquaculture_tpu.config import IM_HEIGHT, IM_WIDTH, LARGE_TIF_SIZE
+from aquaculture_tpu.config import IM_WIDTH, LARGE_TIF_SIZE
 from aquaculture_tpu.data.filenames import TileSpec
 
 

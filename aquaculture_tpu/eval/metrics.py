@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-import numpy as np
 import pandas as pd
 
 from aquaculture_tpu import frame as gf

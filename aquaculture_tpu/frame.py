@@ -12,7 +12,7 @@ sorted x-intervals, then the exact ``intersects`` predicate on candidates.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List
+from typing import Iterable
 
 import numpy as np
 import pandas as pd

@@ -14,8 +14,6 @@ as an (empty) ultralytics submodule (reference: yolov5/, README.md:52).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ needed.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,6 @@ from __future__ import annotations
 import io
 import os
 import pickle
-import struct
 import zipfile
 from typing import Dict
 

@@ -12,12 +12,9 @@ final all_gather) assembles the global detection list.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from aquaculture_tpu.config import DetectConfig, TrainConfig
 from aquaculture_tpu.models.yolov5 import YoloV5

@@ -20,7 +20,7 @@ import numpy as np
 from aquaculture_tpu import frame as gf
 from aquaculture_tpu.config import IM_WIDTH, DetectConfig
 from aquaculture_tpu.data.filenames import TileSpec
-from aquaculture_tpu.data.loader import TileBatch, tile_batches
+from aquaculture_tpu.data.loader import tile_batches
 from aquaculture_tpu.models.yolov5 import YoloV5
 from aquaculture_tpu.ops.nms import batched_nms
 from aquaculture_tpu.post.areas import cage_areas

@@ -15,8 +15,6 @@ centroid Point geometry, and a global facility_index.
 from __future__ import annotations
 
 from collections import deque
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import numpy as np
-
 from aquaculture_tpu import frame as gf
 from aquaculture_tpu.geo.region import Region, from_geometry as _region_of, to_geometry as _region_to_geom
 

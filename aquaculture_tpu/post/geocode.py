@@ -18,7 +18,7 @@ that behavior for artifact-level parity; the default stores true
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd

@@ -11,7 +11,7 @@ HTML map with no external tile dependency).
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import pandas as pd

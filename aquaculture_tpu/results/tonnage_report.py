@@ -14,7 +14,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 import pandas as pd
 
-from aquaculture_tpu import frame as gf
 from aquaculture_tpu.geo import polygon as _poly
 from aquaculture_tpu.tonnage.bootstrap import compute_facility_tonnage_estimates
 from aquaculture_tpu.tonnage.facility import (
@@ -22,7 +21,6 @@ from aquaculture_tpu.tonnage.facility import (
     compute_complete_period_tonnage_estimates,
     modify_cage_list_using_geometry,
 )
-from aquaculture_tpu.utils.logging import log_info
 
 # Period pairs used for missing-imagery adjustment (tonnage_estimates.py:111-118)
 PERIOD_COMPARISON = {

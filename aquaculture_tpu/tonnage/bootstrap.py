@@ -23,7 +23,7 @@ pandas passes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd

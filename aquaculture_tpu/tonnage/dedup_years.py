@@ -23,7 +23,6 @@ import pandas as pd
 
 from aquaculture_tpu import frame as gf
 from aquaculture_tpu.data.filenames import decode_tile_name
-from aquaculture_tpu.geo import polygon as _poly
 from aquaculture_tpu.geo.region import Region, from_geometry, to_geometry
 
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 
 from aquaculture_tpu import frame as gf
 from aquaculture_tpu.config import CRS_MAPPING

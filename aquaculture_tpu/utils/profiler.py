@@ -11,7 +11,7 @@ region in a TensorBoard-compatible device trace, or annotate host spans.
 from __future__ import annotations
 
 from contextlib import contextmanager
-from typing import Iterator, Optional
+from typing import Iterator
 
 
 @contextmanager
