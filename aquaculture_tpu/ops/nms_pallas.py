@@ -109,6 +109,15 @@ def greedy_suppress_pallas(
 
     b, k, _ = boxes.shape
     assert k % 128 == 0, f"K={k} must be a multiple of 128"
+    if b > 128:
+        # One lane-width of batch per kernel invocation: beyond 128 images
+        # the (K, B) planes pad to the next 128-lane multiple and the
+        # VMEM budget blows (measured OOM at B=192).
+        parts = [
+            greedy_suppress_pallas(boxes[i : i + 128], valid[i : i + 128], iou_thresh, interpret)
+            for i in range(0, b, 128)
+        ]
+        return jnp.concatenate(parts, axis=0)
     kernel = functools.partial(_suppress_kernel, iou_thresh=float(iou_thresh), k=k, b=b)
     mem = pl.ANY if interpret else pltpu.VMEM
     planes = jnp.transpose(boxes.astype(jnp.float32), (2, 1, 0))  # (4, K, B)
