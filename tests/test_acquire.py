@@ -251,3 +251,36 @@ def test_correct_partly_blank_geom_all_blank_is_empty():
     img = np.full((32, 32, 3), 255, np.uint8)
     g = correct_partly_blank_geom(img, _poly.box(0, 0, 100, 100))
     assert g.is_empty
+
+
+def test_load_shapefiles_offline(tmp_path):
+    from aquaculture_tpu.acquire.shapefiles import load_shapefiles
+    from aquaculture_tpu.geo.shapefile import read_shapefile, write_shapefile
+
+    # fake transport: serve a zip containing a tiny real shapefile
+    frame = gf.GeoFrame({"id": [1]}, geometry=[_poly.box(0, 0, 1, 1)], crs=4326)
+    shp_dir = tmp_path / "src"
+    shp_dir.mkdir()
+    write_shapefile(str(shp_dir / "coast.shp"), frame)
+    import zipfile as zf
+
+    buf = io.BytesIO()
+    with zf.ZipFile(buf, "w") as z:
+        for f in shp_dir.iterdir():
+            z.write(f, f.name)
+    payload = buf.getvalue()
+
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        return payload
+
+    out = load_shapefiles(str(tmp_path / "shapes"), fetch=fetch)
+    assert set(out) == {"europe_coastline", "france_grid"}
+    back = read_shapefile(out["europe_coastline"] + "/coast.shp")
+    assert len(back) == 1
+    # resumable: second call fetches nothing
+    n = len(calls)
+    load_shapefiles(str(tmp_path / "shapes"), fetch=fetch)
+    assert len(calls) == n
