@@ -476,3 +476,66 @@ def test_aquafacility_pickle_roundtrip(tmp_path):
     fac.save(p)
     loaded = load_AquaFacility(p)
     assert len(loaded.final_facilities) == len(fac.final_facilities)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_year_dedup_min_max_ordering_fuzz(seed):
+    """On random worlds: min-selection cage area <= any random selection <=
+    max-selection, coverage disjoint per pass, survivors subset of input."""
+    rng = np.random.default_rng(1000 + seed)
+    years = [2013, 2014, 2015]
+    boxes_recs = {"bbox_ind": [], "x_offset": [], "y_offset": [], "year": [], "image_file": []}
+    box_geoms = []
+    for ti in range(2):  # two tiles
+        x0 = 2000.0 * ti
+        for y in years:
+            if rng.random() < 0.2:
+                continue  # some years missing imagery
+            # random whitespace: cover a sub-rectangle of the tile
+            w = rng.uniform(600, 1000)
+            h = rng.uniform(600, 1000)
+            boxes_recs["bbox_ind"].append(ti)
+            boxes_recs["x_offset"].append(0)
+            boxes_recs["y_offset"].append(0)
+            boxes_recs["year"].append(y)
+            boxes_recs["image_file"].append(f"t{ti}y{y}")
+            box_geoms.append(_poly.box(x0, 0.0, x0 + w, h))
+    boxes = gf.GeoFrame(boxes_recs, geometry=box_geoms, crs=3857)
+
+    cage_recs = {"image": [], "year": [], "area": [], "index": []}
+    cage_geoms = []
+    idx = 0
+    for ti in range(2):
+        x0 = 2000.0 * ti
+        for y in years:
+            if y not in set(boxes[boxes["bbox_ind"] == ti]["year"]):
+                continue
+            for _ in range(int(rng.integers(1, 4))):
+                cx = x0 + rng.uniform(50, 950)
+                cy = rng.uniform(50, 950)
+                cage_recs["image"].append(f"ORTHOIMAGERY.ORTHOPHOTOS{y}_{ti}_0_0.jpeg")
+                cage_recs["year"].append(y)
+                cage_recs["area"].append(float(rng.uniform(10, 100)))
+                cage_recs["index"].append(idx)
+                idx += 1
+                cage_geoms.append(_poly.box(cx - 4, cy - 4, cx + 4, cy + 4))
+    cages = gf.GeoFrame(cage_recs, geometry=cage_geoms, crs=3857)
+
+    areas = {}
+    for sel in ("min", "random", "max"):
+        dd, cov = dedup_cages_in_overlap_years_with_white_space(
+            cages, boxes, map_year_to_image_pass, sel, seed=seed
+        )
+        areas[sel] = float(dd["area"].sum()) if len(dd) else 0.0
+        # survivors are a subset of the input
+        assert set(dd["index"]) <= set(cages["index"])
+        # coverage disjoint per pass
+        for p, c in cov.items():
+            gs = list(c["geometry"])
+            for i in range(len(gs)):
+                for j in range(i + 1, len(gs)):
+                    from aquaculture_tpu.geo.polygon import intersection_area
+
+                    assert intersection_area(gs[i], gs[j]) < 1e-6
+    assert areas["min"] <= areas["random"] + 1e-9
+    assert areas["random"] <= areas["max"] + 1e-9
