@@ -31,7 +31,9 @@ def label_match_confidences(labels: "gf.GeoFrame", preds: "gf.GeoFrame") -> np.n
         & (joined["year_query"] == joined["year_key"])
         & (joined["type_query"] == joined["type_key"])
     )
-    conf = joined["det_conf"].where(ok, -np.inf)
+    # labels may themselves carry a det_conf column (suffix collision)
+    conf_col = "det_conf_key" if "det_conf_key" in joined.columns else "det_conf"
+    conf = joined[conf_col].where(ok, -np.inf)
     out = conf.groupby(level=0).max().reindex(labels.index, fill_value=-np.inf)
     return out.to_numpy(np.float64)
 
