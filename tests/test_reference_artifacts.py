@@ -147,3 +147,26 @@ def test_geocoder_bit_parity_on_reference_geometries(humanlabels, reference_data
     theirs = np.asarray([g.bounds for g in humanlabels["geometry"]])
     err = np.abs(ours - theirs).max()
     assert err < 1e-6, f"max geocode deviation {err} m on 4142 reference features"
+
+
+def test_dedup_exact_parity_with_reference_artifact(reference_data_dir):
+    """Full-corpus dedup parity: the reference ships its own GEOS-produced
+    wanted_bboxes_dedup (4,448 surviving boxes out of 4,545). Our
+    Region-algebra dedup must select the SAME boxes with ZERO
+    symmetric-difference area on every geometry."""
+    from aquaculture_tpu.cli.geocode import load_download_bboxes
+    from aquaculture_tpu.geo.region import from_geometry
+    from aquaculture_tpu.post.dedup import deduplicate_download_boxes
+
+    ref = gf.read_file(str(reference_data_dir / "wanted_bboxes_dedup.csv"))  # geojson
+    dl = load_download_bboxes(str(reference_data_dir / "wanted_bboxes.csv"))
+    ours = deduplicate_download_boxes(dl)
+
+    ref_by = {int(b): g for b, g in zip(ref["bbox_ind"], ref["geometry"])}
+    ours_by = {int(b): g for b, g in zip(ours["bbox_ind"], ours["geometry"])}
+    assert set(ref_by) == set(ours_by)
+    worst = 0.0
+    for i, rg in ref_by.items():
+        ra, oa = from_geometry(rg), from_geometry(ours_by[i])
+        worst = max(worst, ra.difference(oa).area + oa.difference(ra).area)
+    assert worst == 0.0, f"symmetric difference {worst} m^2"
