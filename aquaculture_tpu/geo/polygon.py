@@ -589,13 +589,25 @@ def _convex_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return np.asarray(out).reshape(-1, 2)
 
 
-def _raster_boolean_area(a: Geometry, b: Geometry, op: str, n: int = 512) -> float:
-    """Approximate boolean-op area by rasterizing over the joint bounds."""
+def _raster_boolean_area(a: Geometry, b: Geometry, op: str, n: int = 0) -> float:
+    """Approximate boolean-op area by rasterizing over the joint bounds.
+
+    Resolution adapts to the op: for 'intersection' the grid covers only
+    the bounds OVERLAP (the answer is zero outside it), so the cells
+    concentrate where they matter; n=0 auto-selects 1024 (relative area
+    error ~1e-3 of the gridded extent).
+    """
     ab, bb = a.bounds, b.bounds
-    minx, miny = min(ab[0], bb[0]), min(ab[1], bb[1])
-    maxx, maxy = max(ab[2], bb[2]), max(ab[3], bb[3])
+    if op == "intersection":
+        minx, miny = max(ab[0], bb[0]), max(ab[1], bb[1])
+        maxx, maxy = min(ab[2], bb[2]), min(ab[3], bb[3])
+    else:
+        minx, miny = min(ab[0], bb[0]), min(ab[1], bb[1])
+        maxx, maxy = max(ab[2], bb[2]), max(ab[3], bb[3])
     if not np.isfinite([minx, miny, maxx, maxy]).all() or maxx <= minx or maxy <= miny:
         return 0.0
+    if n <= 0:
+        n = 1024
     from aquaculture_tpu.geo.rasterize import rasterize_geometry
 
     ma = rasterize_geometry(a, (minx, miny, maxx, maxy), n, n)
