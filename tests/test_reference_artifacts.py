@@ -170,3 +170,34 @@ def test_dedup_exact_parity_with_reference_artifact(reference_data_dir):
         ra, oa = from_geometry(rg), from_geometry(ours_by[i])
         worst = max(worst, ra.difference(oa).area + oa.difference(ra).area)
     assert worst == 0.0, f"symmetric difference {worst} m^2"
+
+
+def test_grid_search_self_consistency_on_real_labels(humanlabels):
+    """Run the grid sweep with the real 4,142 labels as both detections
+    (conf 1.0) and ground truth: every combination that keeps any cages
+    must have precision 1.0, and a permissive combination must reach
+    recall ~1 (cages isolated beyond eps stay DBSCAN noise)."""
+    from aquaculture_tpu.eval.kfold import GridConfig, grid_search
+
+    hl = humanlabels.copy()
+    hl.crs = humanlabels.crs
+    hl["type"] = hl["type"].replace({"circle_cage": "circle_farm", "square_cage": "square_farm"})
+    hl = hl[hl["type"].isin(["circle_farm", "square_farm"])]
+    hl.crs = humanlabels.crs
+    dets = hl.copy()
+    dets.crs = hl.crs
+    dets["det_conf"] = 1.0
+
+    grid = GridConfig(
+        confidence_thresholds=(0.5,),
+        distance_thresholds=(50.0, 150.0),
+        minimum_cluster_sizes=(1, 5),
+        folds=2,
+    )
+    res = grid_search(dets, hl, grid)
+    assert len(res) == 4
+    kept = res.dropna(subset=["precision"])
+    assert (kept["precision"] == 1.0).all()
+    # min_size=1 keeps every cage -> recall 1.0 exactly
+    permissive = res[(res["min_cluster_size"] == 1) & (res["distance_threshold"] == 150.0)]
+    assert float(permissive["recall"].iloc[0]) == 1.0
