@@ -2,8 +2,9 @@
 geocode, cluster, evaluate.
 
 Runs in ~10 minutes on one CPU core (the "n" model at 160px) and reaches
-mAP@.5 ~ 0.85 on the rendered world, demonstrating the full reference
-workflow (README.md Run section) in one process:
+mAP@.5 ~ 0.73 on the rendered 24-image world (0.86 on a 12-image world
+with the same step budget), recovering all per-tile facilities —
+the full reference workflow (README.md Run section) in one process:
 
     python examples/end_to_end_demo.py --out /tmp/aq_demo
 """
@@ -63,7 +64,7 @@ def render_world(out_dir: str, n_images: int = 24, size: int = 1024, seed: int =
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="/tmp/aq_demo")
-    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--augment", action="store_true",
                     help="mosaic/affine/HSV (needs a far larger step budget to converge)")
