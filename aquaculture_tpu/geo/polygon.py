@@ -675,11 +675,17 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
 
 
 def intersection_area(a: Geometry, b: Geometry) -> float:
-    """Area of a∩b; exact where ``intersection`` is, rasterized otherwise."""
+    """Area of a∩b — exact for all simple polygon operands.
+
+    Fast paths: rectilinear region algebra and convex clipping; the general
+    case triangulates both operands (signed soup, holes negative) and sums
+    exact triangle∩triangle clip areas (geo.triangulate)."""
     try:
         return intersection(a, b).area
     except NotImplementedError:
-        return _raster_boolean_area(a, b, "intersection")
+        from aquaculture_tpu.geo.triangulate import exact_intersection_area
+
+        return exact_intersection_area(a, b)
 
 
 def difference(a: Geometry, b: Geometry) -> Geometry:
