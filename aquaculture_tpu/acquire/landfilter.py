@@ -48,12 +48,19 @@ def build_land_filter(
     Returns:
         GeoFrame of land polygons (primary landmass + recovered islands).
     """
-    shape = country_shape
-    if eez is not None and not eez.is_empty:
-        shape = _poly.difference(shape, eez)
+    def land_overlap(f: _poly.Geometry) -> float:
+        """Face overlap with the country MINUS its marine EEZ. Uses exact
+        pairwise intersection areas; assumes the EEZ lies within the gross
+        country footprint (true for the reference's inputs — the reference
+        computed the same thing with a geopandas overlay difference,
+        create_land_filter.py:95)."""
+        o = _poly.intersection_area(f, country_shape)
+        if eez is not None and not eez.is_empty:
+            o -= _poly.intersection_area(f, eez)
+        return max(o, 0.0)
 
     # Dissect: every closed loop in the coastline linework is a face.
-    faces = [p for p in polygonize(coastline_lines) if _poly.intersects(p, shape)]
+    faces = [p for p in polygonize(coastline_lines) if land_overlap(p) > 0]
     if not faces:
         raise ValueError("coastline linework produced no closed faces")
     order = np.argsort(-_equal_area(faces, crs))
@@ -66,8 +73,7 @@ def build_land_filter(
     for i, f in enumerate(faces):
         if any(f is p for p in primary):
             continue
-        inter = _poly.intersection_area(f, shape)
-        if inter <= 0:
+        if land_overlap(f) <= 0:
             continue
         covered = max(_poly.intersection_area(f, p) for p in primary)
         if covered / max(f.area, 1e-12) < 0.5:

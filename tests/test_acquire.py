@@ -284,3 +284,17 @@ def test_load_shapefiles_offline(tmp_path):
     n = len(calls)
     load_shapefiles(str(tmp_path / "shapes"), fetch=fetch)
     assert len(calls) == n
+
+
+def test_build_land_filter_with_nonrectilinear_eez():
+    # a triangular (non-rectilinear) EEZ carving the sea off the mainland
+    mainland_ring = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    sea_ring = [(20, 0), (26, 0), (26, 6), (20, 6), (20, 0)]  # a sea face
+    country = _poly.box(-1, -1, 30, 11)
+    eez = _poly.Polygon([(18, -1), (30, -1), (30, 11), (18, 11)])  # covers the sea face
+    out = build_land_filter(
+        [mainland_ring, sea_ring], country, eez=eez, keep_faces=(0,), crs=3857
+    )
+    # the sea face is fully inside the EEZ -> excluded entirely
+    assert out["kind"].tolist() == ["primary"]
+    assert out["geometry"].iloc[0].area == pytest.approx(100.0)
