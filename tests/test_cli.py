@@ -96,3 +96,48 @@ def test_facilities_cli(world, tmp_path):
     with open(out_pkl, "rb") as f:
         fac = pickle.load(f)
     assert len(fac.final_facilities) == 1
+
+
+def test_figures_cli(world, tmp_path):
+    import json
+
+    from aquaculture_tpu.cli.figures import main as figures_main
+    from aquaculture_tpu.cli.geocode import main as geocode_main
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.geo import polygon as _poly
+
+    det_path = str(world / "detections.geojson")
+    geocode_main(
+        ["--labels", str(world / "labels"),
+         "--download-bboxes", str(world / "wanted_bboxes.csv"),
+         "--out", det_path]
+    )
+    # labels = detections sans det_conf
+    det = gf.read_file(det_path)
+    lab = det.drop(columns=["det_conf"]).copy()
+    lab.crs = det.crs
+    lab_path = str(world / "labels.geojson")
+    lab.to_file(lab_path)
+    # facilities + trujillo for the map branch
+    fac = gf.GeoFrame(
+        {"pass": ["2013-2015"]},
+        geometry=[_poly.Point(100.0, 1100.0)],
+        crs=3857,
+    )
+    fac_path = str(world / "fac.geojson")
+    fac.to_file(fac_path)
+    tru_path = str(world / "trujillo.csv")
+    with open(tru_path, "w") as f:
+        f.write("lon,lat\n0.001,0.009\n")
+
+    out_dir = str(world / "figs")
+    figures_main(
+        ["--detections", det_path, "--labels", lab_path,
+         "--facilities", fac_path, "--trujillo", tru_path,
+         "--out-dir", out_dir, "--distance", "50", "--min-size", "5"]
+    )
+    import os
+
+    files = os.listdir(out_dir)
+    assert "performance_across_confidence.pdf" in files
+    assert any(f.startswith("facility_map_") for f in files)
