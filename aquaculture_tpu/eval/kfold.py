@@ -30,7 +30,7 @@ from aquaculture_tpu.post.cluster import dbscan, predictions_cluster
 class GridConfig:
     """The reference's grid (get_kfold_cluster_performance_cfg.py:4-31)."""
 
-    confidence_thresholds: Tuple[float, ...] = tuple(np.arange(0.6, 1.005, 0.005).round(3))
+    confidence_thresholds: Tuple[float, ...] = tuple(np.arange(0.6, 1.01, 0.005).round(3))
     distance_thresholds: Tuple[float, ...] = tuple(np.arange(10.0, 160.0, 20.0))
     minimum_cluster_sizes: Tuple[int, ...] = tuple(range(1, 11))
     folds: int = 5

@@ -57,9 +57,11 @@ def _suppress_kernel(
         # built in static K-chunks so the (BLOCK, CHUNK, B) temporaries
         # stay inside the VMEM budget (lane padding to 128 makes full-K
         # temporaries ~4 MB each).
-        chunk = min(_CHUNK, k)
-        for ci in range(k // chunk):
-            c0 = ci * chunk
+        # Chunk boundaries are static Python; the final chunk may be a
+        # K%_CHUNK remainder (always a multiple of 128, so sublane-legal).
+        starts = list(range(0, k, min(_CHUNK, k)))
+        for c0 in starts:
+            chunk = min(_CHUNK, k - c0)
             cx0 = x0[c0 : c0 + chunk, :]
             cy0 = y0[c0 : c0 + chunk, :]
             cx1 = x1[c0 : c0 + chunk, :]

@@ -23,7 +23,17 @@ import pandas as pd
 
 from aquaculture_tpu import frame as gf
 from aquaculture_tpu.data.filenames import decode_tile_name
+from aquaculture_tpu.geo.polygon import intersects as _geom_intersects
 from aquaculture_tpu.geo.region import Region, from_geometry, to_geometry
+
+
+def _cage_survives(cage_geom, reg: Region) -> bool:
+    """Boundary-inclusive intersects, matching the reference's shapely
+    ``.intersects`` filter (utils_tonnage.py:790-814): a cage that merely
+    TOUCHES its box's kept region (zero-area boundary contact, e.g. a
+    pixel-aligned cage abutting the coverage edge) is kept, where a
+    positive-area Region intersection test would drop it."""
+    return _geom_intersects(cage_geom, to_geometry(reg))
 
 
 def _tile_coverage(order: List[int], regions: List[Region]) -> List[Tuple[int, Region]]:
@@ -131,7 +141,7 @@ def dedup_cages_in_overlap_years_with_white_space(
                         reg = alloc_by_idx.get(cg["image_box_index"].iloc[r])
                         if reg is None or reg.is_empty:
                             continue
-                        if not from_geometry(cage_geoms[r]).intersection(reg).is_empty:
+                        if _cage_survives(cage_geoms[r], reg):
                             a += cage_areas[r]
                     if year_selection == "max":
                         if a >= best_area:
@@ -150,7 +160,7 @@ def dedup_cages_in_overlap_years_with_white_space(
             reg = alloc_by_idx.get(int(cg["image_box_index"].iloc[r]))
             if reg is None or reg.is_empty:
                 continue
-            if not from_geometry(cage_geoms[r]).intersection(reg).is_empty:
+            if _cage_survives(cage_geoms[r], reg):
                 deduped_rows.append(int(r))
 
         coverage_out[selected_pass] = gf.GeoFrame(

@@ -69,10 +69,15 @@ class AquaFacility:
         preds.crs = preds.crs or 4326
         preds["farm_type"] = preds["type"]
         if max_cage_areas is not None:
-            # drop detections larger than the largest human-labeled cage
+            # Drop detections larger than the largest human-labeled cage.
+            # Reference (utils_tonnage.py): `area < preds['type'].map(...)`
+            # — a NaN limit (farm type with no labeled max, e.g. triangle)
+            # compares False, so those rows are DROPPED, not kept. Replicate
+            # that: NaN < comparisons are False in numpy too.
             areas_3035 = preds.to_crs(CRS_AREA).area.to_numpy()
             limit = preds["type"].map(max_cage_areas).to_numpy(np.float64)
-            keep = areas_3035 < np.where(np.isnan(limit), np.inf, limit)
+            with np.errstate(invalid="ignore"):
+                keep = areas_3035 < limit
             preds = preds[keep]
             preds.crs = 4326
         preds["pass"] = preds["year"].astype(int).map(selected_map)

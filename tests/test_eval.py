@@ -298,3 +298,22 @@ def test_grid_search_matches_per_combo_oracle():
         else:
             assert row["precision"] == pytest.approx(oracle["precision"]), row
         assert row["recall"] == pytest.approx(oracle["recall"]), row
+
+
+def test_default_grid_matches_reference_cfg():
+    """Reference grid (get_kfold_cluster_performance_cfg.py:20-26):
+    np.arange(0.6, 1.01, 0.005) -> 82 conf values ending at 1.005,
+    8 distance thresholds, 10 cluster sizes = 6,560 combos."""
+    g = GridConfig()
+    assert len(g.confidence_thresholds) == 82
+    assert g.confidence_thresholds[0] == pytest.approx(0.6)
+    assert g.confidence_thresholds[-1] == pytest.approx(1.005)
+    assert len(g.distance_thresholds) == 8
+    assert len(g.minimum_cluster_sizes) == 10
+    assert (
+        len(g.confidence_thresholds)
+        * len(g.distance_thresholds)
+        * len(g.minimum_cluster_sizes)
+        == 6560
+    )
+    assert g.folds == 5 and g.seed == 1

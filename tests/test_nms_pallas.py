@@ -28,7 +28,7 @@ def _xla_reference(boxes, valid, thresh):
     return jax.vmap(one)(boxes, valid)
 
 
-@pytest.mark.parametrize("k", [128, 256, 512])
+@pytest.mark.parametrize("k", [128, 256, 384, 512, 640])
 def test_pallas_suppress_matches_xla(k):
     rng = np.random.default_rng(0)
     boxes, valid = _random_sorted_boxes(rng, b=3, k=k)

@@ -365,17 +365,14 @@ def test_year_dedup_partial_whitespace():
     dd_max, cov = dedup_cages_in_overlap_years_with_white_space(
         cages, boxes, map_year_to_image_pass, "max"
     )
-    # max selection: 2014 first takes left half (cage 1 at 50-60 is OUTSIDE
-    # it), remainder of tile goes to 2013 -> cage 0 (left) kept only if in
-    # 2013's remainder? cage0 (10-20) is in 2014's left half region ->
-    # dropped (belongs to 2013 image, whose region excludes the left half
-    # ... wait cage0 belongs to the 2013 image); allocation: if 2013 first:
-    # 2013 takes all -> cages 0 kept, cage 1 (2014) in covered area ->
-    # dropped -> area 10. If 2014 first: 2014 takes left half; cage 1 is at
-    # x 50-60 vs half 0-50 -> boundary touch only -> dropped; 2013 gets
-    # remainder (right half + boundary) -> cage 0 at 10-20 outside -> area 0.
-    # So max = 10 (2013 first).
-    assert dd_max[dd_max["index"] != 2]["area"].sum() == 10.0
+    # Survival uses the reference's boundary-INCLUSIVE intersects
+    # (shapely semantics, utils_tonnage.py:790-814): a zero-area boundary
+    # touch keeps the cage. Permutations: if 2013 first, 2013 takes the
+    # whole tile -> cage 0 kept (10), cage 1's 2014 region empty -> total
+    # 10. If 2014 first, 2014 takes the left half [0,50]; cage 1 at x=50-60
+    # TOUCHES it at x=50 -> kept (30); 2013 gets the right half -> cage 0
+    # at x=10-20 outside -> total 30. max selection picks 30.
+    assert dd_max[dd_max["index"] != 2]["area"].sum() == 30.0
     # coverage stays disjoint and total = tile area
     total = sum(g.area for g in cov["2013-2015"][cov["2013-2015"]["image_box_index"] != 2]["geometry"])
     assert total <= 100 * 100 + 1e-6
