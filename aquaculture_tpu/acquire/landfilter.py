@@ -48,16 +48,17 @@ def build_land_filter(
     Returns:
         GeoFrame of land polygons (primary landmass + recovered islands).
     """
+    # Land region = country footprint minus its marine EEZ — the same
+    # overlay difference the reference computes with geopandas
+    # (create_land_filter.py:95), here via the exact Martinez-Rueda sweep
+    # (geo/boolean.py) on arbitrary simple polygons.
+    if eez is not None and not eez.is_empty:
+        land_region = _poly.difference(country_shape, eez)
+    else:
+        land_region = country_shape
+
     def land_overlap(f: _poly.Geometry) -> float:
-        """Face overlap with the country MINUS its marine EEZ. Uses exact
-        pairwise intersection areas; assumes the EEZ lies within the gross
-        country footprint (true for the reference's inputs — the reference
-        computed the same thing with a geopandas overlay difference,
-        create_land_filter.py:95)."""
-        o = _poly.intersection_area(f, country_shape)
-        if eez is not None and not eez.is_empty:
-            o -= _poly.intersection_area(f, eez)
-        return max(o, 0.0)
+        return _poly.intersection_area(f, land_region)
 
     # Dissect: every closed loop in the coastline linework is a face.
     faces = [p for p in polygonize(coastline_lines) if land_overlap(p) > 0]

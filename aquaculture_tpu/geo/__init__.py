@@ -18,3 +18,8 @@ from aquaculture_tpu.geo.boxes import (  # noqa: F401
     box_iou,
     boxes_intersect,
 )
+from aquaculture_tpu.geo.boolean import (  # noqa: F401
+    boolean_op,
+    unary_union_tree,
+    union_area,
+)

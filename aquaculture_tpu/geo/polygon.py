@@ -638,9 +638,11 @@ def _all_rectilinear(*gs: Geometry) -> bool:
 
 
 def intersection(a: Geometry, b: Geometry) -> Geometry:
-    """Geometry intersection. Exact for rectilinear operands and for
-    convex∩convex; raises for unsupported exact cases (use
-    ``intersection_area`` for approximate measures)."""
+    """Geometry intersection — exact for all simple polygon operands.
+
+    Fast paths: rectilinear region algebra and convex clipping; general
+    (non-convex x non-convex) operands go through the Martinez-Rueda sweep
+    (geo.boolean)."""
     if a.is_empty or b.is_empty or not intersects(a, b):
         return EMPTY
     if isinstance(a, Point):
@@ -653,25 +655,25 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
         return region.to_geometry(_as_region(a).intersection(_as_region(b)))
     pa = [a] if isinstance(a, Polygon) else list(a.geoms)
     pb = [b] if isinstance(b, Polygon) else list(b.geoms)
-    pieces = []
-    for p in pa:
-        for q in pb:
-            if not intersects(p, q):
-                continue
-            if q.is_convex:
-                ring = _convex_clip(p.exterior, q.exterior)
-            elif p.is_convex:
-                ring = _convex_clip(q.exterior, p.exterior)
-            else:
-                raise NotImplementedError(
-                    "Exact intersection of two non-convex, non-rectilinear "
-                    "polygons is unsupported; use intersection_area()."
-                )
-            if len(ring) >= 3:
-                pieces.append(Polygon(ring))
-    if not pieces:
-        return EMPTY
-    return pieces[0] if len(pieces) == 1 else MultiPolygon(pieces)
+    no_holes = not any(p.holes for p in pa) and not any(q.holes for q in pb)
+    if no_holes and (all(q.is_convex for q in pb) or all(p.is_convex for p in pa)):
+        pieces = []
+        for p in pa:
+            for q in pb:
+                if not intersects(p, q):
+                    continue
+                if q.is_convex:
+                    ring = _convex_clip(p.exterior, q.exterior)
+                else:
+                    ring = _convex_clip(q.exterior, p.exterior)
+                if len(ring) >= 3:
+                    pieces.append(Polygon(ring))
+        if not pieces:
+            return EMPTY
+        return pieces[0] if len(pieces) == 1 else MultiPolygon(pieces)
+    from aquaculture_tpu.geo.boolean import boolean_op
+
+    return boolean_op(a, b, "intersection")
 
 
 def intersection_area(a: Geometry, b: Geometry) -> float:
@@ -679,18 +681,29 @@ def intersection_area(a: Geometry, b: Geometry) -> float:
 
     Fast paths: rectilinear region algebra and convex clipping; the general
     case triangulates both operands (signed soup, holes negative) and sums
-    exact triangle∩triangle clip areas (geo.triangulate)."""
-    try:
+    exact triangle∩triangle clip areas (geo.triangulate) — independent of
+    the sweep-line path, so the two exact engines cross-check each other
+    in the fuzz suite."""
+    if a.is_empty or b.is_empty:
+        return 0.0
+    if _all_rectilinear(a, b) or isinstance(a, Point) or isinstance(b, Point):
         return intersection(a, b).area
-    except NotImplementedError:
-        from aquaculture_tpu.geo.triangulate import exact_intersection_area
+    pa = [a] if isinstance(a, Polygon) else list(a.geoms)
+    pb = [b] if isinstance(b, Polygon) else list(b.geoms)
+    if all(q.is_convex for q in pb) or all(p.is_convex for p in pa):
+        return intersection(a, b).area
+    from aquaculture_tpu.geo.triangulate import exact_intersection_area
 
-        return exact_intersection_area(a, b)
+    return exact_intersection_area(a, b)
 
 
 def difference(a: Geometry, b: Geometry) -> Geometry:
-    """a \\ b. Exact for rectilinear operands (the dedup path,
-    reference utils.py:241-273, utils_tonnage.py:686-713)."""
+    """a \\ b — exact for all simple polygon operands.
+
+    Rectilinear operands use the Region algebra (the dedup path, reference
+    utils.py:241-273, utils_tonnage.py:686-713); general operands use the
+    Martinez-Rueda sweep (the land-filter dissection path, reference
+    create_land_filter.py:129-137)."""
     if a.is_empty:
         return EMPTY
     if b.is_empty or not intersects(a, b):
@@ -699,16 +712,14 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
         from aquaculture_tpu.geo import region
 
         return region.to_geometry(_as_region(a).difference(_as_region(b)))
-    raise NotImplementedError(
-        "Exact difference requires rectilinear operands; "
-        "got general polygons."
-    )
+    from aquaculture_tpu.geo.boolean import boolean_op
+
+    return boolean_op(a, b, "difference")
 
 
 def union(a: Geometry, b: Geometry) -> Geometry:
-    """Geometric union. Rectilinear operands dissolve exactly; general
-    operands are collected into a MultiPolygon (area may double-count
-    overlaps — use union_area for a dissolved measure)."""
+    """Geometric union, dissolved: overlapping operands merge into a single
+    boundary (rectilinear via Region algebra, general via Martinez-Rueda)."""
     if a.is_empty:
         return b
     if b.is_empty:
@@ -717,20 +728,26 @@ def union(a: Geometry, b: Geometry) -> Geometry:
         from aquaculture_tpu.geo import region
 
         return region.to_geometry(_as_region(a).union(_as_region(b)))
-    pa = [a] if isinstance(a, Polygon) else list(a.geoms)
-    pb = [b] if isinstance(b, Polygon) else list(b.geoms)
-    return MultiPolygon(pa + pb)
+    from aquaculture_tpu.geo.boolean import boolean_op
+
+    return boolean_op(a, b, "union")
+
+
+def union_area(geometries) -> float:
+    """Dissolved area of one geometry or an iterable of geometries
+    (overlaps counted once). See geo.boolean.union_area."""
+    from aquaculture_tpu.geo.boolean import union_area as _ua
+
+    return _ua(geometries)
 
 
 def unary_union(geometries: Iterable[Geometry]) -> Geometry:
-    """Union of many geometries (reference utils_tonnage.py:617,1165)."""
-    geoms = [g for g in geometries if g is not None and not g.is_empty]
-    if not geoms:
-        return EMPTY
-    out = geoms[0]
-    for g in geoms[1:]:
-        out = union(out, g)
-    return out
+    """Dissolved union of many geometries (reference
+    utils_tonnage.py:617,1165). Balanced union tree: O(n log n) boolean
+    ops instead of an O(n^2) left fold."""
+    from aquaculture_tpu.geo.boolean import unary_union_tree
+
+    return unary_union_tree(list(geometries))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,206 @@
+"""Martinez-Rueda boolean overlay (geo/boolean.py): known cases, degeneracy
+suite, algebraic-invariant fuzz cross-checked against the independent
+triangle-soup engine (geo/triangulate.py) and the raster oracle.
+
+The reference gets these ops from GEOS (gpd.overlay, reference
+src/utils.py:241-273; polygon dissection, create_land_filter.py:129-137;
+unary_union, utils_tonnage.py:617,1165)."""
+
+import numpy as np
+import pytest
+
+from aquaculture_tpu.geo import polygon as P
+from aquaculture_tpu.geo.boolean import boolean_op, unary_union_tree, union_area
+from aquaculture_tpu.geo.polygon import _raster_boolean_area
+from aquaculture_tpu.geo.triangulate import exact_intersection_area
+
+
+def _star(cx, cy, r1, r2, n=7, rot=0.0):
+    th = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False) + rot
+    r = np.where(np.arange(2 * n) % 2 == 0, r1, r2)
+    return P.Polygon(np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], 1))
+
+
+# ------------------------------------------------------------------ known
+
+
+def test_known_overlap_cases():
+    cases = [
+        (P.box(0, 0, 2, 2), P.box(0, 0, 2, 1), 2.0, 4.0, 2.0),
+        (P.box(0, 0, 2, 2), P.box(0, -1, 2, 0), 0.0, 6.0, 4.0),  # edge touch
+        (P.box(0, 0, 1, 1), P.box(0, 0, 1, 1), 1.0, 1.0, 0.0),   # identical
+        (P.box(0, 0, 1, 1), P.box(1, 1, 2, 2), 0.0, 2.0, 1.0),   # corner touch
+    ]
+    for a, b, i, u, d in cases:
+        assert boolean_op(a, b, "intersection").area == pytest.approx(i, abs=1e-6)
+        assert boolean_op(a, b, "union").area == pytest.approx(u, abs=1e-6)
+        assert boolean_op(a, b, "difference").area == pytest.approx(d, abs=1e-6)
+
+
+def test_inscribed_diamond_full_degeneracy():
+    """All four box corners lie exactly ON the diamond's edges."""
+    a = P.box(0, 0, 2, 2)
+    diamond = P.Polygon([(1, -1), (3, 1), (1, 3), (-1, 1)])
+    assert boolean_op(a, diamond, "intersection").area == pytest.approx(4.0, abs=1e-6)
+    assert boolean_op(a, diamond, "union").area == pytest.approx(8.0, abs=1e-6)
+    assert boolean_op(a, diamond, "difference").area == pytest.approx(0.0, abs=1e-6)
+
+
+def test_difference_creates_hole():
+    big = P.Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    th = 0.3
+    c, s = np.cos(th), np.sin(th)
+    pts = (np.asarray(P.box(3, 3, 6, 6).exterior) - 4.5) @ np.array([[c, -s], [s, c]]).T + 4.5
+    small = P.Polygon(pts)
+    d = boolean_op(big, small, "difference")
+    assert isinstance(d, P.Polygon) and len(d.holes) == 1
+    assert d.area == pytest.approx(100 - small.area, abs=1e-5)
+
+
+def test_union_two_c_shapes_forms_ring():
+    c1 = P.Polygon([(0, 0), (5, 0), (5, 1), (1, 1), (1, 4), (5, 4), (5, 5), (0, 5)])
+    c2 = P.Polygon([(4.5, 0.5), (5.5, 0.5), (5.5, 4.5), (4.5, 4.5)])
+    u = boolean_op(c1, c2, "union")
+    polys = u.geoms if isinstance(u, P.MultiPolygon) else [u]
+    assert sum(len(p.holes) for p in polys) == 1  # enclosed courtyard
+    r = _raster_boolean_area(c1, c2, "union", n=2048)
+    assert u.area == pytest.approx(r, rel=2e-3)
+
+
+def test_hole_touching_shell():
+    """Subtracting a region that touches the subject boundary at one point:
+    the contour walk must traverse the touching hole with correct winding."""
+    a = P.Polygon([(0, 0), (0, 1), (-1, 1), (-1, 2), (-3, 2), (-3, 0)])
+    b = P.Polygon([(-4, -2), (-2, -3), (-1, -4), (3, -4), (3, -3), (1, 0),
+                   (2, 1), (2, 3), (-1, 4), (-4, 2), (-3, 0)])
+    assert boolean_op(b, a, "difference").area == pytest.approx(b.area - 5.0, abs=1e-5)
+    assert boolean_op(a, b, "intersection").area == pytest.approx(5.0, abs=1e-5)
+
+
+def test_nonconvex_pair_matches_raster_and_triangulation():
+    a = _star(0, 0, 2, 0.8)
+    b = _star(1, 0.5, 2, 0.9, rot=0.3)
+    gi = boolean_op(a, b, "intersection")
+    assert gi.area == pytest.approx(exact_intersection_area(a, b), abs=1e-6)
+    for op in ("intersection", "union", "difference"):
+        g = boolean_op(a, b, op)
+        r = _raster_boolean_area(a, b, op, n=2048)
+        assert g.area == pytest.approx(r, rel=5e-3, abs=1e-3), op
+
+
+def test_polygon_api_general_operands():
+    """polygon.difference / union / intersection accept non-convex
+    non-rectilinear operands now (the former NotImplementedError path)."""
+    a = _star(0, 0, 2, 0.9, n=5)
+    b = _star(0.7, 0.2, 1.8, 0.8, n=6, rot=0.4)
+    d = P.difference(a, b)
+    u = P.union(a, b)
+    i = P.intersection(a, b)
+    assert d.area == pytest.approx(a.area - i.area, abs=1e-6)
+    assert u.area == pytest.approx(a.area + b.area - i.area, abs=1e-6)
+    # union dissolves: no double counting
+    assert u.area < a.area + b.area - 1e-6
+
+
+def test_union_area_overlapping_circles():
+    t = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    circ = lambda cx: P.Polygon(np.stack([cx + np.cos(t), np.sin(t)], 1))
+    geoms = [circ(0.0), circ(1.0), circ(2.0)]
+    ua = union_area(geoms)
+    # analytic: 3 unit circles at distance 1: area = 3A - 2*lens(1)
+    # lens area for d=1, r=1: 2r^2 cos^-1(d/2r) - d/2 sqrt(4r^2-d^2)
+    lens = 2 * np.arccos(0.5) - 0.5 * np.sqrt(3)
+    # polygonal circles are slightly smaller; compare against the polygon math
+    a1 = geoms[0].area
+    i12 = exact_intersection_area(geoms[0], geoms[1])
+    assert ua == pytest.approx(3 * a1 - 2 * i12, rel=1e-5)
+    assert abs(ua - (3 * np.pi - 2 * lens)) < 0.02  # sanity vs analytic
+    # single-geometry and MultiPolygon forms
+    assert union_area(geoms[0]) == pytest.approx(a1, rel=1e-9)
+    assert union_area(P.MultiPolygon(geoms)) == pytest.approx(ua, rel=1e-6)
+
+
+def test_unary_union_tree_matches_left_fold():
+    rng = np.random.default_rng(3)
+    boxes = [P.box(x, y, x + 2, y + 2) for x, y in rng.uniform(0, 6, (12, 2))]
+    u = unary_union_tree(boxes)
+    r = _raster_boolean_area(u, P.box(-1, -1, 9, 9), "intersection", n=2048)
+    assert u.area == pytest.approx(r, rel=2e-3)
+
+
+def test_projected_crs_magnitudes():
+    """EPSG:3857-scale coordinates: the lattice normalization must keep
+    precision (span-relative, not absolute)."""
+    off = np.asarray([2_600_000.0, 5_100_000.0])
+    a = P.Polygon(np.asarray(_star(0, 0, 20, 8).exterior) + off)
+    b = P.Polygon(np.asarray(_star(9, 4, 18, 9, rot=0.5).exterior) + off)
+    gi = boolean_op(a, b, "intersection")
+    gd = boolean_op(a, b, "difference")
+    assert gi.area + gd.area == pytest.approx(a.area, rel=1e-6)
+    assert gi.area == pytest.approx(exact_intersection_area(a, b), rel=1e-6)
+
+
+# ------------------------------------------------------------------ fuzz
+
+
+def _is_simple(poly):
+    r = P._close_ring(poly.exterior)
+    n = len(r) - 1
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            if P._segments_intersect(r[i], r[i + 1], r[j], r[j + 1]):
+                return False
+    return True
+
+
+def _rand_star(rng):
+    n = rng.integers(3, 12)
+    cx, cy = rng.uniform(-3, 3, 2)
+    th = np.sort(rng.uniform(0, 2 * np.pi, 2 * n))
+    if np.min(np.diff(th)) < 1e-3:
+        th = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False) + rng.uniform(0, 1)
+    r = rng.uniform(0.3, 3.0, 2 * n)
+    return P.Polygon(np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], 1))
+
+
+def _rand_hull_int(rng):
+    """Convex-ish integer-vertex polygon: maximally degenerate operands
+    (shared vertices, vertex-on-edge, collinear overlapping edges)."""
+    pts = rng.integers(-4, 5, (12, 2)).astype(float)
+    pts = np.unique(pts, axis=0)
+    if len(pts) < 3:
+        return None
+    c = pts.mean(0)
+    ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+    return P.Polygon(pts[np.argsort(ang)])
+
+
+def test_fuzz_boolean_invariants():
+    rng = np.random.default_rng(2024)
+    trials = 0
+    while trials < 150:
+        kind = trials % 3
+        if kind == 0:
+            a, b = _rand_star(rng), _rand_star(rng)
+        elif kind == 1:
+            a, b = _rand_star(rng), _rand_hull_int(rng)
+        else:
+            a, b = _rand_hull_int(rng), _rand_hull_int(rng)
+        if a is None or b is None or a.is_empty or b.is_empty:
+            continue
+        if not (_is_simple(a) and _is_simple(b)):
+            continue
+        trials += 1
+        gi = boolean_op(a, b, "intersection")
+        gu = boolean_op(a, b, "union")
+        gd = boolean_op(a, b, "difference")
+        gdr = boolean_op(b, a, "difference")
+        A, B = a.area, b.area
+        tol = 3e-5 * max(A, B) + 1e-12
+        ti = exact_intersection_area(a, b)
+        assert abs(gi.area + gd.area - A) < tol, (trials, a.exterior, b.exterior)
+        assert abs(gi.area + gdr.area - B) < tol, (trials, a.exterior, b.exterior)
+        assert abs(gu.area - (A + B - gi.area)) < tol, (trials, a.exterior, b.exterior)
+        assert abs(gi.area - ti) < tol, (trials, a.exterior, b.exterior)
