@@ -143,50 +143,153 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         return _load_pt_no_torch(path)
 
 
+class _Shadow:
+    """Stand-in for any class the checkpoint pickles by reference
+    (models.yolo.Model, torch.nn.* modules, ...): absorbs constructor args
+    and state, exposing them as plain attributes for harvesting."""
+
+    def __init__(self, *args, **kwargs):
+        self._shadow_args = args
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_shadow_state"] = state
+
+
+def _bf16_to_f32(raw: bytes) -> np.ndarray:
+    u16 = np.frombuffer(raw, dtype=np.uint16).astype(np.uint32)
+    return (u16 << 16).view(np.float32)
+
+
 def _load_pt_no_torch(path: str) -> Dict[str, np.ndarray]:
-    """Minimal torch-zip state_dict reader (tensor-only checkpoints)."""
+    """Torch-free reader for real ultralytics ``.pt`` checkpoints.
+
+    Handles BOTH layouts of the torch zip format:
+    * tensor-only state dicts, and
+    * object-pickled ``{'model': Model, 'ema': Model, ...}`` payloads (the
+      format of ``multilabel_farms_exp2.pt``, reference README.md:77) —
+      every class reference is swallowed by a shadow class and the
+      ``nn.Module`` tree is walked via its pickled ``_parameters`` /
+      ``_buffers`` / ``_modules`` dicts to reconstruct the state dict.
+      Prefers the EMA weights when present (matching ultralytics
+      ``attempt_load``).
+    """
     dtype_map = {
         "FloatStorage": np.float32,
         "HalfStorage": np.float16,
         "DoubleStorage": np.float64,
         "LongStorage": np.int64,
         "IntStorage": np.int32,
+        "ShortStorage": np.int16,
+        "CharStorage": np.int8,
+        "ByteStorage": np.uint8,
+        "BoolStorage": np.bool_,
     }
     zf = zipfile.ZipFile(path)
     names = zf.namelist()
     pkl_name = next(n for n in names if n.endswith("data.pkl"))
     root = pkl_name[: -len("data.pkl")]
 
-    storages: Dict[str, tuple] = {}
+    def _storage_name(stype) -> str:
+        return stype if isinstance(stype, str) else getattr(stype, "__name__", str(stype))
+
+    def _rebuild(storage, offset, size, stride, *args):
+        stype, key, _numel = storage
+        sname = _storage_name(stype)
+        raw = zf.read(f"{root}data/{key}")
+        if sname == "BFloat16Storage":
+            arr = _bf16_to_f32(raw)
+        else:
+            arr = np.frombuffer(raw, dtype=dtype_map.get(sname, np.float32))
+        n = int(np.prod(size)) if size else 1
+        if size and stride:
+            flat = arr[offset:]
+            return np.lib.stride_tricks.as_strided(
+                flat, shape=size, strides=[s * arr.itemsize for s in stride]
+            ).copy()
+        return arr[offset : offset + n].copy().reshape(size or ())
+
+    def _rebuild_parameter(data, requires_grad=True, hooks=None):
+        return data
+
+    _special = {
+        "_rebuild_tensor_v2": _rebuild,
+        "_rebuild_tensor": lambda storage, offset, size, stride: _rebuild(
+            storage, offset, size, stride
+        ),
+        "_rebuild_parameter": _rebuild_parameter,
+    }
+    _shadow_cache: Dict[str, type] = {}
 
     class _Unpickler(pickle.Unpickler):
         def find_class(self, module, name):
-            if name == "_rebuild_tensor_v2":
-                return _rebuild
+            if name in _special:
+                return _special[name]
             if "Storage" in name:
                 return name
-            return super().find_class(module, name)
+            if module in ("collections", "builtins", "copyreg", "__builtin__"):
+                return super().find_class(module, name)
+            if module.startswith(("numpy", "numpy.core")):
+                return super().find_class(module, name)
+            # torch.nn.*, models.yolo.Model, anything else: shadow it
+            full = f"{module}.{name}"
+            cls = _shadow_cache.get(full)
+            if cls is None:
+                cls = type(name, (_Shadow,), {"_shadow_origin": full})
+                _shadow_cache[full] = cls
+            return cls
 
         def persistent_load(self, pid):
             # ('storage', storage_type, key, location, numel)
             _, stype, key, _, numel = pid
-            return (stype if isinstance(stype, str) else stype, key, numel)
-
-    def _rebuild(storage, offset, size, stride, *args):
-        stype, key, numel = storage
-        dt = dtype_map.get(stype if isinstance(stype, str) else str(stype), np.float32)
-        raw = zf.read(f"{root}data/{key}")
-        arr = np.frombuffer(raw, dtype=dt)
-        flat = arr[offset : offset + int(np.prod(size))] if size else arr[offset : offset + 1]
-        if size:
-            return np.lib.stride_tricks.as_strided(
-                flat, shape=size, strides=[s * arr.itemsize for s in stride]
-            ).copy()
-        return flat.copy()
+            return (stype, key, numel)
 
     with zf.open(pkl_name) as f:
         obj = _Unpickler(io.BytesIO(f.read())).load()
-    return {k: np.asarray(v, dtype=np.float32) for k, v in obj.items() if isinstance(v, np.ndarray)}
+
+    # Plain tensor-only state dict
+    if isinstance(obj, dict) and obj and all(
+        isinstance(v, np.ndarray) for v in obj.values()
+    ):
+        return {k: np.asarray(v, dtype=np.float32) for k, v in obj.items()}
+
+    def _harvest(module_obj, prefix: str, out: Dict[str, np.ndarray]) -> None:
+        d = getattr(module_obj, "__dict__", None)
+        if not isinstance(d, dict):
+            return
+        for src in ("_parameters", "_buffers"):
+            entries = d.get(src)
+            if isinstance(entries, dict):
+                for name, t in entries.items():
+                    if isinstance(t, np.ndarray):
+                        out[prefix + name] = t
+        subs = d.get("_modules")
+        if isinstance(subs, dict):
+            for name, sub in subs.items():
+                if sub is not None:
+                    _harvest(sub, f"{prefix}{name}.", out)
+
+    candidates = []
+    if isinstance(obj, dict):
+        # ultralytics checkpoint: prefer EMA (attempt_load semantics)
+        for key in ("ema", "model"):
+            m = obj.get(key)
+            if m is not None and not isinstance(m, (int, float, str, list)):
+                candidates.append(m)
+    elif isinstance(obj, _Shadow):
+        candidates.append(obj)
+
+    for m in candidates:
+        sd: Dict[str, np.ndarray] = {}
+        _harvest(m, "", sd)
+        if sd:
+            return {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    raise ValueError(
+        f"no tensors found in {path!r}: unsupported checkpoint layout "
+        "(install torch for the full-fidelity path)"
+    )
 
 
 def load_pretrained(model, path: str):

@@ -136,3 +136,97 @@ def test_npz_checkpoint_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class _FakeDetect(torch.nn.Module):
+    pass
+
+
+class _FakeModel(torch.nn.Module):
+    pass
+
+
+def _build_ultralytics_module(sd):
+    """A real torch nn.Module tree matching the ultralytics layout: nested
+    submodules under `model.<idx>...`, fp16 params, an `anchors` buffer.
+    Saved object-pickled (like multilabel_farms_exp2.pt, reference
+    README.md:77); the classes live only in this test module, so the
+    torch-free reader must shadow them exactly as it would shadow
+    models.yolo.Model."""
+    import torch.nn as nn
+
+    FakeDetect, FakeModel = _FakeDetect, _FakeModel
+    root = FakeModel()
+    containers = {"": root}
+
+    def ensure(path):
+        if path in containers:
+            return containers[path]
+        parent_path, _, name = path.rpartition(".")
+        parent = ensure(parent_path)
+        mod = FakeDetect() if name == "24" else nn.Module()
+        parent.add_module(name, mod)
+        containers[path] = mod
+        return mod
+
+    for key, val in sd.items():
+        mod_path, _, leaf = key.rpartition(".")
+        mod = ensure(mod_path)
+        t = torch.from_numpy(np.ascontiguousarray(val)).half()
+        if leaf in ("running_mean", "running_var", "anchors"):
+            mod.register_buffer(leaf, t)
+        else:
+            mod.register_parameter(leaf, torch.nn.Parameter(t, requires_grad=False))
+    return root
+
+
+def test_torchfree_reads_object_pickled_ultralytics_checkpoint(tmp_path, monkeypatch):
+    """The reference's real weights are a pickled Model OBJECT, not a
+    tensor dict (VERDICT r1 missing #4): construct one with real torch,
+    then load it with torch import-blocked."""
+    model = YoloV5(variant="n", num_classes=5)
+    sd = _ultralytics_state_dict(model)
+    module = _build_ultralytics_module(sd)
+    pt = str(tmp_path / "obj.pt")
+    torch.save({"model": module, "epoch": 42, "best_fitness": 0.5,
+                "optimizer": None, "date": "2022-01-01"}, pt)
+
+    # Block torch so load_torch_checkpoint takes the zip/pickle fallback
+    import builtins
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **k):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch blocked for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    via_zip = load_torch_checkpoint(pt)
+    monkeypatch.undo()
+
+    # fp16 round-trip: compare against the half-precision source
+    assert set(via_zip) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(via_zip[k], sd[k].astype(np.float16).astype(np.float32))
+    # and the harvested dict must drive the full param mapping + anchors
+    params = params_from_state_dict(model, via_zip)
+    anchors = anchors_from_state_dict(via_zip)
+    assert anchors is not None and anchors[0][0][0] == pytest.approx(10.0)
+    x = jnp.zeros((1, 64, 64, 3))
+    preds, _ = model.apply(params, x)
+    assert bool(jnp.isfinite(preds).all())
+
+
+def test_torchfree_prefers_ema_weights(tmp_path):
+    model = YoloV5(variant="n", num_classes=5)
+    sd = _ultralytics_state_dict(model)
+    sd_ema = {k: v + 1.0 for k, v in sd.items()}
+    mod = _build_ultralytics_module(sd)
+    mod_ema = _build_ultralytics_module(sd_ema)
+    pt = str(tmp_path / "ema.pt")
+    torch.save({"model": mod, "ema": mod_ema, "updates": 100}, pt)
+    via_zip = _load_pt_no_torch(pt)
+    k = "model.0.conv.weight"
+    np.testing.assert_array_equal(
+        via_zip[k], (sd_ema[k]).astype(np.float16).astype(np.float32)
+    )
