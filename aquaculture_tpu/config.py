@@ -98,3 +98,9 @@ class TrainConfig:
     remat: bool = False             # jax.checkpoint the backbone forward:
                                     # trades recompute for activation memory
                                     # (bigger per-chip batches)
+    # Mixed precision: activations/weight-use in bf16 (MXU native rate),
+    # master params, BN stats, head outputs and the loss in f32 (the head
+    # casts to f32 before decode, models/yolov5.py). Matches the bf16
+    # serving path so train and serve share a numeric domain. "float32"
+    # restores full-precision training.
+    compute_dtype: str = "bfloat16"

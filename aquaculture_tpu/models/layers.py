@@ -43,7 +43,13 @@ def conv_init(rng: np.random.Generator, cin: int, cout: int, k: int) -> dict:
 
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray:
-    """NHWC conv; computes in the input dtype, accumulates f32 on the MXU."""
+    """NHWC conv in the input dtype.
+
+    The output dtype follows the input: the TPU MXU accumulates bf16
+    products in f32 internally regardless, and keeping every conv operand
+    in one dtype is what lets jax.grad transpose the op (an f32
+    preferred_element_type on bf16 operands breaks the conv transpose
+    rule with a dtype mismatch)."""
     k = w.shape[0]
     if padding is None:
         p = k // 2
@@ -54,7 +60,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding=None) -> jnp
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
 
 
@@ -178,11 +184,15 @@ def sppf_init(rng: np.random.Generator, cin: int, cout: int) -> dict:
 
 
 def max_pool(x, k: int = 5):
-    """k×k stride-1 max pool with same padding."""
+    """k×k stride-1 max pool with same padding.
+
+    Init value must be the true identity (-inf, representable in bf16 and
+    f32 alike) — JAX only supports reverse-mode autodiff of reduce_window
+    when it recognizes the max-pool pattern, and finfo.min breaks that."""
     p = k // 2
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, 1, 1, 1),

@@ -185,7 +185,7 @@ class YoloV5:
         feats = []
         new_head = []
         for o, hp in zip((o3, o4, o5), params["head"]):
-            f = L.conv2d(o, hp["w"]).astype(o.dtype) + hp["b"].astype(o.dtype)
+            f = L.conv2d(o, hp["w"].astype(o.dtype)).astype(o.dtype) + hp["b"].astype(o.dtype)
             feats.append(f)
             new_head.append(hp)
         np_["head"] = new_head

@@ -69,9 +69,14 @@ def make_train_step(
         # Rematerialize backbone activations on the backward pass: the conv
         # pyramid's activations dominate training memory at 640px.
         forward = jax.checkpoint(forward)
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     def loss_fn(params, batch):
-        feats, new_params = forward(params, batch["images"])
+        # Mixed precision: the input cast drives the whole conv stack's
+        # dtype (layers use w.astype(x.dtype)); params stay f32 masters and
+        # the cast's transpose returns f32 grads. Head output and loss are
+        # f32 (models/yolov5.py features -> astype(float32) in the head).
+        feats, new_params = forward(params, batch["images"].astype(compute_dtype))
         loss, metrics = yolo_loss(
             feats,
             batch["labels"],

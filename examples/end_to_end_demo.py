@@ -155,7 +155,130 @@ def main() -> None:
             det.to_crs(3035), "year", conf_thresh=0.05, distance_threshold=150.0, min_cluster_size=3
         )
         log_info("%d facilities", len(fac))
+
+    # --- facility engine + depth + K=10,000 bootstrap + figures ---
+    # The rest of the reference workflow (generate_facilities.py:20 ->
+    # tonnage_estimates.py:323): AquaFacility with min/max dedup, depth
+    # from a synthetic bathymetry raster, the tonnage bootstrap, the
+    # Figure-6 style plot, and the facility map.
+    if len(det):
+        tonnage_stage(args.out, det, img_dir)
     log_info("demo artifacts in %s", args.out)
+
+
+def tonnage_stage(out_dir: str, det, img_dir: str) -> None:
+    import glob as _glob
+
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.cli.facilities import main as facilities_main
+    from aquaculture_tpu.data.geotiff import write_geotiff
+    from aquaculture_tpu.geo import polygon as _poly
+    from aquaculture_tpu.geo.crs import mercator_inverse
+    from aquaculture_tpu.utils.logging import log_info
+
+    os.makedirs(os.path.join(out_dir, "tonnage"), exist_ok=True)
+    det_path = os.path.join(out_dir, "detections.geojson")
+
+    # image boxes: one per rendered tile (year 2014, whitespace-free)
+    n_tiles = len(_glob.glob(os.path.join(img_dir, "*.jpeg")))
+    geoms, recs = [], {"bbox_ind": [], "x_offset": [], "y_offset": [], "year": [], "image_file": []}
+    for i in range(n_tiles):
+        x = (i % 6) * 1200.0
+        y = (i // 6) * 1200.0
+        geoms.append(_poly.box(x, y, x + 1200, y + 1200))
+        recs["bbox_ind"].append(i)
+        recs["x_offset"].append(0)
+        recs["y_offset"].append(0)
+        recs["year"].append(2014)
+        recs["image_file"].append(f"ORTHOIMAGERY.ORTHOPHOTOS2014_{i}_0_0.jpeg")
+    image_boxes = gf.GeoFrame(recs, geometry=geoms, crs=3857)
+    ib_path = os.path.join(out_dir, "image_boxes.geojson")
+    image_boxes.to_file(ib_path)
+
+    # ground-truth cage labels -> humanlabels.geojson (pixel -> EPSG:3857,
+    # with the meter-space box-edge columns the error-distribution fit
+    # reads: xmin_m/xmax_m/ymin_m/ymax_m)
+    lab_geoms = []
+    lab_recs = {k: [] for k in ("image", "year", "type",
+                                "xmin", "xmax", "ymin", "ymax",
+                                "xmin_m", "xmax_m", "ymin_m", "ymax_m")}
+    scale = 1200.0 / 1024.0
+    for lp in sorted(_glob.glob(os.path.join(out_dir, "labels", "*.txt"))):
+        stem = os.path.basename(lp)[:-4]
+        i = int(stem.split("_")[1])
+        x0, y0 = (i % 6) * 1200.0, (i // 6) * 1200.0
+        rows = np.loadtxt(lp, ndmin=2)
+        for cls, cx, cy, w, h in rows:
+            cxm = x0 + cx * 1024 * scale
+            cym = y0 + 1200.0 - cy * 1024 * scale  # pixel y runs down
+            wm, hm = w * 1024 * scale, h * 1024 * scale
+            lab_geoms.append(_poly.box(cxm - wm / 2, cym - hm / 2, cxm + wm / 2, cym + hm / 2))
+            lab_recs["image"].append(stem + ".jpeg")
+            lab_recs["year"].append(2014)
+            lab_recs["type"].append("circle_cage" if int(cls) == 0 else "square_cage")
+            lab_recs["xmin_m"].append(cxm - wm / 2)
+            lab_recs["xmax_m"].append(cxm + wm / 2)
+            lab_recs["ymin_m"].append(cym - hm / 2)
+            lab_recs["ymax_m"].append(cym + hm / 2)
+            lab_recs["xmin"].append(int((cx - w / 2) * 1024))
+            lab_recs["xmax"].append(int((cx + w / 2) * 1024))
+            lab_recs["ymin"].append(int((cy - h / 2) * 1024))
+            lab_recs["ymax"].append(int((cy + h / 2) * 1024))
+    labels = gf.GeoFrame(lab_recs, geometry=lab_geoms, crs=3857)
+    labels_path = os.path.join(out_dir, "humanlabels.geojson")
+    labels.to_file(labels_path)
+
+    # synthetic bathymetry GeoTIFF (EPSG:4326 like the EMOD tiles)
+    lon0, lat0 = mercator_inverse(np.array([-100.0]), np.array([-100.0]))
+    lon1, lat1 = mercator_inverse(np.array([7400.0]), np.array([5000.0]))
+    rng = np.random.default_rng(0)
+    depth = (-20.0 + rng.normal(0, 3.0, (64, 64))).astype(np.float32)
+    bathy_path = os.path.join(out_dir, "bathymetry.tif")
+    write_geotiff(
+        bathy_path, depth,
+        (float(lon0[0]), float(lat0[0]), float(lon1[0]), float(lat1[0])), epsg=4326,
+    )
+
+    # facility construction CLI (generate_facilities.py equivalent)
+    fac_pkl = os.path.join(out_dir, "facilities.pkl")
+    facilities_main([
+        "--detections", det_path, "--image-boxes", ib_path, "--out", fac_pkl,
+        "--bathymetry", bathy_path,
+        "--conf", "0.2", "--distance", "150", "--min-size", "3",
+    ])
+
+    # tonnage CLI (tonnage_estimates.py equivalent) — needs the real
+    # production-factor workbook + FAO CSV from the reference checkout
+    ref_data = "/root/reference/data"
+    if os.path.isdir(ref_data):
+        from aquaculture_tpu.cli.tonnage import main as tonnage_main
+
+        tonnage_main([
+            "--facility", fac_pkl,
+            "--labels", labels_path,
+            "--detections", det_path,
+            "--download-bboxes", os.path.join(out_dir, "wanted_bboxes.csv"),
+            "--prod-factors", os.path.join(ref_data, "Production Estimation Factors.xlsx"),
+            "--fao", os.path.join(ref_data, "French_med_production_fao.csv"),
+            "--out", os.path.join(out_dir, "tonnage", "estimates.csv"),
+            "--plot", os.path.join(out_dir, "tonnage", "tonnage_figure.png"),
+            "--conf", "0.2",
+        ])
+    else:
+        log_info("reference data dir absent; skipping tonnage bootstrap stage")
+
+    # facility map (FacilitiesMaps.py equivalent)
+    from aquaculture_tpu.results.maps import facility_map_html
+    from aquaculture_tpu.tonnage.facility import load_AquaFacility
+
+    fac_obj = load_AquaFacility(fac_pkl)
+    facility_map_html(
+        fac_obj.final_facilities, os.path.join(out_dir, "facility_map.html"), group_col="pass"
+    )
+    log_info(
+        "facility engine: %d facilities, depth attached, map + tonnage written",
+        len(fac_obj.final_facilities),
+    )
 
 
 if __name__ == "__main__":
