@@ -54,6 +54,9 @@ class Geometry:
     def union(self, other: "Geometry") -> "Geometry":
         return union(self, other)
 
+    def symmetric_difference(self, other: "Geometry") -> "Geometry":
+        return symmetric_difference(self, other)
+
 
 class Empty(Geometry):
     """The empty geometry (result of empty intersections/differences)."""
@@ -731,6 +734,20 @@ def union(a: Geometry, b: Geometry) -> Geometry:
     from aquaculture_tpu.geo.boolean import boolean_op
 
     return boolean_op(a, b, "union")
+
+
+def symmetric_difference(a: Geometry, b: Geometry) -> Geometry:
+    """(a \\ b) ∪ (b \\ a) — shapely-compatible; exact Region algebra for
+    rectilinear operands, Martinez-Rueda xor sweep otherwise."""
+    if a.is_empty:
+        return b
+    if b.is_empty:
+        return a
+    if _all_rectilinear(a, b):
+        return union(difference(a, b), difference(b, a))
+    from aquaculture_tpu.geo.boolean import boolean_op
+
+    return boolean_op(a, b, "xor")
 
 
 def union_area(geometries) -> float:

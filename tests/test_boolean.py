@@ -204,3 +204,12 @@ def test_fuzz_boolean_invariants():
         assert abs(gi.area + gdr.area - B) < tol, (trials, a.exterior, b.exterior)
         assert abs(gu.area - (A + B - gi.area)) < tol, (trials, a.exterior, b.exterior)
         assert abs(gi.area - ti) < tol, (trials, a.exterior, b.exterior)
+
+
+def test_symmetric_difference():
+    a = _star(0, 0, 2, 0.8)
+    b = _star(0.9, 0.4, 1.9, 0.85, rot=0.25)
+    x = P.symmetric_difference(a, b)
+    i = P.intersection(a, b)
+    assert x.area == pytest.approx(a.area + b.area - 2 * i.area, abs=1e-6)
+    assert a.symmetric_difference(b).area == pytest.approx(x.area)
