@@ -14,9 +14,57 @@ as an (empty) ultralytics submodule (reference: yolov5/, README.md:52).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class QTensor(NamedTuple):
+    """int8 activation + its per-tensor scale (value ≈ q * scale).
+
+    The int8 serving pipeline keeps activations in this form BETWEEN conv
+    blocks: HBM traffic is 1/2 of bf16 and the MXU runs s8xs8->s32 at 2x
+    the bf16 rate (measured 2.7x end-to-end on a v5e conv chain —
+    BENCH_INT8_MICRO.jsonl). NamedTuple => automatic pytree."""
+
+    q: jnp.ndarray      # int8, NHWC
+    scale: jnp.ndarray  # () float32
+
+
+def deq(x, dtype=jnp.bfloat16):
+    """QTensor -> float activations (identity on plain arrays)."""
+    if isinstance(x, QTensor):
+        return (x.q.astype(jnp.float32) * x.scale).astype(dtype)
+    return x
+
+
+def requant(act: jnp.ndarray, yscale) -> QTensor:
+    """float activations -> int8 at the calibrated output scale."""
+    q = jnp.clip(jnp.round(act.astype(jnp.float32) / yscale), -127, 127)
+    return QTensor(q.astype(jnp.int8), jnp.asarray(yscale, jnp.float32))
+
+
+def qcat(parts, axis: int = -1):
+    """Concatenate QTensors (rescaled to the max scale) or plain arrays."""
+    if all(isinstance(p, QTensor) for p in parts):
+        s = parts[0].scale
+        for p in parts[1:]:
+            s = jnp.maximum(s, p.scale)
+        qs = []
+        for p in parts:
+            # ratio <= 1: values shrink, no clipping needed
+            qs.append(jnp.round(p.q.astype(jnp.float32) * (p.scale / s)).astype(jnp.int8))
+        return QTensor(jnp.concatenate(qs, axis=axis), s)
+    return jnp.concatenate([deq(p) if isinstance(p, QTensor) else p for p in parts], axis=axis)
+
+
+def qup2(x):
+    """2x nearest upsample, QTensor-aware."""
+    if isinstance(x, QTensor):
+        return QTensor(upsample2x(x.q), x.scale)
+    return upsample2x(x)
 
 
 def _he_init(rng: np.random.Generator, shape, fan_in):
@@ -102,8 +150,14 @@ def conv_block(x, p: dict, stride: int = 1, padding=None, training: bool = False
     channel, MXU runs int8 x int8 -> int32, dequant fuses into the bias add.
     """
     if "wq" in p:  # int8 PTQ path
-        xscale = p["xscale"].astype(jnp.float32)
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xscale), -127, 127).astype(jnp.int8)
+        if isinstance(x, QTensor):
+            # pipelined: activations already int8 in HBM
+            xq, xscale = x.q, x.scale
+            float_dtype = jnp.bfloat16
+        else:
+            xscale = p["xscale"].astype(jnp.float32)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xscale), -127, 127).astype(jnp.int8)
+            float_dtype = x.dtype
         k = p["wq"].shape[0]
         if padding is None:
             pad = k // 2
@@ -117,14 +171,26 @@ def conv_block(x, p: dict, stride: int = 1, padding=None, training: bool = False
             preferred_element_type=jnp.int32,
         )
         y = y32.astype(jnp.float32) * (xscale * p["wscale"])[None, None, None, :] + p["b"]
-        return silu(y.astype(x.dtype)), p
+        act = silu(y)
+        if "yscale" in p:
+            # dequant + SiLU + requant fuse into the conv epilogue; the
+            # tensor handed to the next block stays int8
+            return requant(act, p["yscale"]), p
+        return act.astype(float_dtype), p
     if _CALIB_STATS is not None:  # eager calibration pass (models.quantize)
         key = id(p["w"])
         m = float(jnp.max(jnp.abs(x)))
         _CALIB_STATS[key] = max(_CALIB_STATS.get(key, 0.0), m)
     y = conv2d(x, p["w"], stride, padding).astype(x.dtype)
     if "b" in p:  # fused inference path
-        return silu(y + p["b"].astype(x.dtype)), p
+        out = silu(y + p["b"].astype(x.dtype))
+        if _CALIB_STATS is not None:
+            # post-activation absmax: the output scale of the int8 pipeline
+            okey = ("out", id(p["w"]))
+            _CALIB_STATS[okey] = max(
+                _CALIB_STATS.get(okey, 0.0), float(jnp.max(jnp.abs(out)))
+            )
+        return out, p
     y, new_bn = batch_norm(y, p["bn"], training)
     return silu(y), {**p, "bn": new_bn}
 
@@ -151,9 +217,29 @@ def bottleneck_init(rng: np.random.Generator, cin: int, cout: int) -> dict:
 def bottleneck(x, p: dict, shortcut: bool, training: bool = False):
     y, p1 = conv_block(x, p["cv1"], training=training)
     y, p2 = conv_block(y, p["cv2"], training=training)
-    if shortcut and x.shape[-1] == y.shape[-1]:
-        y = x + y
-    return y, {"cv1": p1, "cv2": p2}
+    if shortcut:
+        xc = x.q.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        yc = y.q.shape[-1] if isinstance(y, QTensor) else y.shape[-1]
+        if xc == yc:
+            if "sum_yscale" in p:
+                # int8 pipeline: cv2 emitted float (no yscale); add the
+                # dequantized shortcut and requantize at the calibrated
+                # scale of the SUM
+                y = requant(y.astype(jnp.float32) + deq(x, jnp.float32), p["sum_yscale"])
+            elif isinstance(x, QTensor) or isinstance(y, QTensor):
+                # partially-quantized fallback (missing sum stats)
+                y = deq(x, jnp.float32) + deq(y, jnp.float32)
+            else:
+                y = x + y
+                if _CALIB_STATS is not None:
+                    _CALIB_STATS[("sum", id(p["cv2"]["w"]))] = max(
+                        _CALIB_STATS.get(("sum", id(p["cv2"]["w"])), 0.0),
+                        float(jnp.max(jnp.abs(y))),
+                    )
+    out = {"cv1": p1, "cv2": p2}
+    if "sum_yscale" in p:
+        out["sum_yscale"] = p["sum_yscale"]
+    return y, out
 
 
 def c3_init(rng: np.random.Generator, cin: int, cout: int, n: int) -> dict:
@@ -173,7 +259,7 @@ def c3(x, p: dict, shortcut: bool = True, training: bool = False):
         y1, nbp = bottleneck(y1, bp, shortcut, training)
         new_m.append(nbp)
     y2, p2 = conv_block(x, p["cv2"], training=training)
-    y = jnp.concatenate([y1, y2], axis=-1)
+    y = qcat([y1, y2], axis=-1)
     y, p3 = conv_block(y, p["cv3"], training=training)
     return y, {"cv1": p1, "cv2": p2, "cv3": p3, "m": new_m}
 
@@ -186,13 +272,18 @@ def sppf_init(rng: np.random.Generator, cin: int, cout: int) -> dict:
 def max_pool(x, k: int = 5):
     """k×k stride-1 max pool with same padding.
 
-    Init value must be the true identity (-inf, representable in bf16 and
+    Float init must be the true identity (-inf, representable in bf16 and
     f32 alike) — JAX only supports reverse-mode autodiff of reduce_window
-    when it recognizes the max-pool pattern, and finfo.min breaks that."""
+    when it recognizes the max-pool pattern, and finfo.min breaks that.
+    int8 inputs (the quantized SPPF) use the integer identity."""
     p = k // 2
     return jax.lax.reduce_window(
         x,
-        -jnp.inf,
+        (
+            jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.integer)
+            else -jnp.inf
+        ),
         jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, 1, 1, 1),
@@ -202,10 +293,16 @@ def max_pool(x, k: int = 5):
 
 def sppf(x, p: dict, k: int = 5, training: bool = False):
     y, p1 = conv_block(x, p["cv1"], training=training)
-    y1 = max_pool(y, k)
-    y2 = max_pool(y1, k)
-    y3 = max_pool(y2, k)
-    out = jnp.concatenate([y, y1, y2, y3], axis=-1)
+    if isinstance(y, QTensor):
+        # max pool is order-preserving: runs directly on int8, scale kept
+        y1 = QTensor(max_pool(y.q, k), y.scale)
+        y2 = QTensor(max_pool(y1.q, k), y.scale)
+        y3 = QTensor(max_pool(y2.q, k), y.scale)
+    else:
+        y1 = max_pool(y, k)
+        y2 = max_pool(y1, k)
+        y3 = max_pool(y2, k)
+    out = qcat([y, y1, y2, y3], axis=-1)
     out, p2 = conv_block(out, p["cv2"], training=training)
     return out, {"cv1": p1, "cv2": p2}
 

@@ -42,34 +42,59 @@ def calibrate(model, fused_params, sample_images) -> Dict[int, float]:
     return stats
 
 
-def quantize(fused_params, calib: Dict[int, float], default_xscale: float = 1.0):
-    """Fused {w, b} conv dicts -> {wq, wscale, xscale, b} int8 dicts.
+# Backbone C3 blocks run their bottlenecks with shortcut adds; the neck C3s
+# don't (models/yolov5.py features()). Needed to place sum_yscale correctly.
+_SHORTCUT_C3 = ("b2", "b4", "b6", "b8")
 
-    Convs without calibration stats (never executed during calibration) and
-    the detect head stay in floating point.
+
+def quantize(fused_params, calib: Dict, default_xscale: float = 1.0):
+    """Fused {w, b} conv dicts -> int8 dicts for the PIPELINED serving path.
+
+    Each quantized conv carries {wq, wscale, xscale, b, yscale}: weights
+    per-output-channel, input scale for float entry points, and the
+    calibrated OUTPUT scale so the dequant+SiLU+requant chain fuses into
+    the conv epilogue and the tensor handed to the next block stays int8
+    in HBM (QTensor). Shortcut-bottleneck cv2 convs emit float instead and
+    the bottleneck requantizes the SUM at its own calibrated scale
+    (sum_yscale). Convs without calibration stats and the detect head stay
+    in floating point.
     """
 
-    def walk(node):
+    def qconv(node, with_yscale: bool = True):
+        key = id(node["w"])
+        if key not in calib:
+            return node  # uncalibrated: keep fp
+        w = np.asarray(node["w"], np.float32)
+        wmax = np.abs(w).max(axis=(0, 1, 2))
+        wscale = np.where(wmax > 0, wmax / 127.0, 1.0)
+        wq = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
+        amax = calib[key]
+        out = {
+            "wq": jnp.asarray(wq),
+            "wscale": jnp.asarray(wscale.astype(np.float32)),
+            "xscale": jnp.asarray(np.float32(amax / 127.0 if amax > 0 else default_xscale)),
+            "b": node["b"],
+        }
+        omax = calib.get(("out", key), 0.0)
+        if with_yscale and omax > 0:
+            out["yscale"] = jnp.asarray(np.float32(omax / 127.0))
+        return out
+
+    def walk(node, shortcut_c3: bool = False):
         if isinstance(node, dict):
             if "w" in node and "b" in node and "bn" not in node:
-                key = id(node["w"])
-                if key not in calib:
-                    return node  # uncalibrated (e.g. detect head): keep fp
-                w = np.asarray(node["w"], np.float32)
-                wmax = np.abs(w).max(axis=(0, 1, 2))
-                wscale = np.where(wmax > 0, wmax / 127.0, 1.0)
-                wq = np.clip(np.round(w / wscale), -127, 127).astype(np.int8)
-                amax = calib[key]
-                xscale = amax / 127.0 if amax > 0 else default_xscale
-                return {
-                    "wq": jnp.asarray(wq),
-                    "wscale": jnp.asarray(wscale.astype(np.float32)),
-                    "xscale": jnp.asarray(np.float32(xscale)),
-                    "b": node["b"],
-                }
-            return {k: walk(v) for k, v in node.items()}
+                return qconv(node)
+            if shortcut_c3 and set(node) >= {"cv1", "cv2"} and "cv3" not in node:
+                # a shortcut bottleneck {cv1, cv2}: cv2 emits float, the
+                # sum requantizes at its own scale
+                out = {"cv1": walk(node["cv1"]), "cv2": qconv(node["cv2"], with_yscale=False)}
+                smax = calib.get(("sum", id(node["cv2"]["w"])), 0.0)
+                if smax > 0 and "wq" in out["cv2"]:
+                    out["sum_yscale"] = jnp.asarray(np.float32(smax / 127.0))
+                return out
+            return {k: walk(v, shortcut_c3 or k in _SHORTCUT_C3) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v) for v in node)
+            return type(node)(walk(v, shortcut_c3) for v in node)
         return node
 
     out = walk(fused_params)

@@ -166,25 +166,28 @@ class YoloV5:
         y = c3b("b8", y)
         y, np_["b9"] = L.sppf(y, params["b9"], training=training)  # stride 32
 
-        # Neck
+        # Neck (qcat/qup2 are QTensor-aware passthroughs of concat/upsample:
+        # the int8 serving pipeline keeps activations quantized through the
+        # whole backbone+neck; float paths are unchanged)
         t10 = cb("n10", y)
-        u = L.upsample2x(t10)
-        y = jnp.concatenate([u, p4], axis=-1)
+        u = L.qup2(t10)
+        y = L.qcat([u, p4], axis=-1)
         y = c3b("n13", y, shortcut=False)
         t14 = cb("n14", y)
-        u = L.upsample2x(t14)
-        y = jnp.concatenate([u, p3], axis=-1)
+        u = L.qup2(t14)
+        y = L.qcat([u, p3], axis=-1)
         o3 = c3b("n17", y, shortcut=False)                     # P3 out
         y = cb("n18", o3, 2)
-        y = jnp.concatenate([y, t14], axis=-1)
+        y = L.qcat([y, t14], axis=-1)
         o4 = c3b("n20", y, shortcut=False)                     # P4 out
         y = cb("n21", o4, 2)
-        y = jnp.concatenate([y, t10], axis=-1)
+        y = L.qcat([y, t10], axis=-1)
         o5 = c3b("n23", y, shortcut=False)                     # P5 out
 
         feats = []
         new_head = []
         for o, hp in zip((o3, o4, o5), params["head"]):
+            o = L.deq(o)  # head stays floating point (feeds the box decode)
             f = L.conv2d(o, hp["w"].astype(o.dtype)).astype(o.dtype) + hp["b"].astype(o.dtype)
             feats.append(f)
             new_head.append(hp)

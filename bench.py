@@ -62,6 +62,7 @@ def main() -> None:
     batch = BATCH
     trained_ckpt = trained_dir = None
     args = sys.argv[1:]
+    int8 = INT8 or "--int8" in args
     if "--batch" in args:
         batch = int(args[args.index("--batch") + 1])
     if "--trained" in args:
@@ -94,13 +95,14 @@ def main() -> None:
         params = model.fuse(params)
         cfg = DetectConfig()
         metric = "yolov5m_640px_infer_nms_tiles_per_sec_per_chip"
-    if INT8:
+    if int8:
         from aquaculture_tpu.models.quantize import quantize_model
 
         calib = jnp.asarray(
             np.random.default_rng(1).random((2, IMG, IMG, 3), dtype=np.float32)
         )
         params = quantize_model(model, params, calib)
+        metric = metric.replace("infer_nms", "int8_infer_nms")
 
     def infer(params, images):
         preds, _ = model.apply(params, images.astype(jnp.bfloat16))
