@@ -307,6 +307,36 @@ def sppf(x, p: dict, k: int = 5, training: bool = False):
     return out, {"cv1": p1, "cv2": p2}
 
 
+def space_to_depth2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C): 2x2 spatial blocks to channels.
+    Channel order (a, b, c) = (row offset, col offset, channel), matching
+    stem_weights_to_s2d."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def stem_weights_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Exact reparametrization of a k6/s2/p2 conv over C channels into a
+    k3/s1/p1 conv over 4C space-to-depth channels.
+
+    For output pixel i: 2i + u - 2 = 2(i + du) + a with u = 2 du + a + 2,
+    du in {-1,0,1}, a in {0,1} — so every original tap lands on exactly one
+    (s2d neighbor, sub-pixel channel) slot. Same sums, different order."""
+    k, _, cin, cout = w.shape
+    assert k == 6, k
+    w = np.asarray(w, np.float32)
+    out = np.zeros((3, 3, 4 * cin, cout), np.float32)
+    for u in range(6):
+        du, a = divmod(u - 2, 2)
+        for v in range(6):
+            dv, b = divmod(v - 2, 2)
+            # s2d channel layout: (a, b, c) from space_to_depth2's reshape
+            out[du + 1, dv + 1, (a * 2 + b) * cin : (a * 2 + b + 1) * cin, :] = w[u, v]
+    return jnp.asarray(out)
+
+
 def upsample2x(x):
     """Nearest-neighbor 2x upsample (exact repeat; XLA-friendly)."""
     b, h, w, c = x.shape

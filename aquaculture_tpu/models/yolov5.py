@@ -154,8 +154,15 @@ class YoloV5:
             y, np_[name] = L.c3(t, params[name], shortcut, training)
             return y
 
-        # Backbone
-        y = cb("b0", x, 2, [(2, 2), (2, 2)])
+        # Backbone. The stem runs either as the native k6/s2 conv on C=3
+        # (training / unfused) or, after fuse(stem_s2d=True), as
+        # space-to-depth + an exactly equivalent k3/s1 conv on 12 channels
+        # (MXU-friendly lanes; see layers.stem_weights_to_s2d).
+        w0 = params["b0"].get("w", params["b0"].get("wq"))
+        if w0 is not None and w0.shape[0] == 3 and w0.shape[2] == 4 * x.shape[-1]:
+            y = cb("b0", L.space_to_depth2(x), 1, [(1, 1), (1, 1)])
+        else:
+            y = cb("b0", x, 2, [(2, 2), (2, 2)])
         y = cb("b1", y, 2)
         y = c3b("b2", y)
         y = cb("b3", y, 2)
@@ -226,14 +233,24 @@ class YoloV5:
         feats, np_ = self.features(params, x, training)
         return self.decode(feats), np_
 
-    def fuse(self, params: dict) -> dict:
-        """Fold all BN layers into conv weights for inference."""
+    def fuse(self, params: dict, stem_s2d: bool = True) -> dict:
+        """Fold all BN layers into conv weights for inference.
+
+        stem_s2d reparametrizes the k6/s2 stem into space-to-depth(2) +
+        an EXACTLY equivalent k3/s1 conv over 12 channels: the original
+        stem convolves a C=3 input, the worst-tiled layer on the TPU
+        (lane padding 3 -> 128); the s2d form feeds the MXU 12 channels
+        at 1/4 the spatial size. features() dispatches on the stored
+        kernel shape. Same trick as ultralytics' old Focus layer, applied
+        as an inference-time weight transform."""
         fused = {}
         for name, p in params.items():
             if name == "head":
                 fused[name] = p
             else:
                 fused[name] = L.tree_map_fuse(p)
+        if stem_s2d and "w" in fused["b0"] and fused["b0"]["w"].shape[0] == 6:
+            fused["b0"] = {**fused["b0"], "w": L.stem_weights_to_s2d(fused["b0"]["w"])}
         return fused
 
     def num_params(self, params: dict) -> int:

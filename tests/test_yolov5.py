@@ -126,3 +126,15 @@ def test_variants_all_build():
     for v in ("l", "x"):
         model, params = yolov5_init(v, num_classes=5, seed=0)
         assert model.num_params(params) > 0
+
+
+def test_stem_s2d_reparametrization_exact():
+    """fuse(stem_s2d=True) must be EXACTLY the k6/s2 stem: space-to-depth
+    plus a k3/s1 conv with rearranged taps computes the same sums."""
+    import numpy as np
+
+    model, params = yolov5_init("n", num_classes=3, seed=4)
+    x = jnp.asarray(np.random.default_rng(1).random((2, 96, 96, 3), dtype=np.float32))
+    p_plain, _ = model.apply(model.fuse(params, stem_s2d=False), x)
+    p_s2d, _ = model.apply(model.fuse(params, stem_s2d=True), x)
+    np.testing.assert_allclose(np.asarray(p_plain), np.asarray(p_s2d), atol=1e-4)
