@@ -76,3 +76,33 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put a host batch with leading-axis sharding on `data`."""
     s = batch_sharding(mesh)
     return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def shard_local_batch(batch: dict, mesh: Mesh) -> dict:
+    """Multi-process DP: each process passes its LOCAL slice of the global
+    batch (global = concatenation over processes along axis 0, in process
+    order). Builds jax.Arrays spanning the global mesh without any host
+    holding the full batch — the DCN-side input path for pod training."""
+    from jax.experimental import multihost_utils
+
+    return {
+        k: multihost_utils.host_local_array_to_global_array(np.asarray(v), mesh, P("data"))
+        for k, v in batch.items()
+    }
+
+
+def put_global(tree, shardings):
+    """device_put that also works across processes: single-process uses
+    jax.device_put; multi-process routes every (replicated or sharded)
+    leaf through host_local_array_to_global_array, with each process
+    providing its identical host copy."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    from jax.experimental import multihost_utils
+
+    def one(x, s):
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), s.mesh, s.spec
+        )
+
+    return jax.tree_util.tree_map(one, tree, shardings)

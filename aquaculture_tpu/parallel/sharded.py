@@ -19,7 +19,12 @@ from jax.sharding import Mesh
 from aquaculture_tpu.config import DetectConfig, TrainConfig
 from aquaculture_tpu.models.yolov5 import YoloV5
 from aquaculture_tpu.ops.nms import batched_nms
-from aquaculture_tpu.parallel.mesh import batch_sharding, param_shardings, replicated
+from aquaculture_tpu.parallel.mesh import (
+    batch_sharding,
+    param_shardings,
+    put_global,
+    replicated,
+)
 from aquaculture_tpu.train.trainer import TrainState, make_train_step
 
 
@@ -46,7 +51,9 @@ def sharded_train_step(
         out_shardings=(state_shard, None),
         donate_argnums=0,
     )
-    sharded_state = jax.device_put(state, state_shard)
+    # put_global = device_put when single-process; multi-process (pod DP
+    # over DCN) builds global jax.Arrays from each host's identical copy.
+    sharded_state = put_global(state, state_shard)
     return step_fn, sharded_state
 
 

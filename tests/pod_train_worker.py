@@ -1,0 +1,94 @@
+"""Worker process for the 2-process DP *training* proof (see test_pod.py).
+
+Each worker joins a jax.distributed cluster over localhost with K local CPU
+devices (K = 4 / num_processes so the GLOBAL mesh is always 4 devices and
+the compiled program is identical across runs). The global batch of 4 images
+is deterministic; each worker feeds only the rows its devices own via
+mesh.shard_local_batch (no host materializes data it doesn't train on —
+the DCN-side input path). Prints the loss after 3 sharded train steps plus
+a parameter-fingerprint so the test can assert 1-process == 2-process.
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+
+    local_devices = 4 // nproc
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={local_devices}"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 4, len(jax.devices())
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from aquaculture_tpu.config import TrainConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.parallel.mesh import make_mesh, shard_local_batch
+    from aquaculture_tpu.parallel.sharded import sharded_train_step
+    from aquaculture_tpu.train.trainer import init_train_state
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    model, params = yolov5_init("n", num_classes=5, seed=0)
+    cfg = TrainConfig(
+        img_size=64, batch_size=4, max_boxes_per_image=8, compute_dtype="float32"
+    )
+    state = init_train_state(model, params)
+
+    rng = np.random.default_rng(0)
+    b, m = 4, cfg.max_boxes_per_image
+    global_batch = {
+        "images": rng.random((b, 64, 64, 3), dtype=np.float32),
+        "labels": np.stack(
+            [
+                rng.integers(0, 5, (b, m)).astype(np.float32),
+                rng.uniform(8, 56, (b, m)).astype(np.float32),
+                rng.uniform(8, 56, (b, m)).astype(np.float32),
+                rng.uniform(4, 16, (b, m)).astype(np.float32),
+                rng.uniform(4, 16, (b, m)).astype(np.float32),
+            ],
+            axis=-1,
+        ),
+        "label_mask": rng.random((b, m)) > 0.3,
+    }
+    # This process's contiguous slice of the global batch (process order).
+    lo, hi = pid * (b // nproc), (pid + 1) * (b // nproc)
+    local = {k: v[lo:hi] for k, v in global_batch.items()}
+
+    with mesh:
+        step_fn, sh_state = sharded_train_step(
+            model, cfg, mesh, steps_per_epoch=10, state=state
+        )
+        batch = shard_local_batch(local, mesh)
+        for _ in range(3):
+            sh_state, metrics = step_fn(sh_state, batch)
+        jax.block_until_ready(sh_state.params)
+
+    loss = float(np.asarray(metrics["total"]))
+
+    # Parameter fingerprint: global L1 of all params, computed on-mesh and
+    # replicated so every process can read it.
+    @jax.jit
+    def fingerprint(p):
+        return sum(jnp.abs(x).sum() for x in jax.tree_util.tree_leaves(p))
+
+    fp = float(np.asarray(fingerprint(sh_state.params)))
+    print(f"WORKER {pid} OK loss={loss:.10f} fp={fp:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

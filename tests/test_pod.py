@@ -130,3 +130,46 @@ def test_run_pod_pipeline_two_processes(tmp_path):
         return sorted(rows)
 
     assert key(got) == key(ref)
+
+
+def test_pod_train_two_processes():
+    """Multi-process DP *training*: 2 jax.distributed processes (2 local CPU
+    devices each) train 3 sharded steps on a 4-device global mesh, each host
+    feeding only its local batch slice (mesh.shard_local_batch). Loss and the
+    parameter fingerprint must match a 1-process run on the identical global
+    mesh/batch (GSPMD gradient all-reduce crossing process boundaries)."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = "/root/repo"
+    worker = os.path.join(os.path.dirname(__file__), "pod_train_worker.py")
+
+    def launch(nproc):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(nproc), str(port)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for pid in range(nproc)
+        ]
+        outs = [p.communicate(timeout=600) for p in procs]
+        results = []
+        for p, (so, se) in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{so}\n{se[-2000:]}"
+            m = re.search(r"OK loss=([\d.eE+-]+) fp=([\d.eE+-]+)", so)
+            assert m, so
+            results.append((float(m.group(1)), float(m.group(2))))
+        return results
+
+    (ref_loss, ref_fp), = launch(1)
+    multi = launch(2)
+    for loss, fp in multi:
+        assert np.isclose(loss, ref_loss, rtol=1e-4), (loss, ref_loss)
+        assert np.isclose(fp, ref_fp, rtol=1e-5), (fp, ref_fp)
