@@ -44,7 +44,9 @@ def quantize_for_serving(model, fused_params, sample_paths, img_size: int = 640)
 
 def load_model(weights: str | None, variant: str = "m", num_classes: int = 5):
     model = YoloV5(variant=variant, num_classes=num_classes)
-    if weights and os.path.exists(weights):
+    if weights and not os.path.exists(weights):
+        raise FileNotFoundError(f"weights not found: {weights}")
+    if weights:
         if weights.endswith(".pt"):
             params, anchors = load_pretrained(model, weights)
             if anchors is not None:

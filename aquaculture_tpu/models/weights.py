@@ -249,11 +249,16 @@ def _load_pt_no_torch(path: str) -> Dict[str, np.ndarray]:
     with zf.open(pkl_name) as f:
         obj = _Unpickler(io.BytesIO(f.read())).load()
 
-    # Plain tensor-only state dict
-    if isinstance(obj, dict) and obj and all(
-        isinstance(v, np.ndarray) for v in obj.values()
-    ):
-        return {k: np.asarray(v, dtype=np.float32) for k, v in obj.items()}
+    # Flat state dict (possibly mixed with scalar metadata like 'epoch'):
+    # keep the tensor entries, matching the torch-path reader's filtering.
+    if isinstance(obj, dict):
+        flat = {
+            k: np.asarray(v, dtype=np.float32)
+            for k, v in obj.items()
+            if isinstance(v, np.ndarray)
+        }
+        if flat and not any(k in obj for k in ("ema", "model")):
+            return flat
 
     def _harvest(module_obj, prefix: str, out: Dict[str, np.ndarray]) -> None:
         d = getattr(module_obj, "__dict__", None)

@@ -92,17 +92,17 @@ def shard_local_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def put_global(tree, shardings):
-    """device_put that also works across processes: single-process uses
-    jax.device_put; multi-process routes every (replicated or sharded)
-    leaf through host_local_array_to_global_array, with each process
-    providing its identical host copy."""
+    """device_put that also works across processes. Contract: every process
+    holds the FULL (identical) host value of each leaf. Single-process is a
+    plain jax.device_put; multi-process builds each global jax.Array with
+    make_array_from_callback, which hands every addressable device exactly
+    the shard its sharding index selects — correct for replicated leaves
+    AND leaves sharded across process boundaries."""
     if jax.process_count() == 1:
         return jax.device_put(tree, shardings)
-    from jax.experimental import multihost_utils
 
     def one(x, s):
-        return multihost_utils.host_local_array_to_global_array(
-            np.asarray(x), s.mesh, s.spec
-        )
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
 
     return jax.tree_util.tree_map(one, tree, shardings)

@@ -27,13 +27,15 @@ from aquaculture_tpu.geo.polygon import intersects as _geom_intersects
 from aquaculture_tpu.geo.region import Region, from_geometry, to_geometry
 
 
-def _cage_survives(cage_geom, reg: Region) -> bool:
+def _cage_survives(cage_geom, reg_geom) -> bool:
     """Boundary-inclusive intersects, matching the reference's shapely
     ``.intersects`` filter (utils_tonnage.py:790-814): a cage that merely
     TOUCHES its box's kept region (zero-area boundary contact, e.g. a
     pixel-aligned cage abutting the coverage edge) is kept, where a
-    positive-area Region intersection test would drop it."""
-    return _geom_intersects(cage_geom, to_geometry(reg))
+    positive-area Region intersection test would drop it. ``reg_geom`` is
+    the kept Region already converted via to_geometry (convert once per
+    allocation, not once per cage)."""
+    return _geom_intersects(cage_geom, reg_geom)
 
 
 def _tile_coverage(order: List[int], regions: List[Region]) -> List[Tuple[int, Region]]:
@@ -135,13 +137,15 @@ def dedup_cages_in_overlap_years_with_white_space(
                 best_area = -np.inf if year_selection == "max" else np.inf
                 for perm in iter_permutations(range(len(idxs))):
                     alloc = _tile_coverage([idxs[i] for i in perm], box_regions)
-                    alloc_by_idx = dict(alloc)
+                    alloc_geom = {
+                        idx: to_geometry(reg) for idx, reg in alloc if not reg.is_empty
+                    }
                     a = 0.0
                     for r in tile_cages:
-                        reg = alloc_by_idx.get(cg["image_box_index"].iloc[r])
-                        if reg is None or reg.is_empty:
+                        geom = alloc_geom.get(cg["image_box_index"].iloc[r])
+                        if geom is None:
                             continue
-                        if _cage_survives(cage_geoms[r], reg):
+                        if _cage_survives(cage_geoms[r], geom):
                             a += cage_areas[r]
                     if year_selection == "max":
                         if a >= best_area:
@@ -155,12 +159,16 @@ def dedup_cages_in_overlap_years_with_white_space(
                 cover_regions.append(reg)
 
         # filter cages: keep those intersecting their own box's kept region
-        alloc_by_idx = dict(zip(cover_idx, cover_regions))
+        alloc_geom = {
+            idx: to_geometry(reg)
+            for idx, reg in zip(cover_idx, cover_regions)
+            if not reg.is_empty
+        }
         for r in cage_rows_pass:
-            reg = alloc_by_idx.get(int(cg["image_box_index"].iloc[r]))
-            if reg is None or reg.is_empty:
+            geom = alloc_geom.get(int(cg["image_box_index"].iloc[r]))
+            if geom is None:
                 continue
-            if _cage_survives(cage_geoms[r], reg):
+            if _cage_survives(cage_geoms[r], geom):
                 deduped_rows.append(int(r))
 
         coverage_out[selected_pass] = gf.GeoFrame(

@@ -68,6 +68,8 @@ def main() -> None:
     if "--trained" in args:
         i = args.index("--trained")
         trained_ckpt, trained_dir = args[i + 1], args[i + 2]
+        if not os.path.exists(trained_ckpt):
+            raise FileNotFoundError(f"--trained checkpoint not found: {trained_ckpt}")
 
     os.makedirs(os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"), exist_ok=True)
     import jax
@@ -124,8 +126,10 @@ def main() -> None:
             for f in os.listdir(trained_dir)
             if f.endswith((".jpeg", ".jpg", ".png"))
         )
+        if not files:
+            raise FileNotFoundError(f"no .jpeg/.jpg/.png tiles in {trained_dir}")
         imgs = []
-        for f in (files * ((batch // max(len(files), 1)) + 1))[:batch]:
+        for f in (files * ((batch // len(files)) + 1))[:batch]:
             a = np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
             if a.shape[0] != IMG:
                 import jax.image

@@ -55,6 +55,7 @@ def run(config: str) -> dict:
     params = model.fuse(params)
     cfg = DetectConfig()
 
+    orig_silu = L.silu
     if config == "fwd_relu":
         L.silu = lambda x: jax.nn.relu(x)
     elif config == "conv_id":
@@ -76,26 +77,29 @@ def run(config: str) -> dict:
             pre_topk=cfg.pre_nms_topk,
         )
 
-    rng = np.random.default_rng(0)
-    images = jax.device_put(jnp.asarray(rng.random((BATCH, IMG, IMG, 3), dtype=np.float32)))
-    params = jax.device_put(params)
-    jitted = jax.jit(fn)
-    t0 = time.perf_counter()
-    compiled = jitted.lower(params, images).compile()
-    compile_s = time.perf_counter() - t0
-
-    out = compiled(params, images)
-    for _ in range(WARMUP):
-        out = compiled(params, images)
-    jax.block_until_ready(out)
-    rates = []
-    for _ in range(WINDOWS):
+    try:
+        rng = np.random.default_rng(0)
+        images = jax.device_put(jnp.asarray(rng.random((BATCH, IMG, IMG, 3), dtype=np.float32)))
+        params = jax.device_put(params)
+        jitted = jax.jit(fn)
         t0 = time.perf_counter()
-        for _ in range(BPW):
+        compiled = jitted.lower(params, images).compile()
+        compile_s = time.perf_counter() - t0
+
+        out = compiled(params, images)
+        for _ in range(WARMUP):
             out = compiled(params, images)
         jax.block_until_ready(out)
-        rates.append(BATCH * BPW / (time.perf_counter() - t0))
-    v = float(np.median(rates))
+        rates = []
+        for _ in range(WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(BPW):
+                out = compiled(params, images)
+            jax.block_until_ready(out)
+            rates.append(BATCH * BPW / (time.perf_counter() - t0))
+        v = float(np.median(rates))
+    finally:
+        L.silu = orig_silu
     return {
         "config": config,
         "tiles_per_s": round(v, 1),
@@ -105,10 +109,11 @@ def run(config: str) -> dict:
 
 
 def main() -> None:
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    cache = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    os.makedirs(cache, exist_ok=True)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     seen = done()
     todo = [c for c in CONFIGS if c not in seen]

@@ -112,10 +112,11 @@ def run(config: str) -> dict:
 
 
 def main() -> None:
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    cache = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    os.makedirs(cache, exist_ok=True)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     seen = done()
     for c in [c for c in CONFIGS if c not in seen]:

@@ -123,10 +123,11 @@ def run_config(batch: int, remat: bool, dtype: str) -> dict:
 
 
 def main() -> None:
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    cache = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    os.makedirs(cache, exist_ok=True)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     done = done_keys()

@@ -87,6 +87,22 @@ def main() -> None:
         return sum(jnp.abs(x).sum() for x in jax.tree_util.tree_leaves(p))
 
     fp = float(np.asarray(fingerprint(sh_state.params)))
+
+    # put_global correctness on a leaf sharded ACROSS process boundaries:
+    # a (1, 4) mesh puts the 'model' axis over all 4 devices, which spans
+    # both processes when nproc=2. Each process supplies its full host copy;
+    # the reassembled global array must equal it exactly.
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from aquaculture_tpu.parallel.mesh import put_global
+
+    mesh2 = Mesh(np.asarray(jax.devices()).reshape(1, 4), ("data", "model"))
+    host = np.arange(32, dtype=np.float32).reshape(8, 4)
+    g = put_global(host, NamedSharding(mesh2, P(None, "model")))
+    back = multihost_utils.process_allgather(g, tiled=True)
+    assert back.shape == host.shape and np.array_equal(back, host), back
+
     print(f"WORKER {pid} OK loss={loss:.10f} fp={fp:.6f}", flush=True)
 
 

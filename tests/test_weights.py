@@ -126,6 +126,23 @@ def test_pt_loader_torch_and_torchfree_agree(tmp_path):
         np.testing.assert_array_equal(via_zip[k], sd[k])
 
 
+def test_torchfree_flat_dict_with_scalar_metadata(tmp_path):
+    """A flat state dict mixed with non-tensor metadata (e.g.
+    torch.save({'epoch': 3, **sd})) must return the tensor entries,
+    matching the torch-path reader's filtering — not raise."""
+    model = YoloV5(variant="n", num_classes=5)
+    sd = _ultralytics_state_dict(model)
+    pt = str(tmp_path / "w.pt")
+    payload = {"epoch": 3, "date": "2026-08-16"}
+    payload.update({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()})
+    torch.save(payload, pt)
+
+    via_zip = _load_pt_no_torch(pt)
+    assert set(via_zip) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(via_zip[k], sd[k])
+
+
 def test_npz_checkpoint_roundtrip(tmp_path):
     model = YoloV5(variant="n", num_classes=2)
     params = model.init(seed=1)
