@@ -206,6 +206,68 @@ def test_fuzz_boolean_invariants():
         assert abs(gi.area - ti) < tol, (trials, a.exterior, b.exterior)
 
 
+def test_hole_bearing_operands():
+    """Operands that THEMSELVES carry holes (boolean.py:683 contract):
+    ring ∩ ring, ring ∪ ring, ring − solid, validated against the raster
+    oracle and by containment algebra."""
+    ring_a = P.Polygon(P.box(0, 0, 10, 10).exterior, [P.box(3, 3, 7, 7).exterior])
+    ring_b = P.Polygon(P.box(5, 5, 15, 15).exterior, [P.box(8, 8, 12, 12).exterior])
+    solid = P.box(2, 2, 9, 9)
+    for x, y, op in [
+        (ring_a, ring_b, "intersection"),
+        (ring_a, ring_b, "union"),
+        (ring_a, ring_b, "difference"),
+        (ring_a, solid, "difference"),
+        (solid, ring_a, "difference"),
+        (ring_a, solid, "union"),
+    ]:
+        g = boolean_op(x, y, op)
+        r = _raster_boolean_area(x, y, op, n=2048)
+        assert g.area == pytest.approx(r, rel=5e-3, abs=1e-2), (op, g.area, r)
+    # algebra: (a∩b) + (a−b) = a for hole-bearing a, b — to within the
+    # engine's documented lattice quantization (span-relative, same
+    # tolerance as the fuzz invariants)
+    i = boolean_op(ring_a, ring_b, "intersection").area
+    d = boolean_op(ring_a, ring_b, "difference").area
+    tol = 3e-5 * ring_a.area
+    assert i + d == pytest.approx(ring_a.area, abs=tol)
+    # a ring minus a solid covering its hole region entirely
+    g = boolean_op(ring_a, P.box(3, 3, 7, 7), "difference")
+    assert g.area == pytest.approx(ring_a.area, abs=tol)
+
+
+def test_fuzz_hole_bearing_operands():
+    """Random ring pairs (shell + strictly-interior hole): the same
+    algebraic invariants as the simple-polygon fuzz."""
+    rng = np.random.default_rng(77)
+    trials = 0
+    while trials < 40:
+        def ring():
+            x0, y0 = rng.uniform(-4, 0, 2)
+            w, h = rng.uniform(4, 8, 2)
+            hx0 = x0 + w * rng.uniform(0.15, 0.4)
+            hy0 = y0 + h * rng.uniform(0.15, 0.4)
+            hx1 = x0 + w * rng.uniform(0.6, 0.85)
+            hy1 = y0 + h * rng.uniform(0.6, 0.85)
+            return P.Polygon(
+                P.box(x0, y0, x0 + w, y0 + h).exterior,
+                [P.box(hx0, hy0, hx1, hy1).exterior],
+            )
+        a, b = ring(), ring()
+        trials += 1
+        gi = boolean_op(a, b, "intersection")
+        gu = boolean_op(a, b, "union")
+        gd = boolean_op(a, b, "difference")
+        gdr = boolean_op(b, a, "difference")
+        A, B = a.area, b.area
+        tol = 3e-5 * max(A, B) + 1e-12
+        assert abs(gi.area + gd.area - A) < tol, trials
+        assert abs(gi.area + gdr.area - B) < tol, trials
+        assert abs(gu.area - (A + B - gi.area)) < tol, trials
+        r = _raster_boolean_area(a, b, "intersection", n=1024)
+        assert gi.area == pytest.approx(r, rel=2e-2, abs=5e-2), trials
+
+
 def test_symmetric_difference():
     a = _star(0, 0, 2, 0.8)
     b = _star(0.9, 0.4, 1.9, 0.85, rot=0.25)
