@@ -55,9 +55,10 @@ class DetectConfig:
     # cage count; the greedy-suppression scan is O(K) sequential steps of
     # O(K) vector work, so 4096 costs 16x the NMS time of 1024.
     pre_nms_topk: int = 1024
-    multi_label: bool = False       # reserved (ultralytics parity flag);
-                                    # the pipeline uses argmax class like
-                                    # the reference's detect.py defaults
+    multi_label: bool = False       # one candidate per (box, class) above
+                                    # conf (ultralytics val.py semantics);
+                                    # False = argmax class, matching the
+                                    # reference's detect.py defaults
     class_agnostic: bool = False
     dtype: str = "bfloat16"
 

@@ -54,71 +54,55 @@ def nms(
     max_det: int = 300,
     pre_topk: int = 1024,
     class_agnostic: bool = False,
+    multi_label: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-image NMS over decoded predictions.
 
     Args:
         pred: (N, 5+nc) decoded rows [cx, cy, w, h, obj, cls...]
+        multi_label: one candidate per (box, class) above conf_thresh
+            (ultralytics val.py semantics) instead of argmax-class.
     Returns:
         (det, valid): det is (max_det, 6) rows [x0, y0, x1, y1, conf, cls]
         sorted by confidence; valid is the (max_det,) bool mask.
+    """
+    boxes, nms_boxes, top_scores, cls_top, valid = _prepare_candidates(
+        pred, conf_thresh, pre_topk, class_agnostic, multi_label
+    )
+    keep = _greedy_suppress(_iou_matrix(nms_boxes), valid, iou_thresh)
+    return _compact(boxes, cls_top, top_scores, keep, max_det)
+
+
+def _prepare_candidates(pred, conf_thresh, pre_topk, class_agnostic, multi_label=False):
+    """Single image candidate selection: returns (boxes xyxy, nms_boxes
+    with class offsets, top_scores, cls ids, valid).
+
+    multi_label=True emits one candidate per (box, class) pair above
+    conf_thresh — ultralytics non_max_suppression's multi_label branch
+    (used by its val.py mAP evaluation); False keeps the argmax-class
+    behavior of detect.py (the reference's inference path).
     """
     pred = pred.astype(jnp.float32)
     nc = pred.shape[-1] - 5
     obj = pred[:, 4]
     cls_scores = pred[:, 5:] * obj[:, None]
-    cls_id = jnp.argmax(cls_scores, axis=-1)
-    conf = jnp.max(cls_scores, axis=-1) if nc > 1 else cls_scores[:, 0]
-
-    cand = conf >= conf_thresh
-    score = jnp.where(cand, conf, -1.0)
-    k = min(pre_topk, pred.shape[0])
-    top_scores, top_idx = jax.lax.top_k(score, k)
-    valid = top_scores > 0
-
-    cxy = pred[top_idx, 0:2]
-    wh = pred[top_idx, 2:4]
-    boxes = jnp.concatenate([cxy - wh / 2.0, cxy + wh / 2.0], axis=-1)
-    cls_top = cls_id[top_idx]
-
-    nms_boxes = boxes
-    if not class_agnostic:
-        nms_boxes = boxes + (cls_top.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
-
-    iou = _iou_matrix(nms_boxes)
-    keep = _greedy_suppress(iou, valid, iou_thresh)
-
-    # Compact kept rows to the front, fixed max_det output.
-    kept_score = jnp.where(keep, top_scores, -1.0)
-    k_out = min(max_det, k)
-    out_scores, order = jax.lax.top_k(kept_score, k_out)
-    det = jnp.concatenate(
-        [boxes[order], out_scores[:, None], cls_top[order].astype(jnp.float32)[:, None]],
-        axis=-1,
-    )
-    if k_out < max_det:  # fewer candidates than requested slots: pad
-        det = jnp.pad(det, ((0, max_det - k_out), (0, 0)))
-        out_scores = jnp.pad(out_scores, (0, max_det - k_out), constant_values=-1.0)
-    return det, out_scores > 0
-
-
-def _prepare_candidates(pred, conf_thresh, pre_topk, class_agnostic):
-    """Single image candidate selection: returns (boxes xyxy, nms_boxes
-    with class offsets, top_scores, cls ids, valid)."""
-    pred = pred.astype(jnp.float32)
-    nc = pred.shape[-1] - 5
-    obj = pred[:, 4]
-    cls_scores = pred[:, 5:] * obj[:, None]
-    cls_id = jnp.argmax(cls_scores, axis=-1)
-    conf = jnp.max(cls_scores, axis=-1) if nc > 1 else cls_scores[:, 0]
-    score = jnp.where(conf >= conf_thresh, conf, -1.0)
-    k = min(pre_topk, pred.shape[0])
-    top_scores, top_idx = jax.lax.top_k(score, k)
+    pool = pred.shape[0] * nc if (multi_label and nc > 1) else pred.shape[0]
+    k = min(pre_topk, pool)
+    if multi_label and nc > 1:
+        score_mat = jnp.where(cls_scores >= conf_thresh, cls_scores, -1.0)  # (N, nc)
+        top_scores, flat_idx = jax.lax.top_k(score_mat.reshape(-1), k)
+        top_idx = flat_idx // nc
+        cls_top = flat_idx % nc
+    else:
+        cls_id = jnp.argmax(cls_scores, axis=-1)
+        conf = jnp.max(cls_scores, axis=-1) if nc > 1 else cls_scores[:, 0]
+        score = jnp.where(conf >= conf_thresh, conf, -1.0)
+        top_scores, top_idx = jax.lax.top_k(score, k)
+        cls_top = cls_id[top_idx]
     valid = top_scores > 0
     cxy = pred[top_idx, 0:2]
     wh = pred[top_idx, 2:4]
     boxes = jnp.concatenate([cxy - wh / 2.0, cxy + wh / 2.0], axis=-1)
-    cls_top = cls_id[top_idx]
     nms_boxes = boxes
     if not class_agnostic:
         nms_boxes = boxes + (cls_top.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
@@ -158,18 +142,21 @@ def batched_nms(
     pre_topk: int = 1024,
     class_agnostic: bool = False,
     backend: str = "auto",
+    multi_label: bool = False,
 ):
     """Batched NMS over (B, N, 5+nc) -> ((B, max_det, 6), (B, max_det)).
 
     backend: 'auto' uses the Pallas suppression kernel on TPU (batch-
-    amortized, ~2.7x faster than the XLA scan at K=1024); 'xla' forces the
+    amortized, faster than the XLA scan at K=1024); 'xla' forces the
     vmapped fori-loop path; 'pallas' forces the kernel.
+    multi_label: one candidate per (box, class) above conf_thresh
+    (ultralytics val.py semantics) instead of argmax-class.
     """
-    k = min(pre_topk, preds.shape[1])
+    k = min(pre_topk, preds.shape[1] if not multi_label else preds.shape[1] * (preds.shape[2] - 5))
     use_pallas = backend == "pallas" or (backend == "auto" and _pallas_supported(k))
 
     prep = jax.vmap(
-        lambda p: _prepare_candidates(p, conf_thresh, k, class_agnostic)
+        lambda p: _prepare_candidates(p, conf_thresh, k, class_agnostic, multi_label)
     )
     boxes, nms_boxes, top_scores, cls_top, valid = prep(preds)
 

@@ -31,15 +31,24 @@ _CHUNK = 256  # K-chunk for tile construction (VMEM temporary budget)
 
 
 def _suppress_kernel(
-    x0_ref, y0_ref, x1_ref, y1_ref, valid_ref, keep_ref, iou_scratch,
+    x0_ref, y0_ref, x1_ref, y1_ref, valid_ref, keep_ref, mask_scratch,
     *, iou_thresh: float, k: int, b: int,
 ):
-    """All refs (K, B); iou_scratch (BLOCK, K, B) VMEM."""
+    """All refs (K, B); mask_scratch (BLOCK, K, B) VMEM.
+
+    The serial chain is the K greedy steps; everything foldable is hoisted
+    into the (parallel) scratch build so each step is ONE select:
+    * the scratch holds the PRE-THRESHOLDED causal mask
+      ``(iou > thresh) & (col > g)`` as 0/1 f32 — no per-step threshold
+      compare and no per-step (K, B) index compare;
+    * the survivor flag of candidate g is read straight from the 8-row
+      block slice of keep_ref (rows < g are final by then) — no per-step
+      masked (K, B) reduction.
+    """
     import jax.experimental.pallas as pl
 
     x0, y0, x1, y1 = x0_ref[:, :], y0_ref[:, :], x1_ref[:, :], y1_ref[:, :]
     area = jnp.maximum(x1 - x0, 0.0) * jnp.maximum(y1 - y0, 0.0)  # (K, B)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (k, b), 0)       # (K, B)
 
     keep_ref[:, :] = valid_ref[:, :]
 
@@ -53,10 +62,10 @@ def _suppress_kernel(
         by1 = y1_ref[pl.ds(s, _BLOCK), :]
         barea = jnp.maximum(bx1 - bx0, 0.0) * jnp.maximum(by1 - by0, 0.0)
 
-        # IoU of this candidate-block vs ALL candidates -> (BLOCK, K, B),
-        # built in static K-chunks so the (BLOCK, CHUNK, B) temporaries
-        # stay inside the VMEM budget (lane padding to 128 makes full-K
-        # temporaries ~4 MB each).
+        # Suppression mask of this candidate-block vs ALL candidates ->
+        # (BLOCK, K, B), built in static K-chunks so the (BLOCK, CHUNK, B)
+        # temporaries stay inside the VMEM budget (lane padding to 128
+        # makes full-K temporaries ~4 MB each).
         # Chunk boundaries are static Python; the final chunk may be a
         # K%_CHUNK remainder (always a multiple of 128, so sublane-legal).
         starts = list(range(0, k, min(_CHUNK, k)))
@@ -73,19 +82,23 @@ def _suppress_kernel(
             iy1 = jnp.minimum(by1[:, None, :], cy1[None, :, :])
             inter = jnp.maximum(ix1 - ix0, 0.0) * jnp.maximum(iy1 - iy0, 0.0)
             union = barea[:, None, :] + carea[None, :, :] - inter
-            iou_scratch[:, c0 : c0 + chunk, :] = jnp.where(
-                union > 0, inter / jnp.maximum(union, 1e-9), 0.0
+            iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+            # causal: row g may only suppress columns j > g
+            g_idx = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, chunk, b), 0) + s
+            col_idx = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, chunk, b), 1) + c0
+            mask_scratch[:, c0 : c0 + chunk, :] = jnp.where(
+                (iou > iou_thresh) & (col_idx > g_idx), 1.0, 0.0
             )
 
-        # Static unroll: scratch row index stays static; the per-candidate
-        # survivor flag comes from a masked reduction (no lane gathers).
+        # Static unroll: scratch row index stays static. Each step is one
+        # (K, B) select gated by the (1, B) survivor flag of candidate g.
         for r in range(_BLOCK):
-            g = s + r
-            keep = keep_ref[:, :]
-            kr = jnp.sum(jnp.where(row_idx == g, keep, 0.0), axis=0, keepdims=True)  # (1, B)
-            row = iou_scratch[r, :, :]  # (K, B)
-            suppress = (row > iou_thresh) & (row_idx > g) & (kr > 0.0)
-            keep_ref[:, :] = jnp.where(suppress, 0.0, keep)
+            bkeep = keep_ref[pl.ds(s, _BLOCK), :]      # (BLOCK, B)
+            kr = bkeep[r : r + 1, :]                   # (1, B) — g's flag, final
+            row = mask_scratch[r, :, :]                # (K, B) 0/1
+            keep_ref[:, :] = jnp.where(
+                (row > 0.5) & (kr > 0.5), 0.0, keep_ref[:, :]
+            )
         return 0
 
     jax.lax.fori_loop(0, n_blocks, block_body, 0)

@@ -75,6 +75,7 @@ def sharded_infer_fn(model: YoloV5, mesh: Mesh, cfg: DetectConfig = DetectConfig
             max_det=cfg.max_detections,
             pre_topk=cfg.pre_nms_topk,
             class_agnostic=cfg.class_agnostic,
+            multi_label=cfg.multi_label,
         )
 
     return jax.jit(

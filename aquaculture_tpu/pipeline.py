@@ -85,6 +85,7 @@ def make_infer_fn(
             max_det=cfg.max_detections,
             pre_topk=cfg.pre_nms_topk,
             class_agnostic=cfg.class_agnostic,
+            multi_label=cfg.multi_label,
         )
         # letterboxed 640-space -> tile pixel space (square tiles: pure gain)
         boxes = det[:, :, :4] / gain

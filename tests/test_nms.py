@@ -100,6 +100,57 @@ def test_nms_class_aware_keeps_overlapping_different_classes():
     assert int(np.asarray(valid).sum()) == 1
 
 
+def test_nms_multi_label_emits_per_class_candidates():
+    """multi_label=True: one candidate per (box, class) above conf_thresh
+    (ultralytics non_max_suppression multi_label branch, used by val.py).
+    A single box with two strong classes yields two detections (they
+    survive class-aware NMS because classes differ)."""
+    pred = np.zeros((4, 10), np.float32)
+    pred[0, :5] = [100, 100, 40, 40, 0.9]
+    pred[0, 5] = 0.8   # class 0 -> conf 0.72
+    pred[0, 6] = 0.7   # class 1 -> conf 0.63
+    det_s, valid_s = nms(jnp.asarray(pred), conf_thresh=0.25, multi_label=False)
+    det_m, valid_m = nms(jnp.asarray(pred), conf_thresh=0.25, multi_label=True)
+    det_s, det_m = np.asarray(det_s), np.asarray(det_m)
+    assert int(np.asarray(valid_s).sum()) == 1
+    assert int(np.asarray(valid_m).sum()) == 2
+    rows = det_m[np.asarray(valid_m)]
+    assert sorted(rows[:, 5].astype(int)) == [0, 1]
+    np.testing.assert_allclose(sorted(rows[:, 4]), [0.9 * 0.7, 0.9 * 0.8], rtol=1e-6)
+    # both carry the same box
+    np.testing.assert_allclose(rows[0, :4], rows[1, :4], atol=1e-5)
+
+
+def test_nms_multi_label_matches_single_when_one_class_dominates():
+    """When only the argmax class clears conf_thresh for every box,
+    multi_label and argmax selection give identical detections."""
+    rng = np.random.default_rng(5)
+    pred = _make_preds(rng, n=80)
+    # sharpen: zero all but the argmax class so only it can pass 0.25
+    cls = pred[:, 5:]
+    keep_col = cls.argmax(1)
+    sharp = np.zeros_like(cls)
+    sharp[np.arange(len(cls)), keep_col] = cls.max(1)
+    pred[:, 5:] = sharp
+    det_s, valid_s = nms(jnp.asarray(pred), conf_thresh=0.25)
+    det_m, valid_m = nms(jnp.asarray(pred), conf_thresh=0.25, multi_label=True)
+    ns, nm = int(np.asarray(valid_s).sum()), int(np.asarray(valid_m).sum())
+    assert ns == nm
+    a = np.asarray(det_s)[np.asarray(valid_s)]
+    b = np.asarray(det_m)[np.asarray(valid_m)]
+    np.testing.assert_allclose(
+        a[np.lexsort(a.T)], b[np.lexsort(b.T)], rtol=1e-6, atol=1e-5
+    )
+
+
+def test_batched_nms_multi_label_shape():
+    rng = np.random.default_rng(9)
+    preds = np.stack([_make_preds(rng, n=64) for _ in range(3)])
+    det, valid = batched_nms(jnp.asarray(preds), conf_thresh=0.1, multi_label=True)
+    assert det.shape == (3, 300, 6) and valid.shape == (3, 300)
+    assert int(np.asarray(valid).sum()) > 0
+
+
 def test_nms_conf_threshold():
     rng = np.random.default_rng(1)
     pred = _make_preds(rng, n=100)
