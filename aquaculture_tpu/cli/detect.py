@@ -74,6 +74,9 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--int8", action="store_true", help="int8 PTQ serving path (calibrates on the first source images)")
+    ap.add_argument("--multi-label", action="store_true",
+                    help="one detection per (box, class) above conf "
+                         "(ultralytics val.py semantics; default argmax class)")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.source):
@@ -88,7 +91,10 @@ def main(argv=None) -> None:
     model, params = load_model(args.weights, args.variant, args.num_classes)
     if args.int8:
         params = quantize_for_serving(model, params, paths, args.img)
-    cfg = DetectConfig(img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou)
+    cfg = DetectConfig(
+        img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou,
+        multi_label=args.multi_label,
+    )
     boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
 
     os.makedirs(args.out, exist_ok=True)

@@ -21,7 +21,12 @@ import sys
 import time
 
 RESULTS = os.path.join(os.path.dirname(__file__), "..", "BENCH_ABLATION.jsonl")
-CONFIGS = ["full", "fwd_decode", "fwd_raw", "fwd_relu", "conv_id"]
+CONFIGS = [
+    "full", "fwd_decode", "fwd_raw", "fwd_relu", "conv_id",
+    # round-2b: NMS-internal attribution (prep = conf/top_k/gather;
+    # supp = Pallas greedy scan; full adds the max_det compaction top_k)
+    "fwd_prep", "fwd_prep_supp", "full_v2",
+]
 BATCH = 128
 IMG = 640
 WARMUP = 3
@@ -69,6 +74,21 @@ def run(config: str) -> dict:
         preds, _ = model.apply(params, x)
         if config == "fwd_decode":
             return preds.sum()
+        if config in ("fwd_prep", "fwd_prep_supp"):
+            from aquaculture_tpu.ops import nms as N
+
+            prep = jax.vmap(
+                lambda p: N._prepare_candidates(
+                    p, cfg.conf_threshold, cfg.pre_nms_topk, False
+                )
+            )
+            boxes, nms_boxes, top_scores, cls_top, valid = prep(preds)
+            if config == "fwd_prep":
+                return boxes.sum() + top_scores.sum() + valid.sum()
+            from aquaculture_tpu.ops.nms_pallas import greedy_suppress_pallas
+
+            keep = greedy_suppress_pallas(nms_boxes, valid, cfg.iou_threshold)
+            return boxes.sum() + keep.sum()
         return batched_nms(
             preds,
             conf_thresh=cfg.conf_threshold,
