@@ -75,7 +75,9 @@ def run(config: str) -> dict:
         if config == "fwd_decode":
             return preds.sum()
         if config in ("fwd_prep", "fwd_prep_supp"):
-            from aquaculture_tpu.ops import nms as N
+            # NB: `from aquaculture_tpu.ops import nms` resolves the
+            # re-exported FUNCTION; import the module explicitly.
+            import aquaculture_tpu.ops.nms as N
 
             prep = jax.vmap(
                 lambda p: N._prepare_candidates(
