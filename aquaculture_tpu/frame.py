@@ -165,6 +165,105 @@ class GeoFrame(pd.DataFrame):
 
     # -- misc geopandas surface -------------------------------------------------
 
+    def overlay(self, other: "GeoFrame", how: str = "intersection") -> "GeoFrame":
+        """geopandas.overlay equivalent on the exact boolean engine
+        (geo/boolean.py). The reference uses gpd.overlay for download-box
+        dedup (reference src/utils.py:241-273) and land-filter island
+        recovery (src/load_data/create_land_filter.py:134-137).
+
+        how: 'intersection' | 'difference' | 'union' |
+             'symmetric_difference' | 'identity'. Column collisions get
+        gpd's '_1'/'_2' suffixes; empty results are dropped; output index
+        is reset like geopandas.
+        """
+        ops = ("intersection", "difference", "union", "symmetric_difference", "identity")
+        if how not in ops:
+            raise ValueError(f"how must be one of {ops}")
+        if self.crs != other.crs:
+            raise ValueError(f"CRS mismatch in overlay: {self.crs} vs {other.crs}")
+
+        if how == "difference":
+            out = self._overlay_difference(other)
+            out.reset_index(drop=True, inplace=True)
+            out.crs = self.crs
+            return out
+
+        overlap = (set(self.columns) & set(other.columns)) - {"geometry"}
+        lren = {c: f"{c}_1" for c in overlap}
+        rren = {c: f"{c}_2" for c in overlap}
+        lcols = pd.DataFrame(self.drop(columns=["geometry"])).rename(columns=lren)
+        rcols = pd.DataFrame(other.drop(columns=["geometry"])).rename(columns=rren)
+
+        parts = []
+        if how in ("intersection", "union", "identity"):
+            li, ri = _candidate_pairs(self.bounds_array(), other.bounds_array())
+            lg, rg = list(self["geometry"]), list(other["geometry"])
+            rows_l, rows_r, geoms = [], [], []
+            for a, b in zip(li, ri):
+                ga, gb = lg[a], rg[b]
+                if ga is None or gb is None or ga.is_empty or gb.is_empty:
+                    continue
+                g = _poly.intersection(ga, gb)
+                if g.is_empty or g.area == 0.0:
+                    continue
+                rows_l.append(a)
+                rows_r.append(b)
+                geoms.append(g)
+            inter = pd.concat(
+                [
+                    lcols.iloc[rows_l].reset_index(drop=True),
+                    rcols.iloc[rows_r].reset_index(drop=True),
+                ],
+                axis=1,
+            )
+            inter["geometry"] = geoms
+            parts.append(inter)
+        if how in ("union", "identity", "symmetric_difference"):
+            donly = self._overlay_difference(other)
+            d = pd.DataFrame(donly.drop(columns=["geometry"])).rename(columns=lren)
+            d = d.reset_index(drop=True)
+            d["geometry"] = list(donly["geometry"])
+            parts.append(d)
+        if how in ("union", "symmetric_difference"):
+            ronly = other._overlay_difference(self)
+            r = pd.DataFrame(ronly.drop(columns=["geometry"])).rename(columns=rren)
+            r = r.reset_index(drop=True)
+            r["geometry"] = list(ronly["geometry"])
+            parts.append(r)
+
+        joined = pd.concat(parts, axis=0, ignore_index=True, sort=False)
+        out = GeoFrame(joined)
+        out.crs = self.crs
+        return out
+
+    def _overlay_difference(self, other: "GeoFrame") -> "GeoFrame":
+        """Rows of self with geometry minus every bbox-overlapping other
+        geometry; empty results dropped (gpd overlay 'difference')."""
+        ob = other.bounds_array()
+        og = list(other["geometry"])
+        sb = self.bounds_array()
+        rows, geoms = [], []
+        for i, g in enumerate(self["geometry"]):
+            if g is None or g.is_empty:
+                continue
+            res = g
+            for j in range(len(og)):
+                if og[j] is None or og[j].is_empty:
+                    continue
+                if sb[i, 0] > ob[j, 2] or sb[i, 2] < ob[j, 0] or sb[i, 1] > ob[j, 3] or sb[i, 3] < ob[j, 1]:
+                    continue
+                res = _poly.difference(res, og[j])
+                if res.is_empty:
+                    break
+            if res.is_empty or res.area == 0.0:
+                continue
+            rows.append(i)
+            geoms.append(res)
+        out = self.iloc[rows].copy()
+        out["geometry"] = geoms
+        out.crs = self.crs
+        return out
+
     def dissolve(self) -> "GeoFrame":
         merged = _poly.unary_union([g for g in self["geometry"] if g is not None])
         out = GeoFrame({"geometry": [merged]})

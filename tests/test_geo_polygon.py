@@ -232,3 +232,74 @@ def test_centroid_and_area_precision_at_projected_magnitudes():
     # area matches the same polygon at the origin
     p0 = Polygon([(x - ox, y - oy) for x, y in ring])
     assert abs(p.area - p0.area) < 1e-6
+
+
+def test_overlay_intersection_difference_union():
+    """GeoFrame.overlay matches gpd.overlay semantics on analytic cases
+    (reference consumers: src/utils.py:241-273, create_land_filter.py:134)."""
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.geo.boolean import union_area
+    from aquaculture_tpu.geo.polygon import box
+
+    A = gf.GeoFrame({"ida": [0, 1], "tag": ["a0", "a1"]},
+                    geometry=[box(0, 0, 4, 4), box(10, 0, 14, 4)], crs=3857)
+    B = gf.GeoFrame({"idb": [7], "tag": ["b"]},
+                    geometry=[box(2, 2, 12, 6)], crs=3857)
+
+    inter = A.overlay(B, how="intersection")
+    assert len(inter) == 2
+    assert sorted(round(g.area, 9) for g in inter["geometry"]) == [4.0, 4.0]
+    # gpd suffixes colliding columns _1/_2
+    assert {"ida", "idb", "tag_1", "tag_2"} <= set(inter.columns)
+
+    diff = A.overlay(B, how="difference")
+    assert len(diff) == 2
+    assert sum(g.area for g in diff["geometry"]) == pytest.approx(32 - 8, abs=1e-9)
+    assert set(diff.columns) == set(A.columns)  # no other-side columns
+
+    uni = A.overlay(B, how="union")
+    total = sum(g.area for g in uni["geometry"])
+    all_geoms = list(A["geometry"]) + list(B["geometry"])
+    assert total == pytest.approx(union_area(all_geoms), abs=1e-6)
+
+    sym = A.overlay(B, how="symmetric_difference")
+    assert sum(g.area for g in sym["geometry"]) == pytest.approx(
+        32 + 40 - 2 * 8, abs=1e-6
+    )
+
+    ident = A.overlay(B, how="identity")
+    assert sum(g.area for g in ident["geometry"]) == pytest.approx(32.0, abs=1e-6)
+
+
+def test_overlay_fuzz_area_invariants():
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.geo.boolean import union_area
+    from aquaculture_tpu.geo.polygon import box
+
+    rng = np.random.default_rng(11)
+    def rand_frame(ox, oy):
+        # internally-disjoint layer (grid cells, random sub-boxes): the
+        # union-partition invariant only holds when rows within a layer
+        # don't overlap each other (same as gpd.overlay)
+        geoms = []
+        for gx in range(3):
+            for gy in range(3):
+                x0, y0 = ox + 20 * gx, oy + 20 * gy
+                x = x0 + rng.uniform(0, 4)
+                y = y0 + rng.uniform(0, 4)
+                w, h = rng.uniform(6, 14, 2)
+                geoms.append(box(x, y, x + w, y + h))
+        return gf.GeoFrame({"k": range(9)}, geometry=geoms, crs=3857), geoms
+
+    A, ag = rand_frame(0, 0)
+    B, bg = rand_frame(7, 5)
+    uni = A.overlay(B, how="union")
+    # union pieces partition A ∪ B exactly (within lattice tolerance)
+    ua = union_area(ag + bg)
+    assert sum(g.area for g in uni["geometry"]) == pytest.approx(ua, rel=1e-4)
+    diff = A.overlay(B, how="difference")
+    inter_ab = union_area(ag) - sum(g.area for g in diff["geometry"])
+    sym = A.overlay(B, how="symmetric_difference")
+    assert sum(g.area for g in sym["geometry"]) == pytest.approx(
+        ua - inter_ab, rel=1e-4
+    )
