@@ -264,6 +264,18 @@ class GeoFrame(pd.DataFrame):
         out.crs = self.crs
         return out
 
+    def buffer(self, distance: float, quad_segs: int = 8) -> "GeoFrame":
+        """Row-wise geometry buffer (gpd GeoSeries.buffer equivalent;
+        reference: world_shorelines.buffer(2000),
+        download_french_data.py:224). Returns a new frame."""
+        out = self.copy()
+        out["geometry"] = [
+            (g.buffer(distance, quad_segs) if g is not None else None)
+            for g in self["geometry"]
+        ]
+        out.crs = self.crs
+        return out
+
     def dissolve(self) -> "GeoFrame":
         merged = _poly.unary_union([g for g in self["geometry"] if g is not None])
         out = GeoFrame({"geometry": [merged]})

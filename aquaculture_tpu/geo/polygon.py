@@ -35,12 +35,16 @@ class Geometry:
     def bounds(self):
         raise NotImplementedError
 
-    def buffer(self, distance: float) -> "Geometry":
-        # Only buffer(0) (validity no-op, reference utils_tonnage.py:1017) is
-        # supported; geometries here are always valid by construction.
+    def buffer(self, distance: float, quad_segs: int = 8) -> "Geometry":
+        """Dilation/erosion via edge capsules on the boolean engine
+        (geo/buffer.py). buffer(0) is the reference's validity no-op
+        (utils_tonnage.py:1017); buffer(2000) widens shorelines before
+        coastal tiling (download_french_data.py:223-227)."""
         if distance == 0:
             return self
-        raise NotImplementedError("Only buffer(0) is supported")
+        from aquaculture_tpu.geo.buffer import buffer as _buffer
+
+        return _buffer(self, distance, quad_segs)
 
     def intersects(self, other: "Geometry") -> bool:
         return intersects(self, other)
