@@ -88,20 +88,29 @@ def _prepare_candidates(pred, conf_thresh, pre_topk, class_agnostic, multi_label
     cls_scores = pred[:, 5:] * obj[:, None]
     pool = pred.shape[0] * nc if (multi_label and nc > 1) else pred.shape[0]
     k = min(pre_topk, pool)
+    # One fused row gather after top_k: gathers are serial-ish HBM traffic
+    # on TPU, and prep (top_k + gathers) dominates the NMS-side serving
+    # cost (BENCH_ABLATION fwd_prep), so the cxy/wh/cls column gathers are
+    # packed into a single (k, 5) take.
     if multi_label and nc > 1:
         score_mat = jnp.where(cls_scores >= conf_thresh, cls_scores, -1.0)  # (N, nc)
         top_scores, flat_idx = jax.lax.top_k(score_mat.reshape(-1), k)
         top_idx = flat_idx // nc
         cls_top = flat_idx % nc
+        sel = jnp.take(pred[:, 0:4], top_idx, axis=0)               # (k, 4)
+        cxy, wh = sel[:, 0:2], sel[:, 2:4]
     else:
         cls_id = jnp.argmax(cls_scores, axis=-1)
         conf = jnp.max(cls_scores, axis=-1) if nc > 1 else cls_scores[:, 0]
         score = jnp.where(conf >= conf_thresh, conf, -1.0)
         top_scores, top_idx = jax.lax.top_k(score, k)
-        cls_top = cls_id[top_idx]
+        base = jnp.concatenate(
+            [pred[:, 0:4], cls_id.astype(jnp.float32)[:, None]], axis=1
+        )                                                            # (N, 5)
+        sel = jnp.take(base, top_idx, axis=0)                        # (k, 5)
+        cxy, wh = sel[:, 0:2], sel[:, 2:4]
+        cls_top = sel[:, 4].astype(jnp.int32)
     valid = top_scores > 0
-    cxy = pred[top_idx, 0:2]
-    wh = pred[top_idx, 2:4]
     boxes = jnp.concatenate([cxy - wh / 2.0, cxy + wh / 2.0], axis=-1)
     nms_boxes = boxes
     if not class_agnostic:

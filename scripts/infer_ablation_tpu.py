@@ -75,9 +75,13 @@ def run(config: str) -> dict:
         if config == "fwd_decode":
             return preds.sum()
         if config in ("fwd_prep", "fwd_prep_supp"):
-            # NB: `from aquaculture_tpu.ops import nms` resolves the
-            # re-exported FUNCTION; import the module explicitly.
-            import aquaculture_tpu.ops.nms as N
+            # NB: both `from aquaculture_tpu.ops import nms` AND
+            # `import aquaculture_tpu.ops.nms as N` resolve the function
+            # re-exported by ops/__init__ (PEP 328 getattr binding); only
+            # importlib reliably returns the MODULE.
+            import importlib
+
+            N = importlib.import_module("aquaculture_tpu.ops.nms")
 
             prep = jax.vmap(
                 lambda p: N._prepare_candidates(

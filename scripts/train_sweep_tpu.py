@@ -27,6 +27,10 @@ CONFIGS = [
     (128, True, "bfloat16"),
     (192, True, "bfloat16"),
     (256, True, "bfloat16"),
+    # round-2b retries: non-remat large batches (the remat variants hit a
+    # compile-helper HTTP 500 in this environment — env failure, not HBM)
+    (192, False, "bfloat16"),
+    (256, False, "bfloat16"),
 ]
 IMG = 640
 WARMUP = 2
