@@ -66,6 +66,21 @@ class GeoFrame(pd.DataFrame):
             dtype=np.float64,
         ).reshape(-1, 4)
 
+    @property
+    def total_bounds(self) -> np.ndarray:
+        """(xmin, ymin, xmax, ymax) over all rows (gpd total_bounds;
+        reference: FacilitiesMaps.py:47,204,245)."""
+        b = self.bounds_array()
+        with np.errstate(invalid="ignore"):
+            return np.array(
+                [
+                    np.nanmin(b[:, 0]),
+                    np.nanmin(b[:, 1]),
+                    np.nanmax(b[:, 2]),
+                    np.nanmax(b[:, 3]),
+                ]
+            )
+
     # -- CRS ------------------------------------------------------------------
 
     def to_crs(self, crs, inplace: bool = False):

@@ -320,6 +320,16 @@ class Polygon(Geometry):
         return Point(num_x / den + ox, num_y / den + oy)
 
     @property
+    def boundary(self) -> List["LineString"]:
+        """Boundary rings as closed LineStrings (exterior first, then
+        holes) — consumable by geo.lines.linemerge/polygonize. The
+        reference feeds polygon boundaries into its line-dissection
+        (create_land_filter.py:105,119); shapely returns a
+        (Multi)LineString, here it is a plain list."""
+        rings = [self.exterior, *self.holes]
+        return [LineString(_close_ring(r)) for r in rings]
+
+    @property
     def is_rectangle(self) -> bool:
         """True for an axis-aligned solid rectangle (4 vertices spanning the
         bounds, no holes). Enables the sjoin fast path: for two rectangles,
@@ -420,6 +430,11 @@ class MultiPolygon(Geometry):
             return Point(float(cs[:, 0].mean()), float(cs[:, 1].mean()))
         w = areas / areas.sum()
         return Point(float(np.dot(w, cs[:, 0])), float(np.dot(w, cs[:, 1])))
+
+    @property
+    def boundary(self) -> List["LineString"]:
+        """All member boundary rings, flattened (see Polygon.boundary)."""
+        return [ls for p in self.geoms for ls in p.boundary]
 
     def contains_point(self, x: float, y: float) -> bool:
         return any(p.contains_point(x, y) for p in self.geoms)

@@ -303,3 +303,26 @@ def test_overlay_fuzz_area_invariants():
     assert sum(g.area for g in sym["geometry"]) == pytest.approx(
         ua - inter_ab, rel=1e-4
     )
+
+
+def test_boundary_and_total_bounds():
+    from aquaculture_tpu import frame as gf
+
+    ring = P.Polygon(P.box(0, 0, 10, 10).exterior, [P.box(3, 3, 5, 5).exterior])
+    b = ring.boundary
+    assert len(b) == 2 and all(isinstance(l, P.LineString) for l in b)
+    assert b[0].length == pytest.approx(40.0)
+    assert b[1].length == pytest.approx(8.0)
+    # closed rings: polygonize can rebuild the polygon from its boundary
+    from aquaculture_tpu.geo.lines import polygonize
+    polys = polygonize(b)
+    assert sum(p.area for p in polys) == pytest.approx(100 + 4, abs=1e-9) or \
+           sum(p.area for p in polys) == pytest.approx(100, abs=1e-9)
+
+    mp = P.MultiPolygon([P.box(0, 0, 1, 1), P.box(2, 2, 3, 3)])
+    assert len(mp.boundary) == 2
+
+    A = gf.GeoFrame({"k": [0, 1]},
+                    geometry=[P.box(0, 0, 4, 4), P.box(10, -2, 14, 3)], crs=3857)
+    tb = A.total_bounds
+    np.testing.assert_allclose(tb, [0, -2, 14, 4])
