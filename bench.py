@@ -34,9 +34,10 @@ import numpy as np
 
 # v5e findings (pallas NMS backend): batch sweep 32/64/128 -> 885/1230/1509
 # tiles/s at short (2-batch) timing windows; 8-batch windows measure the
-# steady state at ~1730 (short windows count a per-sync stall). int8 PTQ
-# (models.quantize) measures ~1749 — end-to-end parity with bf16 at these
-# layer sizes, so the benchmark runs the simpler bf16 config.
+# steady state (~1730 round 1; ~1846 round 2b after the fused-gather NMS
+# prep — BENCHMARKS.md). int8 PTQ (models.quantize) measured end-to-end
+# parity with bf16 at these layer sizes, so the benchmark runs the simpler
+# bf16 config.
 BATCH = 128
 INT8 = False
 IMG = 640
