@@ -74,8 +74,7 @@ def build_land_filter(
     for i, f in enumerate(faces):
         if any(f is p for p in primary):
             continue
-        if land_overlap(f) <= 0:
-            continue
+        # faces was prefiltered to land_overlap > 0 above — no re-check.
         covered = max(_poly.intersection_area(f, p) for p in primary)
         if covered / max(f.area, 1e-12) < 0.5:
             islands.append(f)

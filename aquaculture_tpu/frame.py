@@ -69,8 +69,12 @@ class GeoFrame(pd.DataFrame):
     @property
     def total_bounds(self) -> np.ndarray:
         """(xmin, ymin, xmax, ymax) over all rows (gpd total_bounds;
-        reference: FacilitiesMaps.py:47,204,245)."""
+        reference: FacilitiesMaps.py:47,204,245). Matches geopandas on the
+        edge cases: an empty or all-missing-geometry frame returns a NaN
+        array (no exception, no all-NaN-slice warning)."""
         b = self.bounds_array()
+        if len(b) == 0 or np.all(np.isnan(b)):
+            return np.full(4, np.nan)
         with np.errstate(invalid="ignore"):
             return np.array(
                 [

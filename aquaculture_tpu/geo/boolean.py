@@ -684,8 +684,17 @@ def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str) -> _p
     Result hole nesting is reconstructed from sweep depth.
     """
     operation = _OPS[op]
-    s_empty = subject.is_empty or not isinstance(subject, (_poly.Polygon, _poly.MultiPolygon))
-    c_empty = clipping.is_empty or not isinstance(clipping, (_poly.Polygon, _poly.MultiPolygon))
+    for g, name in ((subject, "subject"), (clipping, "clipping")):
+        if not g.is_empty and not isinstance(g, (_poly.Polygon, _poly.MultiPolygon)):
+            # Silently treating a Point/LineString operand as empty would
+            # corrupt union/xor results (the operand vanishes from the
+            # dissolve); fail loudly like the pre-overlay engine did.
+            raise TypeError(
+                f"boolean_op {name} operand must be polygonal (Polygon/"
+                f"MultiPolygon/Empty), got {type(g).__name__}"
+            )
+    s_empty = subject.is_empty
+    c_empty = clipping.is_empty
     if s_empty and c_empty:
         return _poly.EMPTY
     if s_empty:

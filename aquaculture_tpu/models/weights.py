@@ -201,8 +201,12 @@ def _load_pt_no_torch(path: str) -> Dict[str, np.ndarray]:
         raw = zf.read(f"{root}data/{key}")
         if sname == "BFloat16Storage":
             arr = _bf16_to_f32(raw)
+        elif sname in dtype_map:
+            arr = np.frombuffer(raw, dtype=dtype_map[sname])
         else:
-            arr = np.frombuffer(raw, dtype=dtype_map.get(sname, np.float32))
+            # Reinterpreting an unknown storage byte-wise as f32 would load
+            # garbage silently; fail with the checkpoint's actual type.
+            raise ValueError(f"unsupported torch storage type in checkpoint: {sname}")
         n = int(np.prod(size)) if size else 1
         if size and stride:
             flat = arr[offset:]

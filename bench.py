@@ -98,15 +98,6 @@ def main() -> None:
         params = model.fuse(params)
         cfg = DetectConfig()
         metric = "yolov5m_640px_infer_nms_tiles_per_sec_per_chip"
-    if int8:
-        from aquaculture_tpu.models.quantize import quantize_model
-
-        calib = jnp.asarray(
-            np.random.default_rng(1).random((2, IMG, IMG, 3), dtype=np.float32)
-        )
-        params = quantize_model(model, params, calib)
-        metric = metric.replace("infer_nms", "int8_infer_nms")
-
     def infer(params, images):
         preds, _ = model.apply(params, images.astype(jnp.bfloat16))
         return batched_nms(
@@ -142,6 +133,16 @@ def main() -> None:
         images = jnp.asarray(np.stack(imgs))
     else:
         images = jnp.asarray(rng.random((batch, IMG, IMG, 3), dtype=np.float32))
+
+    if int8:
+        from aquaculture_tpu.models.quantize import quantize_model
+
+        # Calibrate activation scales on the SAME distribution the run
+        # infers on: real tiles in --trained mode (noise-calibrated scales
+        # clip a trained net's activations), noise otherwise.
+        calib = images[:2]
+        params = quantize_model(model, params, calib)
+        metric = metric.replace("infer_nms", "int8_infer_nms")
 
     images = jax.device_put(images)
     params = jax.device_put(params)

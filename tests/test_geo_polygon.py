@@ -326,3 +326,31 @@ def test_boundary_and_total_bounds():
                     geometry=[P.box(0, 0, 4, 4), P.box(10, -2, 14, 3)], crs=3857)
     tb = A.total_bounds
     np.testing.assert_allclose(tb, [0, -2, 14, 4])
+
+    # gpd edge-case parity: empty / all-missing frames -> NaN array, no raise
+    import warnings
+
+    empty = gf.GeoFrame({"geometry": []})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert np.all(np.isnan(empty.total_bounds))
+        allnone = gf.GeoFrame({"geometry": [None, None]})
+        assert np.all(np.isnan(allnone.total_bounds))
+
+
+def test_boolean_op_rejects_non_polygonal_operands():
+    import pytest as _pt
+
+    from aquaculture_tpu.geo.boolean import boolean_op
+
+    pt = P.Point(100.0, 100.0)
+    bx = P.box(0, 0, 1, 1)
+    # Silently dropping a Point operand from union/xor would corrupt the
+    # dissolve; the engine fails loudly instead.
+    for op in ("union", "xor", "intersection", "difference"):
+        with _pt.raises(TypeError):
+            boolean_op(pt, bx, op)
+        with _pt.raises(TypeError):
+            boolean_op(bx, pt, op)
+    # Empty stays a legal operand
+    assert boolean_op(P.EMPTY, bx, "union").area == 1.0
