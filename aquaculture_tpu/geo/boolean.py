@@ -737,14 +737,33 @@ def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str) -> _p
             [np.round((r[:, 0] - cx) * f), np.round((r[:, 1] - cy) * f)], axis=1
         )
 
-    queue = _fill_queue(
-        [_fwd(r) for r in _geometry_rings(subject)],
-        [_fwd(r) for r in _geometry_rings(clipping)],
-    )
+    subj_rings = [_fwd(r) for r in _geometry_rings(subject)]
+    clip_rings = [_fwd(r) for r in _geometry_rings(clipping)]
     s_maxx_t = (sb[2] - cx) * f + 1.0
     minmaxx_t = (min(sb[2], cb[2]) - cx) * f + 1.0
-    sorted_events = _subdivide(queue, operation, s_maxx_t, minmaxx_t)
-    contours = _connect_edges(sorted_events)
+
+    # The sweep itself runs in C++ when libaquatile.so is present (the
+    # GEOS-equivalent native component; same algorithm on the same lattice,
+    # differential-tested against this module's Python sweep), else here.
+    from aquaculture_tpu.geo import native_boolean
+
+    native = native_boolean.sweep_native(
+        subj_rings, clip_rings, operation, s_maxx_t, minmaxx_t
+    )
+    if native is not None:
+        contours = []
+        for pts, hole_of in native:
+            c = _Contour()
+            c.points = [(float(x), float(y)) for x, y in pts]
+            c.hole_of = hole_of if hole_of >= 0 else None
+            contours.append(c)
+        for cid, c in enumerate(contours):
+            if c.hole_of is not None:
+                contours[c.hole_of].hole_ids.append(cid)
+    else:
+        queue = _fill_queue(subj_rings, clip_rings)
+        sorted_events = _subdivide(queue, operation, s_maxx_t, minmaxx_t)
+        contours = _connect_edges(sorted_events)
     inv = 1.0 / f
     for c in contours:
         c.points = [(x * inv + cx, y * inv + cy) for x, y in c.points]

@@ -73,7 +73,24 @@ def nms(
     return _compact(boxes, cls_top, top_scores, keep, max_det)
 
 
-def _prepare_candidates(pred, conf_thresh, pre_topk, class_agnostic, multi_label=False):
+def _select_topk(score: jnp.ndarray, k: int, approx: bool):
+    """Exact or approximate top-k over the candidate pool.
+
+    approx=True uses the TPU-native binned reduction (lax.approx_max_k,
+    aggregate_to_topk so the returned set is score-sorted — greedy NMS
+    causality needs descending order). It can miss candidates near the
+    k-th rank boundary (recall_target=0.95 per element); with a conf
+    threshold zeroing most of the pool the realistic candidate count is
+    << k and the selected set matches exact top-k in practice — A/B'd on
+    the trained demo checkpoint before enabling anywhere.
+    """
+    if approx:
+        return jax.lax.approx_max_k(score, k, recall_target=0.95)
+    return jax.lax.top_k(score, k)
+
+
+def _prepare_candidates(pred, conf_thresh, pre_topk, class_agnostic, multi_label=False,
+                        approx_topk=False):
     """Single image candidate selection: returns (boxes xyxy, nms_boxes
     with class offsets, top_scores, cls ids, valid).
 
@@ -94,7 +111,7 @@ def _prepare_candidates(pred, conf_thresh, pre_topk, class_agnostic, multi_label
     # packed into a single (k, 5) take.
     if multi_label and nc > 1:
         score_mat = jnp.where(cls_scores >= conf_thresh, cls_scores, -1.0)  # (N, nc)
-        top_scores, flat_idx = jax.lax.top_k(score_mat.reshape(-1), k)
+        top_scores, flat_idx = _select_topk(score_mat.reshape(-1), k, approx_topk)
         top_idx = flat_idx // nc
         cls_top = flat_idx % nc
         sel = jnp.take(pred[:, 0:4], top_idx, axis=0)               # (k, 4)
@@ -103,7 +120,7 @@ def _prepare_candidates(pred, conf_thresh, pre_topk, class_agnostic, multi_label
         cls_id = jnp.argmax(cls_scores, axis=-1)
         conf = jnp.max(cls_scores, axis=-1) if nc > 1 else cls_scores[:, 0]
         score = jnp.where(conf >= conf_thresh, conf, -1.0)
-        top_scores, top_idx = jax.lax.top_k(score, k)
+        top_scores, top_idx = _select_topk(score, k, approx_topk)
         base = jnp.concatenate(
             [pred[:, 0:4], cls_id.astype(jnp.float32)[:, None]], axis=1
         )                                                            # (N, 5)
@@ -152,6 +169,7 @@ def batched_nms(
     class_agnostic: bool = False,
     backend: str = "auto",
     multi_label: bool = False,
+    approx_topk: bool = False,
 ):
     """Batched NMS over (B, N, 5+nc) -> ((B, max_det, 6), (B, max_det)).
 
@@ -160,12 +178,15 @@ def batched_nms(
     vmapped fori-loop path; 'pallas' forces the kernel.
     multi_label: one candidate per (box, class) above conf_thresh
     (ultralytics val.py semantics) instead of argmax-class.
+    approx_topk: TPU-native approximate candidate selection (see
+    _select_topk) — measured A/B before use; off by default.
     """
     k = min(pre_topk, preds.shape[1] if not multi_label else preds.shape[1] * (preds.shape[2] - 5))
     use_pallas = backend == "pallas" or (backend == "auto" and _pallas_supported(k))
 
     prep = jax.vmap(
-        lambda p: _prepare_candidates(p, conf_thresh, k, class_agnostic, multi_label)
+        lambda p: _prepare_candidates(p, conf_thresh, k, class_agnostic, multi_label,
+                                      approx_topk)
     )
     boxes, nms_boxes, top_scores, cls_top, valid = prep(preds)
 

@@ -26,6 +26,8 @@ CONFIGS = [
     # round-2b: NMS-internal attribution (prep = conf/top_k/gather;
     # supp = Pallas greedy scan; full adds the max_det compaction top_k)
     "fwd_prep", "fwd_prep_supp", "full_v2",
+    # round-2c: TPU-native approximate candidate top_k (lax.approx_max_k)
+    "full_approx",
 ]
 BATCH = 128
 IMG = 640
@@ -101,6 +103,7 @@ def run(config: str) -> dict:
             iou_thresh=cfg.iou_threshold,
             max_det=cfg.max_detections,
             pre_topk=cfg.pre_nms_topk,
+            approx_topk=(config == "full_approx"),
         )
 
     try:

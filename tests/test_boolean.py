@@ -206,6 +206,60 @@ def test_fuzz_boolean_invariants():
         assert abs(gi.area - ti) < tol, (trials, a.exterior, b.exterior)
 
 
+def test_native_sweep_matches_python_sweep():
+    """Differential test: the C++ sweep (native/src/booleanop.cc) and the
+    Python sweep are the same algorithm on the same lattice, so on every
+    random operand pair their results must agree (area to float-exact
+    tolerance, polygon count, hole count)."""
+    from aquaculture_tpu.geo import native_boolean
+
+    if native_boolean.load_library() is None:
+        pytest.skip("libaquatile.so not built")
+
+    def _stats(g):
+        polys = g.geoms if isinstance(g, P.MultiPolygon) else ([] if g.is_empty else [g])
+        return (len(polys), sum(len(p.holes) for p in polys), g.area)
+
+    def _both(a, b, op):
+        g_native = boolean_op(a, b, op)
+        lib, native_boolean._lib = native_boolean._lib, None
+        try:
+            g_py = boolean_op(a, b, op)
+        finally:
+            native_boolean._lib = lib
+        return g_native, g_py
+
+    rng = np.random.default_rng(77)
+    trials = 0
+    while trials < 120:
+        kind = trials % 3
+        if kind == 0:
+            a, b = _rand_star(rng), _rand_star(rng)
+        elif kind == 1:
+            a, b = _rand_star(rng), _rand_hull_int(rng)
+        else:
+            a, b = _rand_hull_int(rng), _rand_hull_int(rng)
+        if a is None or b is None or a.is_empty or b.is_empty:
+            continue
+        if not (_is_simple(a) and _is_simple(b)):
+            continue
+        trials += 1
+        for op in ("intersection", "union", "difference", "xor"):
+            gn, gp = _both(a, b, op)
+            n_n, h_n, a_n = _stats(gn)
+            n_p, h_p, a_p = _stats(gp)
+            tol = 1e-9 * max(a.area, b.area) + 1e-12
+            assert abs(a_n - a_p) < tol, (trials, op, a_n, a_p)
+            assert (n_n, h_n) == (n_p, h_p), (trials, op, (n_n, h_n), (n_p, h_p))
+
+    # hole-bearing operands through both engines
+    ring = P.Polygon(P.box(0, 0, 20, 20).exterior, [P.box(5, 5, 15, 15).exterior])
+    other = P.Polygon([(10, -2), (24, 10), (10, 22), (3, 10)])
+    for op in ("intersection", "union", "difference", "xor"):
+        gn, gp = _both(ring, other, op)
+        assert gn.area == pytest.approx(gp.area, abs=1e-9)
+
+
 def test_hole_bearing_operands():
     """Operands that THEMSELVES carry holes (boolean.py:683 contract):
     ring ∩ ring, ring ∪ ring, ring − solid, validated against the raster

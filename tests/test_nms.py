@@ -166,6 +166,23 @@ def test_batched_nms_shape():
     assert valid.shape == (4, 20)
 
 
+def test_batched_nms_approx_topk_agrees_when_pool_sparse():
+    """approx_topk selects via lax.approx_max_k; with far fewer
+    above-threshold candidates than pre_topk the selected set (and thus
+    the final detections) must match the exact path. This is the regime
+    the serving pipeline runs in (conf filter zeroes most of the 25,200
+    anchors); the TPU throughput A/B lives in scripts/infer_ablation_tpu.py."""
+    rng = np.random.default_rng(7)
+    preds = np.stack([_make_preds(rng, n=4000) for _ in range(3)])
+    # push most candidates below threshold
+    preds[..., 4] *= rng.random(preds.shape[:2]) < 0.02
+    kw = dict(conf_thresh=0.25, iou_thresh=0.45, max_det=50, pre_topk=512)
+    det_e, val_e = batched_nms(jnp.asarray(preds), **kw)
+    det_a, val_a = batched_nms(jnp.asarray(preds), approx_topk=True, **kw)
+    np.testing.assert_array_equal(np.asarray(val_e), np.asarray(val_a))
+    np.testing.assert_allclose(np.asarray(det_e), np.asarray(det_a), atol=1e-6)
+
+
 def test_letterbox_square_1024_to_640():
     img = jnp.ones((1024, 1024, 3), jnp.uint8) * 200
     out, gain, pad = letterbox(img, 640)
