@@ -171,6 +171,9 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(value / BASELINE_IMG_PER_S, 3),
+        # The reference publishes no throughput (BASELINE.json published: {});
+        # the denominator is a literature anchor, not a measured baseline.
+        "baseline_kind": "literature_anchor_v100_140imgs",
         "ms_per_batch": round(1000.0 * batch / value, 2),
         "batch": batch,
     }

@@ -259,6 +259,35 @@ def test_native_sweep_matches_python_sweep():
         gn, gp = _both(ring, other, op)
         assert gn.area == pytest.approx(gp.area, abs=1e-9)
 
+    # adversarial degeneracies through both engines: shared edges, slivers,
+    # vertex-on-edge chains, nested rings touching their shell
+    tri = P.Polygon([(0, 0), (8, 0), (4, 6)])
+    adversarial = [
+        (P.box(0, 0, 4, 4), P.box(4, 0, 8, 4)),                 # full shared edge
+        (P.box(0, 0, 4, 4), P.box(2, 4, 6, 8)),                 # partial edge touch
+        (tri, P.Polygon([(0, 0), (8, 0), (4, -6)])),            # shared base edge
+        (tri, P.Polygon([(2, 0), (6, 0), (4, 3)])),             # collinear sub-edge + interior apex
+        (P.box(0, 0, 10, 1e-4), P.box(5, -1, 6, 1)),            # sliver crossing
+        (P.Polygon([(0, 0), (10, 0), (10, 10), (5, 5), (0, 10)]),  # notch vertex on edge
+         P.Polygon([(5, 5), (15, 5), (15, 15), (5, 15)])),
+        (ring, P.box(5, 5, 15, 15)),                            # clip exactly the hole
+        (ring, P.Polygon(P.box(2, 2, 18, 18).exterior, [P.box(6, 6, 14, 14).exterior])),
+    ]
+    for a, b in adversarial:
+        for op in ("intersection", "union", "difference", "xor"):
+            gn, gp = _both(a, b, op)
+            tol = 1e-9 * max(a.area, b.area, 1.0)
+            assert abs(gn.area - gp.area) < tol, (op, a.exterior[:3], gn.area, gp.area)
+            assert _stats(gn)[:2] == _stats(gp)[:2], (op, _stats(gn), _stats(gp))
+
+    # and a few known-value checks so the degenerate cases are CORRECT,
+    # not just engine-consistent
+    assert boolean_op(P.box(0, 0, 4, 4), P.box(4, 0, 8, 4), "union").area == pytest.approx(32.0, abs=1e-9)
+    assert boolean_op(P.box(0, 0, 4, 4), P.box(4, 0, 8, 4), "intersection").area == pytest.approx(0.0, abs=1e-9)
+    assert boolean_op(ring, P.box(5, 5, 15, 15), "intersection").area == pytest.approx(0.0, abs=1e-6)
+    assert boolean_op(ring, P.box(5, 5, 15, 15), "union").area == pytest.approx(400.0, abs=1e-6)
+    assert boolean_op(tri, P.Polygon([(2, 0), (6, 0), (4, 3)]), "intersection").area == pytest.approx(6.0, rel=1e-6)
+
 
 def test_hole_bearing_operands():
     """Operands that THEMSELVES carry holes (boolean.py:683 contract):
