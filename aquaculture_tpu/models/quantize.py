@@ -47,7 +47,7 @@ def calibrate(model, fused_params, sample_images) -> Dict[int, float]:
 _SHORTCUT_C3 = ("b2", "b4", "b6", "b8")
 
 
-def quantize(fused_params, calib: Dict, default_xscale: float = 1.0):
+def quantize(fused_params, calib: Dict, default_xscale: float = 1.0, skip=()):
     """Fused {w, b} conv dicts -> int8 dicts for the PIPELINED serving path.
 
     Each quantized conv carries {wq, wscale, xscale, b, yscale}: weights
@@ -58,6 +58,13 @@ def quantize(fused_params, calib: Dict, default_xscale: float = 1.0):
     the bottleneck requantizes the SUM at its own calibrated scale
     (sum_yscale). Convs without calibration stats and the detect head stay
     in floating point.
+
+    skip: top-level layer names (e.g. ("b0", "b1", ..., "b4")) kept in
+    floating point — the mixed-precision serving variant: the early
+    large-spatial/small-channel layers tile poorly in int8 (BENCHMARKS.md
+    int8 A/B), so skipping them keeps bf16 where bf16 wins and int8 where
+    the MXU int8 rate pays. A float->int8 boundary re-enters via the
+    conv's calibrated xscale; qcat dequantizes mixed concat inputs.
     """
 
     def qconv(node, with_yscale: bool = True):
@@ -97,13 +104,19 @@ def quantize(fused_params, calib: Dict, default_xscale: float = 1.0):
             return type(node)(walk(v, shortcut_c3) for v in node)
         return node
 
-    out = walk(fused_params)
+    if skip and isinstance(fused_params, dict):
+        out = {
+            k: (v if k in skip else walk(v, k in _SHORTCUT_C3))
+            for k, v in fused_params.items()
+        }
+    else:
+        out = walk(fused_params)
     # The detect head feeds the box decode: always keep it floating point.
     if isinstance(out, dict) and "head" in out:
         out["head"] = fused_params["head"]
     return out
 
 
-def quantize_model(model, fused_params, sample_images):
+def quantize_model(model, fused_params, sample_images, skip=()):
     """calibrate + quantize in one call."""
-    return quantize(fused_params, calibrate(model, fused_params, sample_images))
+    return quantize(fused_params, calibrate(model, fused_params, sample_images), skip=skip)

@@ -82,6 +82,33 @@ def test_full_model_quantized_agreement():
     assert np.median(np.abs(xy_f - xy_q)) < 2.0
 
 
+def test_mixed_precision_skip_prefix():
+    """skip=(early layers) keeps them float; agreement with the full-float
+    model must be at least as good as full int8 (fewer quantized stages)."""
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    fused = model.fuse(params)
+    rng = np.random.default_rng(3)
+    calib_imgs = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    skip = ("b0", "b1", "b2", "b3", "b4")
+    qmix = quantize_model(model, fused, calib_imgs, skip=skip)
+    # b0..b4 stay float (no int8 leaf anywhere in the subtree), b5+ quantized
+    import jax
+
+    for k in skip:
+        assert not any(
+            a.dtype == np.int8 for a in jax.tree_util.tree_leaves(qmix[k])
+        ), k
+    assert "wq" in qmix["b5"]
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    p_f, _ = model.apply(fused, x)
+    p_m, _ = model.apply(qmix, x)
+    a = np.asarray(p_f, np.float32).ravel()
+    b = np.asarray(p_m, np.float32).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.99, cos
+
+
 def test_head_stays_float():
     model, params = yolov5_init("n", num_classes=2, seed=0)
     fused = model.fuse(params)
