@@ -47,22 +47,36 @@ def classify_facilities(
     return fac
 
 
-def unique_locations(facilities: "gf.GeoFrame", radius_m: float = 500.0) -> int:
-    """Count spatially-unique facility locations across periods: greedy
-    dedup of centroids within radius (reference get_true_facilities
-    sjoin-dedup semantics)."""
-    pts = np.asarray([[g.centroid.x, g.centroid.y] for g in facilities.to_crs(3857)["geometry"]])
-    if len(pts) == 0:
+def unique_locations(facilities: "gf.GeoFrame", radius_m: float = 0.0) -> int:
+    """Count spatially-unique facility locations across periods.
+
+    Reference-exact semantics (count_unique_locations,
+    FacilitiesMaps.py:97-114): facilities whose BOUNDS boxes intersect
+    collapse, greedily in ascending row order — a facility is unique unless
+    an earlier unique facility's box group already claimed it.
+
+    radius_m optionally pads each bounds box (the reference operates on
+    cage-extent boxes; pass a radius when the geometries are bare centroid
+    points with no extent)."""
+    f = facilities.to_crs(3857)
+    n = len(f)
+    if n == 0:
         return 0
-    taken = np.zeros(len(pts), bool)
-    count = 0
-    for i in range(len(pts)):
-        if taken[i]:
+    boxes = []
+    for g in f["geometry"]:
+        x0, y0, x1, y1 = g.bounds
+        boxes.append(_poly.box(x0 - radius_m, y0 - radius_m, x1 + radius_m, y1 + radius_m))
+    bf = gf.GeoFrame({"fid": np.arange(n)}, geometry=boxes, crs=3857)
+    joined = bf.sjoin(bf, how="inner", predicate="intersects")
+    groups = joined.groupby("fid_left")["fid_right"].apply(lambda x: sorted(set(x)))
+    unique = 0
+    nonunique: set = set()
+    for left in groups.index:  # ascending, like the reference's groupby walk
+        if left in nonunique:
             continue
-        d = np.hypot(pts[:, 0] - pts[i, 0], pts[:, 1] - pts[i, 1])
-        taken |= d <= radius_m
-        count += 1
-    return count
+        unique += 1
+        nonunique.update(groups.loc[left])
+    return unique
 
 
 def plot_facility_map(

@@ -106,13 +106,25 @@ def test_trujillo_classification_and_unique_locations():
     tagged = classify_facilities(fac, boxes)
     assert tagged["status"].tolist() == ["known", "additional"]
     assert unique_locations(fac) == 2
-    # two nearby points collapse to one unique location
+    # two nearby points collapse to one with a padding radius (bare
+    # centroids have no cage extent)
     fac2 = gf.GeoFrame(
         {"pass": ["a", "b"]},
         geometry=[_poly.Point(0.0, 0.0), _poly.Point(100.0, 0.0)],
         crs=3857,
     )
-    assert unique_locations(fac2) == 1
+    assert unique_locations(fac2, radius_m=500.0) == 1
+    assert unique_locations(fac2) == 2
+
+    # reference-exact greedy over intersecting bounds boxes
+    # (FacilitiesMaps.py:97-114): A-B overlap, B-C overlap, A-C disjoint
+    # -> A claims B, C stays unique -> 2
+    chain = gf.GeoFrame(
+        {"pass": ["a", "b", "c"]},
+        geometry=[_poly.box(0, 0, 10, 10), _poly.box(8, 0, 18, 10), _poly.box(16, 0, 26, 10)],
+        crs=3857,
+    )
+    assert unique_locations(chain) == 2
 
 
 def test_facility_maps_outputs(tmp_path):
