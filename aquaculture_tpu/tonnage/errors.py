@@ -49,7 +49,16 @@ def compute_cage_area_estimates_gdf(gdf: "gf.GeoFrame", im_width: int = 1024, im
 
 def get_cage_area_errors_from_labels(query: "gf.GeoFrame", key: "gf.GeoFrame") -> pd.Series:
     """Per-detection error = best-overlap label area - detection area
-    (reference utils_tonnage.py:284-327). Unmatched detections are dropped."""
+    (reference utils_tonnage.py:284-327). Unmatched detections are dropped.
+
+    Deliberate divergence from the reference: its overlap ranking
+    intersects the 3035-projected query geometry with ``geometry_key``
+    copied BEFORE ``to_crs`` (utils_tonnage.py:300,310-315) — geopandas
+    transforms only the active geometry column, so the operands live in
+    different CRSs, every overlap evaluates to 0, and "keep the highest
+    overlap" degenerates to an unstable-sort-scrambled join order. Here the
+    overlap is computed with both operands in EPSG:3035, so multi-match
+    detections deterministically keep their true best-overlap label."""
     query = query.copy().reset_index(drop=True)
     query["index"] = query.index
     query.crs = query.crs or CRS_AREA
