@@ -22,14 +22,18 @@ from aquaculture_tpu.tonnage.facility import (
     modify_cage_list_using_geometry,
 )
 
-# Period pairs used for missing-imagery adjustment (tonnage_estimates.py:111-118)
+# Period pairs used for missing-imagery adjustment — the reference's exact
+# choices with its coverage rationale (tonnage_estimates.py:111-118):
+# 2005-2009 compares FORWARD to 2010-2012 (period 0 has poor coverage), and
+# every period from 2016 on compares back to 2010-2012 (2013-2018 coverage
+# is incomplete).
 PERIOD_COMPARISON = {
     "2000-2004": "2005-2009",
-    "2005-2009": "2000-2004",
-    "2010-2012": "2013-2015",
+    "2005-2009": "2010-2012",
+    "2010-2012": "2005-2009",
     "2013-2015": "2010-2012",
-    "2016-2018": "2019-2021",
-    "2019-2021": "2016-2018",
+    "2016-2018": "2010-2012",
+    "2019-2021": "2010-2012",
 }
 
 # Trujillo et al. literature anchors (tonnage_estimates.py:303-306)

@@ -138,3 +138,19 @@ def test_facility_maps_outputs(tmp_path):
     facility_map_html(fac, str(tmp_path / "map.html"))
     html = (tmp_path / "map.html").read_text()
     assert "2013-2015" in html and "<svg" in html
+
+
+def test_period_comparison_matches_reference():
+    """The missing-imagery adjustment pairs are the reference's exact dict
+    (tonnage_estimates.py:111-118): 2005-2009 compares FORWARD to 2010-2012
+    and everything from 2016 on compares back to 2010-2012."""
+    from aquaculture_tpu.results.tonnage_report import PERIOD_COMPARISON
+
+    assert PERIOD_COMPARISON == {
+        "2000-2004": "2005-2009",
+        "2005-2009": "2010-2012",
+        "2010-2012": "2005-2009",
+        "2013-2015": "2010-2012",
+        "2016-2018": "2010-2012",
+        "2019-2021": "2010-2012",
+    }
