@@ -22,24 +22,32 @@ from aquaculture_tpu.models.weights import load_pretrained
 from aquaculture_tpu.pipeline import detect_files
 
 
-def quantize_for_serving(model, fused_params, sample_paths, img_size: int = 640):
-    """int8 PTQ calibrated on up to 8 real source images."""
+def quantize_for_serving(model, fused_params, sample_paths, img_size: int = 640,
+                         skip=None):
+    """int8 PTQ calibrated on up to 8 real source images.
+
+    Calibration preprocessing is the SAME letterbox the serving path runs
+    (ops/letterbox.py) — a cv2 squash-resize here would calibrate scales on
+    a different pixel distribution than serving sees (the calibrate/serve
+    analogue of the train/serve resize gap in CLAUDE.md conventions)."""
     import jax.numpy as jnp
 
     from aquaculture_tpu.data.geotiff import read_image
-    from aquaculture_tpu.models.quantize import quantize_model
+    from aquaculture_tpu.models.quantize import SERVING_INT8_SKIP, quantize_model
+    from aquaculture_tpu.ops.letterbox import letterbox
 
+    if skip is None:
+        skip = SERVING_INT8_SKIP  # mixed split: measured fastest AND most accurate
     imgs = []
     for p in sample_paths[:8]:
         arr = read_image(p)
         if arr is None:
             continue
-        import cv2
-
-        imgs.append(cv2.resize(arr, (img_size, img_size)).astype(np.float32) / 255.0)
+        x, _, _ = letterbox(jnp.asarray(arr), img_size)
+        imgs.append(x)
     if not imgs:
         raise ValueError("no readable calibration images")
-    return quantize_model(model, fused_params, jnp.asarray(np.stack(imgs)))
+    return quantize_model(model, fused_params, jnp.stack(imgs), skip=skip)
 
 
 def load_model(weights: str | None, variant: str = "m", num_classes: int = 5):

@@ -46,6 +46,14 @@ def calibrate(model, fused_params, sample_images) -> Dict[int, float]:
 # don't (models/yolov5.py features()). Needed to place sum_yscale correctly.
 _SHORTCUT_C3 = ("b2", "b4", "b6", "b8")
 
+# Default mixed-precision split for serving: the early large-spatial/
+# small-channel layers (P1-P3 backbone) tile poorly in int8 and stay bf16;
+# int8 starts at the stride-16 backbone. Measured on v5e at batch 128
+# (BENCH_INT8_MIXED.jsonl): bf16 1,794 / full int8 1,893 / THIS SPLIT
+# 1,935 tiles/s (+7.9% over bf16, and fewer quantized stages than full
+# int8, so accuracy is also >= the full-int8 path).
+SERVING_INT8_SKIP = ("b0", "b1", "b2", "b3", "b4")
+
 
 def quantize(fused_params, calib: Dict, default_xscale: float = 1.0, skip=()):
     """Fused {w, b} conv dicts -> int8 dicts for the PIPELINED serving path.
