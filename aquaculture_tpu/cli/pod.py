@@ -36,6 +36,10 @@ def main(argv=None) -> None:
     ap.add_argument("--coordinator", default=None, help="host:port of process 0 (multi-host)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="elastic recovery: per-host progress manifests; a restarted run resumes")
+    ap.add_argument("--checkpoint-every", type=int, default=1024,
+                    help="tiles between progress checkpoints")
     args = ap.parse_args(argv)
 
     host, n_hosts = init_distributed(args.coordinator, args.num_processes, args.process_id)
@@ -55,6 +59,7 @@ def main(argv=None) -> None:
     det, stats = run_pod_pipeline(
         paths, model, params, dl, DetectConfig(conf_threshold=args.conf),
         batch_size=args.batch, out_path=args.out,
+        checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
     )
     log_info("done: %d local tiles at %.1f tiles/s", stats.tiles, stats.tiles_per_second)
 

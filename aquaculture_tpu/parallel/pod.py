@@ -98,6 +98,52 @@ def gather_detection_tables(
     )
 
 
+def _spec_rows(specs) -> np.ndarray:
+    return np.asarray(
+        [(s.year, s.bbox_ind, s.x_offset, s.y_offset) for s in specs], np.int64
+    ).reshape(-1, 4)
+
+
+def _rows_to_specs(rows: np.ndarray):
+    from aquaculture_tpu.data.filenames import TileSpec
+
+    return [
+        TileSpec(year=int(r[0]), bbox_ind=int(r[1]), x_offset=int(r[2]), y_offset=int(r[3]))
+        for r in rows
+    ]
+
+
+def _progress_path(checkpoint_dir: str, host: int) -> str:
+    return os.path.join(checkpoint_dir, f"pod_host{host}.npz")
+
+
+def _load_progress(path: str):
+    """(done_paths set, boxes, conf, cls, spec_rows) from a prior partial run."""
+    if not os.path.exists(path):
+        return set(), np.zeros((0, 4)), np.zeros(0), np.zeros(0, np.int64), np.zeros((0, 4), np.int64)
+    z = np.load(path, allow_pickle=False)
+    return (
+        set(str(p) for p in z["done_paths"]),
+        z["boxes"],
+        z["conf"],
+        z["cls"],
+        z["spec_rows"],
+    )
+
+
+def _save_progress(path: str, done_paths, boxes, conf, cls, spec_rows) -> None:
+    tmp = path + ".tmp.npz"  # explicit .npz so np.savez doesn't append one
+    np.savez(
+        tmp,
+        done_paths=np.asarray(sorted(done_paths), dtype=np.str_),
+        boxes=np.asarray(boxes, np.float64).reshape(-1, 4),
+        conf=np.asarray(conf, np.float64),
+        cls=np.asarray(cls, np.int64),
+        spec_rows=np.asarray(spec_rows, np.int64).reshape(-1, 4),
+    )
+    os.replace(tmp, path)  # atomic publish: a crash never corrupts the manifest
+
+
 def run_pod_pipeline(
     all_paths: Sequence[str],
     model,
@@ -106,9 +152,19 @@ def run_pod_pipeline(
     cfg=None,
     batch_size: int = 32,
     out_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1024,
 ):
     """Config-5 runner: every host detects over its corpus shard; host 0
-    assembles and writes the global detections GeoJSON."""
+    assembles and writes the global detections GeoJSON.
+
+    checkpoint_dir enables elastic recovery (SURVEY §5: the reference's
+    only recovery is rerun-from-scratch with artifact caching): every
+    checkpoint_every tiles each host appends its detections + done-file
+    list to a host-local npz (atomic os.replace); a restarted run skips
+    finished tiles and merges the saved tables before the global gather,
+    so a host failure costs at most checkpoint_every tiles of work.
+    """
     import jax
 
     from aquaculture_tpu.config import DetectConfig
@@ -120,7 +176,35 @@ def run_pod_pipeline(
     shard = shard_corpus(all_paths, n_hosts, host)
     log_info("host %d/%d: %d of %d tiles", host, n_hosts, len(shard), len(all_paths))
 
-    boxes, conf, cls, specs, stats = detect_files(shard, model, params, cfg, batch_size)
+    if checkpoint_dir:
+        from aquaculture_tpu.pipeline import PipelineStats
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        ppath = _progress_path(checkpoint_dir, host)
+        done, boxes, conf, cls, spec_rows = _load_progress(ppath)
+        todo = [p for p in shard if p not in done]
+        if done:
+            log_info(
+                "host %d: resuming — %d tiles already done, %d remain",
+                host, len(done), len(todo),
+            )
+        stats = PipelineStats()  # counts only THIS run's work, not resumed tiles
+        for i in range(0, len(todo), checkpoint_every):
+            chunk = todo[i : i + checkpoint_every]
+            b, c, k, specs, st = detect_files(chunk, model, params, cfg, batch_size)
+            stats.tiles += st.tiles
+            stats.batches += st.batches
+            stats.detections += st.detections
+            stats.infer_seconds += st.infer_seconds
+            boxes = np.concatenate([boxes.reshape(-1, 4), np.asarray(b).reshape(-1, 4)])
+            conf = np.concatenate([conf, np.asarray(c)])
+            cls = np.concatenate([cls, np.asarray(k, np.int64)])
+            spec_rows = np.concatenate([spec_rows.reshape(-1, 4), _spec_rows(specs)])
+            done.update(chunk)
+            _save_progress(ppath, done, boxes, conf, cls, spec_rows)
+        specs = _rows_to_specs(spec_rows.reshape(-1, 4))
+    else:
+        boxes, conf, cls, specs, stats = detect_files(shard, model, params, cfg, batch_size)
 
     # Encode specs as ids for the numeric gather, decode after.
     spec_table = list({s for s in specs})

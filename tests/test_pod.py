@@ -68,6 +68,70 @@ def test_run_pod_pipeline_single_host(tmp_path):
     assert det.crs == 4326
 
 
+def test_run_pod_pipeline_checkpoint_resume(tmp_path):
+    """Elastic recovery: a run killed mid-shard resumes from the progress
+    manifest and the merged output equals an uninterrupted run. Simulated
+    by running tile 1 with checkpoint_every=1 against a manifest dir, then
+    'restarting' with the full corpus."""
+    from PIL import Image
+
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.geo import polygon as _poly
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.parallel.pod import run_pod_pipeline
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"ORTHOIMAGERY.ORTHOPHOTOS2014_{i}_0_0.jpeg"
+        Image.fromarray(rng.integers(0, 255, (1024, 1024, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    dl = gf.GeoFrame(
+        {"d": [0, 1, 2]},
+        geometry=[_poly.box(i * 1200, 0, (i + 1) * 1200, 1200) for i in range(3)],
+        crs=3857,
+    )
+    model, params = yolov5_init("n", num_classes=5, seed=0)
+    params = model.fuse(params)
+    cfg = DetectConfig(conf_threshold=1e-5)
+
+    # ground truth: uninterrupted, no checkpointing
+    det_full, _ = run_pod_pipeline(paths, model, params, dl, cfg=cfg, batch_size=2)
+
+    # interrupted run: only the first tile, then "crash"
+    ckpt = tmp_path / "ckpt"
+    det_part, st1 = run_pod_pipeline(
+        paths[:1], model, params, dl, cfg=cfg, batch_size=2,
+        checkpoint_dir=str(ckpt), checkpoint_every=1,
+    )
+    assert st1.tiles == 1
+    assert (ckpt / "pod_host0.npz").exists()
+
+    # restart with the full corpus: resumes, processes only the 2 remaining
+    det_res, st2 = run_pod_pipeline(
+        paths, model, params, dl, cfg=cfg, batch_size=2,
+        checkpoint_dir=str(ckpt), checkpoint_every=1,
+        out_path=str(tmp_path / "resumed.geojson"),
+    )
+    assert st2.tiles == 2  # resumed run did NOT redo tile 0
+    assert len(det_res) == len(det_full)
+    for col in ("xmin_m", "ymin_m", "xmax_m", "ymax_m", "det_conf"):
+        np.testing.assert_allclose(
+            np.sort(det_res[col].to_numpy(np.float64)),
+            np.sort(det_full[col].to_numpy(np.float64)),
+            rtol=1e-6,
+        )
+
+    # idempotent: a third run has nothing to do and returns the same table
+    det_again, st3 = run_pod_pipeline(
+        paths, model, params, dl, cfg=cfg, batch_size=2,
+        checkpoint_dir=str(ckpt), checkpoint_every=1,
+    )
+    assert st3.tiles == 0
+    assert len(det_again) == len(det_full)
+
+
 def test_run_pod_pipeline_two_processes(tmp_path):
     """VERDICT r1 missing #3: execute the process_count>1 branches of
     pod.py (padded detection all-gather + global spec-table offsets) with
