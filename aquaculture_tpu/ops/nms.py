@@ -78,11 +78,14 @@ def _select_topk(score: jnp.ndarray, k: int, approx: bool):
 
     approx=True uses the TPU-native binned reduction (lax.approx_max_k,
     aggregate_to_topk so the returned set is score-sorted — greedy NMS
-    causality needs descending order). It can miss candidates near the
-    k-th rank boundary (recall_target=0.95 per element); with a conf
-    threshold zeroing most of the pool the realistic candidate count is
-    << k and the selected set matches exact top-k in practice — A/B'd on
-    the trained demo checkpoint before enabling anywhere.
+    causality needs descending order). CAUTION: the TPU lowering first
+    keeps only per-block maxima over contiguous input blocks, so two
+    above-threshold candidates on NEARBY anchors can collide in one block
+    and lose one of them even when the pool is far below k — a real
+    missed-detection mode for adjacent cages, and invisible on CPU where
+    approx_max_k falls back to exact top_k. Measured throughput-NEUTRAL at
+    the serving pool size (BENCHMARKS.md round 2c), so this stays an
+    opt-in experiment: NOT exposed on any CLI and never the default.
     """
     if approx:
         return jax.lax.approx_max_k(score, k, recall_target=0.95)

@@ -98,50 +98,110 @@ def gather_detection_tables(
     )
 
 
+_LAYER_BYTES = 96  # fixed-width utf-8 budget for gathering layer strings
+
+
 def _spec_rows(specs) -> np.ndarray:
     return np.asarray(
         [(s.year, s.bbox_ind, s.x_offset, s.y_offset) for s in specs], np.int64
     ).reshape(-1, 4)
 
 
-def _rows_to_specs(rows: np.ndarray):
+def _spec_layers(specs) -> np.ndarray:
+    return np.asarray([s.layer for s in specs], dtype=np.str_)
+
+
+def _rows_to_specs(rows: np.ndarray, layers=None):
     from aquaculture_tpu.data.filenames import TileSpec
 
+    rows = np.asarray(rows, np.int64).reshape(-1, 4)
+    lay = [""] * len(rows) if layers is None else [str(l) for l in layers]
     return [
-        TileSpec(year=int(r[0]), bbox_ind=int(r[1]), x_offset=int(r[2]), y_offset=int(r[3]))
-        for r in rows
+        TileSpec(
+            year=int(r[0]), bbox_ind=int(r[1]), x_offset=int(r[2]),
+            y_offset=int(r[3]), layer=lay[i],
+        )
+        for i, r in enumerate(rows)
     ]
 
 
-def _progress_path(checkpoint_dir: str, host: int) -> str:
-    return os.path.join(checkpoint_dir, f"pod_host{host}.npz")
+def _corpus_fingerprint(all_paths: Sequence[str], n_hosts: int) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(f"hosts={n_hosts}\n".encode())
+    for p in all_paths:
+        h.update(p.encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 
-def _load_progress(path: str):
-    """(done_paths set, boxes, conf, cls, spec_rows) from a prior partial run."""
-    if not os.path.exists(path):
-        return set(), np.zeros((0, 4)), np.zeros(0), np.zeros(0, np.int64), np.zeros((0, 4), np.int64)
-    z = np.load(path, allow_pickle=False)
+def _chunk_files(checkpoint_dir: str, host: int) -> List[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(checkpoint_dir, f"pod_host{host}_chunk*.npz")))
+
+
+def _load_progress(checkpoint_dir: str, host: int, fingerprint: str):
+    """Union of all prior chunk manifests for this host.
+
+    Raises if any chunk was written under a different corpus/host-count:
+    resuming across a topology change would double-count tiles now owned by
+    another host (its manifest still carries them) — fail loudly instead.
+    Returns (done_paths set, boxes, conf, cls, spec_rows, spec_layers).
+    """
+    done: set = set()
+    bs, cs, ks, rs, ls = [], [], [], [], []
+    for f in _chunk_files(checkpoint_dir, host):
+        z = np.load(f, allow_pickle=False)
+        fp = str(z["fingerprint"])
+        if fp != fingerprint:
+            raise RuntimeError(
+                f"pod checkpoint {f} was written for a different corpus or "
+                f"host count (fingerprint {fp[:12]} != {fingerprint[:12]}); "
+                "resume requires the SAME corpus list and process count — "
+                "delete the checkpoint dir to start fresh"
+            )
+        done.update(str(p) for p in z["done_paths"])
+        bs.append(z["boxes"].reshape(-1, 4))
+        cs.append(z["conf"])
+        ks.append(z["cls"])
+        rs.append(z["spec_rows"].reshape(-1, 4))
+        ls.append(z["spec_layers"])
+    if not bs:
+        return (
+            set(), np.zeros((0, 4)), np.zeros(0), np.zeros(0, np.int64),
+            np.zeros((0, 4), np.int64), np.zeros(0, np.str_),
+        )
     return (
-        set(str(p) for p in z["done_paths"]),
-        z["boxes"],
-        z["conf"],
-        z["cls"],
-        z["spec_rows"],
+        done,
+        np.concatenate(bs),
+        np.concatenate(cs),
+        np.concatenate(ks),
+        np.concatenate(rs),
+        np.concatenate(ls),
     )
 
 
-def _save_progress(path: str, done_paths, boxes, conf, cls, spec_rows) -> None:
+def _append_chunk(
+    checkpoint_dir: str, host: int, idx: int, fingerprint: str,
+    chunk_paths, boxes, conf, cls, specs,
+) -> None:
+    """One append-only chunk manifest (atomic publish via os.replace);
+    write volume stays O(chunk), not O(total progress)."""
+    path = os.path.join(checkpoint_dir, f"pod_host{host}_chunk{idx:06d}.npz")
     tmp = path + ".tmp.npz"  # explicit .npz so np.savez doesn't append one
     np.savez(
         tmp,
-        done_paths=np.asarray(sorted(done_paths), dtype=np.str_),
+        fingerprint=np.str_(fingerprint),
+        done_paths=np.asarray(list(chunk_paths), dtype=np.str_),
         boxes=np.asarray(boxes, np.float64).reshape(-1, 4),
         conf=np.asarray(conf, np.float64),
         cls=np.asarray(cls, np.int64),
-        spec_rows=np.asarray(spec_rows, np.int64).reshape(-1, 4),
+        spec_rows=_spec_rows(specs),
+        spec_layers=_spec_layers(specs),
     )
-    os.replace(tmp, path)  # atomic publish: a crash never corrupts the manifest
+    os.replace(tmp, path)
 
 
 def run_pod_pipeline(
@@ -160,10 +220,13 @@ def run_pod_pipeline(
 
     checkpoint_dir enables elastic recovery (SURVEY §5: the reference's
     only recovery is rerun-from-scratch with artifact caching): every
-    checkpoint_every tiles each host appends its detections + done-file
-    list to a host-local npz (atomic os.replace); a restarted run skips
-    finished tiles and merges the saved tables before the global gather,
-    so a host failure costs at most checkpoint_every tiles of work.
+    checkpoint_every tiles each host publishes an append-only chunk
+    manifest (atomic os.replace, O(chunk) write volume); a restarted run
+    skips finished tiles and merges the saved tables before the global
+    gather, so a host failure costs at most checkpoint_every tiles of
+    work. Resume requires the SAME corpus and process count — manifests
+    carry a fingerprint and a mismatch fails loudly rather than
+    double-counting tiles that a re-shard moved to another host.
     """
     import jax
 
@@ -177,32 +240,43 @@ def run_pod_pipeline(
     log_info("host %d/%d: %d of %d tiles", host, n_hosts, len(shard), len(all_paths))
 
     if checkpoint_dir:
-        from aquaculture_tpu.pipeline import PipelineStats
+        from aquaculture_tpu.pipeline import PipelineStats, make_infer_fn
 
         os.makedirs(checkpoint_dir, exist_ok=True)
-        ppath = _progress_path(checkpoint_dir, host)
-        done, boxes, conf, cls, spec_rows = _load_progress(ppath)
+        fingerprint = _corpus_fingerprint(all_paths, n_hosts)
+        done, boxes, conf, cls, spec_rows, spec_layers = _load_progress(
+            checkpoint_dir, host, fingerprint
+        )
         todo = [p for p in shard if p not in done]
         if done:
             log_info(
                 "host %d: resuming — %d tiles already done, %d remain",
                 host, len(done), len(todo),
             )
+        next_idx = len(_chunk_files(checkpoint_dir, host))
         stats = PipelineStats()  # counts only THIS run's work, not resumed tiles
+        # One compiled program for every chunk: detect_files would otherwise
+        # rebuild its jitted infer fn per call (a remote recompile per chunk).
+        infer_fn = make_infer_fn(model, params, cfg, batch_size=batch_size) if todo else None
         for i in range(0, len(todo), checkpoint_every):
             chunk = todo[i : i + checkpoint_every]
-            b, c, k, specs, st = detect_files(chunk, model, params, cfg, batch_size)
+            b, c, k, specs, st = detect_files(
+                chunk, model, params, cfg, batch_size, infer_fn=infer_fn
+            )
             stats.tiles += st.tiles
             stats.batches += st.batches
             stats.detections += st.detections
             stats.infer_seconds += st.infer_seconds
+            _append_chunk(
+                checkpoint_dir, host, next_idx, fingerprint, chunk, b, c, k, specs
+            )
+            next_idx += 1
             boxes = np.concatenate([boxes.reshape(-1, 4), np.asarray(b).reshape(-1, 4)])
             conf = np.concatenate([conf, np.asarray(c)])
             cls = np.concatenate([cls, np.asarray(k, np.int64)])
             spec_rows = np.concatenate([spec_rows.reshape(-1, 4), _spec_rows(specs)])
-            done.update(chunk)
-            _save_progress(ppath, done, boxes, conf, cls, spec_rows)
-        specs = _rows_to_specs(spec_rows.reshape(-1, 4))
+            spec_layers = np.concatenate([spec_layers, _spec_layers(specs)])
+        specs = _rows_to_specs(spec_rows, spec_layers)
     else:
         boxes, conf, cls, specs, stats = detect_files(shard, model, params, cfg, batch_size)
 
@@ -213,29 +287,33 @@ def run_pod_pipeline(
 
     if n_hosts > 1:
         # Spec tables are host-local; shift ids into a global namespace by
-        # gathering the tables too (small python objects -> broadcast via
-        # counts trick is overkill; use process_allgather on the encoded
-        # (year, bbox, x, y) rows).
+        # gathering the tables too: the (year, bbox, x, y) rows as int64 and
+        # the layer strings as fixed-width utf-8 bytes (process_allgather is
+        # numeric-only).
         from jax.experimental import multihost_utils
 
-        enc = np.asarray(
-            [(s.year, s.bbox_ind, s.x_offset, s.y_offset) for s in spec_table], np.int64
-        ).reshape(-1, 4)
+        enc = _spec_rows(spec_table)
         n_local = np.asarray([len(enc)], np.int32)
         counts = multihost_utils.process_allgather(n_local).reshape(-1)
         n_max = int(counts.max()) if len(counts) else 0
         pad = np.zeros((n_max, 4), np.int64)
         pad[: len(enc)] = enc
+        lay = np.zeros((n_max, _LAYER_BYTES), np.uint8)
+        for i, s in enumerate(spec_table):
+            b = s.layer.encode("utf-8")[:_LAYER_BYTES]
+            lay[i, : len(b)] = np.frombuffer(b, np.uint8)
         tables = multihost_utils.process_allgather(pad)
+        layer_tables = multihost_utils.process_allgather(lay)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         tile_ids = tile_ids + offsets[host]
-        from aquaculture_tpu.data.filenames import TileSpec
-
-        global_specs = [
-            TileSpec(year=int(r[0]), bbox_ind=int(r[1]), x_offset=int(r[2]), y_offset=int(r[3]))
-            for h in range(len(counts))
-            for r in tables[h, : counts[h]]
-        ]
+        rows, layers = [], []
+        for h in range(len(counts)):
+            rows.append(tables[h, : counts[h]])
+            layers.extend(
+                bytes(layer_tables[h, i]).rstrip(b"\x00").decode("utf-8")
+                for i in range(counts[h])
+            )
+        global_specs = _rows_to_specs(np.concatenate(rows) if rows else np.zeros((0, 4)), layers)
         boxes, conf, cls, tile_ids = gather_detection_tables(boxes, conf, cls, tile_ids)
     else:
         global_specs = spec_table

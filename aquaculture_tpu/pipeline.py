@@ -103,11 +103,15 @@ def detect_files(
     batch_size: int = 32,
     tile: int = IM_WIDTH,
     use_native: Optional[bool] = None,
+    infer_fn=None,
 ):
     """Run inference over image files.
 
     Decode/tiling runs on the native C++ loader (threaded, off-GIL) when
     libaquatile.so is built; use_native=False forces the Python loader.
+    infer_fn: a prebuilt make_infer_fn result — pass it when calling
+    detect_files repeatedly (e.g. the pod runner's checkpoint chunks) so
+    every call reuses ONE compiled program instead of re-jitting.
     Returns (boxes_px (N,4) int64, conf (N,), cls (N,), specs, stats).
     """
     import jax
@@ -117,7 +121,7 @@ def detect_files(
     if use_native is None:
         use_native = native_loader.available()
 
-    infer = make_infer_fn(model, params, cfg, tile, batch_size=batch_size)
+    infer = infer_fn or make_infer_fn(model, params, cfg, tile, batch_size=batch_size)
     stats = PipelineStats()
 
     all_boxes: List[np.ndarray] = []

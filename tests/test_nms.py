@@ -167,11 +167,12 @@ def test_batched_nms_shape():
 
 
 def test_batched_nms_approx_topk_agrees_when_pool_sparse():
-    """approx_topk selects via lax.approx_max_k; with far fewer
-    above-threshold candidates than pre_topk the selected set (and thus
-    the final detections) must match the exact path. This is the regime
-    the serving pipeline runs in (conf filter zeroes most of the 25,200
-    anchors); the TPU throughput A/B lives in scripts/infer_ablation_tpu.py."""
+    """WIRING test only: approx_topk threads through batched_nms and, on
+    this CPU mesh (where lax.approx_max_k lowers to exact top_k), matches
+    the exact path. It does NOT validate the TPU approximation — the real
+    TPU lowering can drop same-block candidates (see _select_topk), which
+    is why the flag is opt-in and unexposed; the TPU throughput A/B lives
+    in scripts/infer_ablation_tpu.py (measured neutral)."""
     rng = np.random.default_rng(7)
     preds = np.stack([_make_preds(rng, n=4000) for _ in range(3)])
     # push most candidates below threshold

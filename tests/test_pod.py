@@ -68,13 +68,15 @@ def test_run_pod_pipeline_single_host(tmp_path):
     assert det.crs == 4326
 
 
-def test_run_pod_pipeline_checkpoint_resume(tmp_path):
-    """Elastic recovery: a run killed mid-shard resumes from the progress
-    manifest and the merged output equals an uninterrupted run. Simulated
-    by running tile 1 with checkpoint_every=1 against a manifest dir, then
-    'restarting' with the full corpus."""
+def test_run_pod_pipeline_checkpoint_resume(tmp_path, monkeypatch):
+    """Elastic recovery: a run that crashes mid-shard resumes from the
+    chunk manifests and the merged output equals an uninterrupted run; a
+    resume against a DIFFERENT corpus/topology fails loudly (it would
+    double-count re-sharded tiles)."""
+    import pytest
     from PIL import Image
 
+    import aquaculture_tpu.pipeline as pipe
     from aquaculture_tpu import frame as gf
     from aquaculture_tpu.config import DetectConfig
     from aquaculture_tpu.geo import polygon as _poly
@@ -99,16 +101,27 @@ def test_run_pod_pipeline_checkpoint_resume(tmp_path):
     # ground truth: uninterrupted, no checkpointing
     det_full, _ = run_pod_pipeline(paths, model, params, dl, cfg=cfg, batch_size=2)
 
-    # interrupted run: only the first tile, then "crash"
+    # crash after the first 1-tile chunk (detect_files raises on call #2)
     ckpt = tmp_path / "ckpt"
-    det_part, st1 = run_pod_pipeline(
-        paths[:1], model, params, dl, cfg=cfg, batch_size=2,
-        checkpoint_dir=str(ckpt), checkpoint_every=1,
-    )
-    assert st1.tiles == 1
-    assert (ckpt / "pod_host0.npz").exists()
+    orig_detect = pipe.detect_files
+    calls = {"n": 0}
 
-    # restart with the full corpus: resumes, processes only the 2 remaining
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated host crash")
+        return orig_detect(*a, **kw)
+
+    monkeypatch.setattr(pipe, "detect_files", flaky)
+    with pytest.raises(RuntimeError, match="simulated host crash"):
+        run_pod_pipeline(
+            paths, model, params, dl, cfg=cfg, batch_size=2,
+            checkpoint_dir=str(ckpt), checkpoint_every=1,
+        )
+    monkeypatch.setattr(pipe, "detect_files", orig_detect)
+    assert (ckpt / "pod_host0_chunk000000.npz").exists()
+
+    # restart: resumes, processes only the 2 remaining tiles
     det_res, st2 = run_pod_pipeline(
         paths, model, params, dl, cfg=cfg, batch_size=2,
         checkpoint_dir=str(ckpt), checkpoint_every=1,
@@ -122,6 +135,8 @@ def test_run_pod_pipeline_checkpoint_resume(tmp_path):
             np.sort(det_full[col].to_numpy(np.float64)),
             rtol=1e-6,
         )
+    # layer survives the manifest roundtrip -> image names match exactly
+    assert sorted(det_res["image"]) == sorted(det_full["image"])
 
     # idempotent: a third run has nothing to do and returns the same table
     det_again, st3 = run_pod_pipeline(
@@ -130,6 +145,13 @@ def test_run_pod_pipeline_checkpoint_resume(tmp_path):
     )
     assert st3.tiles == 0
     assert len(det_again) == len(det_full)
+
+    # topology/corpus change: resume must refuse, not double-count
+    with pytest.raises(RuntimeError, match="different corpus or host count"):
+        run_pod_pipeline(
+            paths[:2], model, params, dl, cfg=cfg, batch_size=2,
+            checkpoint_dir=str(ckpt), checkpoint_every=1,
+        )
 
 
 def test_run_pod_pipeline_two_processes(tmp_path):
