@@ -15,6 +15,9 @@ def main() -> None:
     port = sys.argv[3]
     corpus_dir = sys.argv[4]
     out_path = sys.argv[5]
+    # optional 6th arg: checkpoint dir -> exercises the chunk-manifest
+    # elastic-recovery path under a real multi-process gather
+    checkpoint_dir = sys.argv[6] if len(sys.argv) > 6 else None
 
     import jax
 
@@ -48,6 +51,8 @@ def main() -> None:
         cfg=DetectConfig(img_size=320, conf_threshold=1e-5),
         batch_size=2,
         out_path=out_path,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=1,
     )
     print(f"WORKER {pid} OK tiles={stats.tiles} dets={len(det)}", flush=True)
 

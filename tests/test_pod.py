@@ -182,13 +182,14 @@ def test_run_pod_pipeline_two_processes(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     worker = os.path.join(os.path.dirname(__file__), "pod_worker.py")
 
-    def launch(nproc, out):
+    def launch(nproc, out, checkpoint_dir=None):
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
+        args = [str(corpus), out] + ([checkpoint_dir] if checkpoint_dir else [])
         procs = [
             subprocess.Popen(
-                [sys.executable, worker, str(pid), str(nproc), str(port), str(corpus), out],
+                [sys.executable, worker, str(pid), str(nproc), str(port)] + args,
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
             for pid in range(nproc)
@@ -198,11 +199,15 @@ def test_run_pod_pipeline_two_processes(tmp_path):
             assert p.returncode == 0, f"worker failed:\n{so}\n{se[-2000:]}"
             assert "OK" in so
 
-    # single-process reference and 2-process run, identical environments
+    # single-process reference and 2-process run, identical environments;
+    # the 2-process run also runs with chunk-manifest checkpointing on, so
+    # the elastic-recovery path is exercised under a real multi-host gather
     ref_path = str(tmp_path / "single.geojson")
     multi_path = str(tmp_path / "multi.geojson")
     launch(1, ref_path)
-    launch(2, multi_path)
+    launch(2, multi_path, checkpoint_dir=str(tmp_path / "podckpt"))
+    assert (tmp_path / "podckpt" / "pod_host0_chunk000000.npz").exists()
+    assert (tmp_path / "podckpt" / "pod_host1_chunk000000.npz").exists()
 
     ref = gf.read_file(ref_path)
     got = gf.read_file(multi_path)
