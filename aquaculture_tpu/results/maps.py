@@ -20,18 +20,180 @@ from aquaculture_tpu import frame as gf
 from aquaculture_tpu.geo import polygon as _poly
 
 
-def trujillo_1km_boxes(trujillo: "gf.GeoFrame", half_size_m: float = 500.0) -> "gf.GeoFrame":
-    """1 km boxes around Trujillo points (EPSG:3857 meters),
-    reference FacilitiesMaps.define_Trujillo_locations."""
-    t = trujillo.to_crs(3857)
+TRUJILLO_PERIODS = ("2000-2004", "2005-2009", "2010-2012")
+POST_TRUJILLO_PERIODS = ("2013-2015", "2016-2018", "2019-2021")
+
+
+def trujillo_1km_boxes(
+    trujillo: "gf.GeoFrame", half_size_m: float = 500.0, box_crs: int = 3857
+) -> "gf.GeoFrame":
+    """1 km boxes around Trujillo points.
+
+    box_crs picks which projection the box edges are drawn in: the
+    evaluation strata were designed in EPSG:3857
+    (get_kfold_cluster_performance.py:66-70 note) while FacilitiesMaps
+    draws its boxes in EPSG:3035 (FacilitiesMaps.py:35-37) — pass 3035 for
+    Figure-4 parity. Output is always EPSG:3857."""
+    t = trujillo.to_crs(box_crs)
     boxes = [
         _poly.box(p.x - half_size_m, p.y - half_size_m, p.x + half_size_m, p.y + half_size_m)
         for p in t["geometry"]
     ]
     out = t.copy()
     out["geometry"] = boxes
+    out.crs = box_crs
+    return out.to_crs(3857)
+
+
+def _cage_bounds_boxes(facilities: "gf.GeoFrame"):
+    """Per-facility bounds box of the union of its cage geometries
+    (reference 'bounds' column, FacilitiesMaps.py:84-86)."""
+    boxes = []
+    for _, row in facilities.iterrows():
+        geoms = [
+            g
+            for g in (row.get("circle_farm_geoms"), row.get("square_farm_geoms"))
+            if g is not None and not getattr(g, "is_empty", True)
+        ]
+        if not geoms:
+            boxes.append(_poly.EMPTY)
+            continue
+        u = _poly.unary_union(geoms)
+        boxes.append(_poly.box(*u.bounds))
+    return boxes
+
+
+def true_positive_facilities(
+    facilities: "gf.GeoFrame", cf_labels: "gf.GeoFrame", year_to_pass
+) -> "gf.GeoFrame":
+    """Facilities confirmed by a human label from the same period
+    (reference get_true_facilities, FacilitiesMaps.py:64-94): bounds-box
+    sjoin against labels, keep facility rows whose pass equals the label
+    year's pass, dedup by facility_index. Geometry becomes the cage-extent
+    bounds box."""
+    fac = facilities.copy()
+    fac["geometry"] = _cage_bounds_boxes(facilities)
+    fac.crs = facilities.crs
+    lab = cf_labels.to_crs(fac.crs)
+    joined = fac.sjoin(lab, how="left", predicate="intersects")
+    year_col = "year_right" if "year_right" in joined.columns else "year"
+    cf_pass = joined[year_col].map(
+        lambda y: year_to_pass(int(y)) if pd.notna(y) else None
+    )
+    keep = joined[joined["pass"] == cf_pass]
+    keep = keep.drop_duplicates("facility_index")
+    cols = [c for c in ("geometry", "pass", "facility_index", "cage_ids") if c in keep.columns]
+    out = gf.GeoFrame(pd.DataFrame(keep[cols]))
+    out.crs = fac.crs
+    return out
+
+
+def classify_our_facilities(
+    true_facilities: "gf.GeoFrame",
+    trujillo_boxes: "gf.GeoFrame",
+    trujillo_points: "gf.GeoFrame",
+) -> "gf.GeoFrame":
+    """The reference's Figure-4 classification (FacilitiesMaps.py:118-190):
+
+    1. during the Trujillo study periods, OUR facilities outside every
+       1 km box -> 'Additional facility' (geometry = bounds centroid);
+    2. the Trujillo points themselves repeat per study period as
+       'Known facility' rows carrying their published num_cages;
+    3. post-Trujillo periods classify each of our facilities Known /
+       Additional by box intersection.
+
+    Returns the combined frame with columns [type, geometry, pass,
+    num_cages] in EPSG:3857."""
+    fac = true_facilities.to_crs(3857)
+    fac["num_cages"] = [
+        int(len(c)) if c is not None else 0 for c in fac.get("cage_ids", [[]] * len(fac))
+    ]
+    b3857 = trujillo_boxes.to_crs(3857)
+    # geometry-only join target: the Trujillo frame's own columns
+    # (num_cages etc.) must not suffix-collide with the facility columns
+    boxes = gf.GeoFrame(
+        {"trujillo_facility_index": np.arange(len(b3857))},
+        geometry=list(b3857["geometry"]),
+        crs=3857,
+    )
+    pts = trujillo_points.to_crs(3857)
+
+    def _tag(frame):
+        joined = frame.sjoin(boxes, how="left", predicate="intersects")
+        hit = joined["index_right"].notna()
+        # a facility intersecting ANY box counts as known (reference sorts
+        # non-null first then drop-duplicates)
+        known_ids = set(joined.loc[hit, "facility_index"])
+        first = joined.drop_duplicates("facility_index").copy()
+        first["type"] = [
+            "Known facility" if fi in known_ids else "Additional facility"
+            for fi in first["facility_index"]
+        ]
+        first["geometry"] = [g.centroid for g in first["geometry"]]
+        return first
+
+    parts = []
+    during = fac[fac["pass"].isin(TRUJILLO_PERIODS)].copy()
+    during.crs = fac.crs
+    if len(during):
+        tagged = _tag(during)
+        add = tagged[tagged["type"] == "Additional facility"]
+        parts.append(pd.DataFrame(add[["type", "geometry", "pass", "num_cages"]]))
+    for period in TRUJILLO_PERIODS:
+        known = pd.DataFrame(
+            {
+                "type": "Known facility",
+                "geometry": list(pts["geometry"]),
+                "pass": period,
+                "num_cages": pts["num_cages"].to_numpy()
+                if "num_cages" in pts.columns
+                else 0,
+            }
+        )
+        parts.append(known)
+    post = fac[fac["pass"].isin(POST_TRUJILLO_PERIODS)].copy()
+    post.crs = fac.crs
+    if len(post):
+        tagged = _tag(post)
+        parts.append(pd.DataFrame(tagged[["type", "geometry", "pass", "num_cages"]]))
+    out = gf.GeoFrame(pd.concat(parts, ignore_index=True))
     out.crs = 3857
     return out
+
+
+def plot_combined_map(combined: "gf.GeoFrame", out_path: Optional[str] = None):
+    """Figure-4 single-panel map (reference plot_map, FacilitiesMaps.py:
+    191-233 collapsed-panel selection): original Trujillo facilities at
+    2000-2004 plus every Additional facility; marker size by cage-count
+    bin, red=known / blue=additional."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ll = combined.to_crs(4326)
+    cage_bin = pd.cut(ll["num_cages"], [0, 50, 100, 500]).astype(str)
+    size_fn = {"(0, 50]": 20, "(50, 100]": 90, "(100, 500]": 200}
+    color_fn = {"Additional facility": "blue", "Known facility": "red"}
+    sel = ((ll["type"] == "Known facility") & (ll["pass"] == "2000-2004")) | (
+        ll["type"] == "Additional facility"
+    )
+    sub = ll[sel]
+    fig, ax = plt.subplots(figsize=(4.5, 3.5))
+    ax.scatter(
+        [g.centroid.x for g in sub["geometry"]],
+        [g.centroid.y for g in sub["geometry"]],
+        c=[color_fn[t] for t in sub["type"]],
+        s=[size_fn.get(b, 20) for b in cage_bin[sel]],
+        alpha=0.6,
+        linewidth=0,
+    )
+    ax.set_xlabel("Longitude")
+    ax.set_ylabel("Latitude")
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=300, bbox_inches="tight")
+    return fig
 
 
 def classify_facilities(

@@ -154,3 +154,65 @@ def test_period_comparison_matches_reference():
         "2016-2018": "2010-2012",
         "2019-2021": "2010-2012",
     }
+
+
+def test_figure4_classification_pipeline(tmp_path):
+    """true_positive_facilities + classify_our_facilities + plot_combined_map
+    (reference FacilitiesMaps.py:64-233)."""
+    from aquaculture_tpu.results.maps import (
+        classify_our_facilities,
+        plot_combined_map,
+        true_positive_facilities,
+        trujillo_1km_boxes,
+    )
+    from aquaculture_tpu.tonnage.periods import map_year_to_image_pass
+
+    # two facilities: one near a Trujillo point (known), one far (additional);
+    # a third in a post-Trujillo period
+    def cages(cx, cy):
+        return _poly.MultiPolygon([_poly.box(cx, cy, cx + 10, cy + 10)])
+
+    fac = gf.GeoFrame(
+        {
+            "facility_index": [0, 1, 2],
+            "pass": ["2005-2009", "2005-2009", "2013-2015"],
+            "cage_ids": [[1, 2], [3], [4, 5, 6]],
+            "circle_farm_geoms": [cages(500000, 5300000), cages(600000, 5300000), cages(500000, 5300000)],
+            "square_farm_geoms": [_poly.EMPTY] * 3,
+        },
+        geometry=[_poly.Point(0, 0)] * 3,  # overwritten by bounds boxes
+        crs=3857,
+    )
+    labels = gf.GeoFrame(
+        {"year": [2006, 2007, 2014]},
+        geometry=[
+            _poly.box(500000, 5300000, 500010, 5300010),
+            _poly.box(600000, 5300000, 600010, 5300010),
+            _poly.box(500000, 5300000, 500010, 5300010),
+        ],
+        crs=3857,
+    )
+    tp = true_positive_facilities(fac, labels, map_year_to_image_pass)
+    assert sorted(tp["facility_index"]) == [0, 1, 2]
+
+    trujillo = gf.GeoFrame(
+        {"num_cages": [40]}, geometry=[_poly.Point(500005.0, 5300005.0)], crs=3857
+    )
+    boxes = trujillo_1km_boxes(trujillo, box_crs=3035)
+    combined = classify_our_facilities(tp, boxes, trujillo)
+
+    # facility 0 inside the box -> dropped from 'additional during';
+    # facility 1 far away -> Additional; facility 2 post-period -> Known
+    during_add = combined[
+        (combined["type"] == "Additional facility") & (combined["pass"] == "2005-2009")
+    ]
+    assert len(during_add) == 1
+    known_rows = combined[combined["type"] == "Known facility"]
+    # one Trujillo point repeated across the 3 study periods + facility 2
+    assert len(known_rows) == 4
+    post = combined[combined["pass"] == "2013-2015"]
+    assert post["type"].tolist() == ["Known facility"]
+    assert set(combined.columns) >= {"type", "geometry", "pass", "num_cages"}
+
+    fig = plot_combined_map(combined, out_path=str(tmp_path / "fig4.png"))
+    assert (tmp_path / "fig4.png").exists()
