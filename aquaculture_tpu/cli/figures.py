@@ -20,7 +20,14 @@ from aquaculture_tpu.config import (
     OPTIMAL_MIN_CLUSTER_SIZE,
 )
 from aquaculture_tpu.eval.kfold import clustered_detections
-from aquaculture_tpu.results.maps import classify_facilities, plot_facility_map, trujillo_1km_boxes
+from aquaculture_tpu.results.maps import (
+    classify_facilities,
+    classify_our_facilities,
+    plot_combined_map,
+    plot_facility_map,
+    true_positive_facilities,
+    trujillo_1km_boxes,
+)
 from aquaculture_tpu.results.performance import plot_precision_recall_curves, stats_at_thresholds
 from aquaculture_tpu.tonnage.periods import load_trujillo_locations
 from aquaculture_tpu.utils.logging import log_info
@@ -32,6 +39,8 @@ def main(argv=None) -> None:
     ap.add_argument("--labels", required=True, help="human labels GeoJSON (farm-typed)")
     ap.add_argument("--ocean-detections", default=None, help="land-filtered detections GeoJSON")
     ap.add_argument("--facilities", default=None, help="facilities GeoJSON for the map")
+    ap.add_argument("--facility-pickle", default=None,
+                    help="AquaFacility pickle: emits the combined Figure-4 map (facilities.pdf)")
     ap.add_argument("--trujillo", default=None, help="Trujillo locations CSV")
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--distance", type=float, default=OPTIMAL_DISTANCE_THRESHOLD)
@@ -63,6 +72,22 @@ def main(argv=None) -> None:
     fig_path = os.path.join(args.out_dir, "performance_across_confidence.pdf")
     plot_precision_recall_curves(all_stats, ocean_stats, cluster_stats, out_path=fig_path)
     log_info("wrote %s", fig_path)
+
+    if args.facility_pickle and args.trujillo:
+        import pickle
+
+        from aquaculture_tpu.tonnage.periods import map_year_to_image_pass
+
+        with open(args.facility_pickle, "rb") as f:
+            AF = pickle.load(f)
+        tru = load_trujillo_locations(args.trujillo)
+        tp = true_positive_facilities(
+            AF.final_facilities.to_crs(3857), labels.to_crs(3857), map_year_to_image_pass
+        )
+        combined = classify_our_facilities(tp, trujillo_1km_boxes(tru, box_crs=3035), tru)
+        out = os.path.join(args.out_dir, "facilities.pdf")
+        plot_combined_map(combined, out_path=out)
+        log_info("wrote %s (%d true-positive facilities)", out, len(tp))
 
     if args.facilities and args.trujillo:
         fac = gf.read_file(args.facilities)
