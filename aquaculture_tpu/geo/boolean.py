@@ -73,11 +73,14 @@ def _sa_snap(p0, p1, p2) -> float:
     return 0.0 if -tol <= sa <= tol else sa
 
 
+_EVENT_COUNTER = iter(range(1 << 62))
+
+
 class _SweepEvent:
     __slots__ = (
         "point", "left", "other", "is_subject", "type", "in_out",
         "other_in_out", "prev_in_result", "result_transition", "pos",
-        "contour_id", "output_contour_id",
+        "contour_id", "output_contour_id", "sid",
     )
 
     def __init__(self, point, left, other, is_subject):
@@ -93,6 +96,7 @@ class _SweepEvent:
         self.pos = 0
         self.contour_id = 0
         self.output_contour_id = -1
+        self.sid = next(_EVENT_COUNTER)   # total-order tiebreak (see _compare_events)
 
     @property
     def in_result(self) -> bool:
@@ -116,7 +120,18 @@ class _SweepEvent:
 
 def _compare_events(e1: _SweepEvent, e2: _SweepEvent) -> int:
     """Sweep processing order: smaller x first; ties by y; right endpoints
-    before left; bottom segment first; subject before clipping."""
+    before left; bottom segment first; subject before clipping.
+
+    This MUST be a strict total order: _order_events sorts with it, and an
+    inconsistent comparator (cmp(a,b)<0 and cmp(b,a)<0) makes any exchange
+    sort cycle forever — hit in the wild by a ring x sub-lattice-width
+    sliver (tests/test_boolean.py::test_ring_sliver_degenerate_terminates).
+    Hence (a) the orientation snap band uses the MAX of both segments'
+    spans (the per-segment band of _sa_snap is asymmetric between the two
+    call orders), and (b) collinear ties break by other-endpoint, contour
+    id, then the per-event serial id — never by a constant."""
+    if e1 is e2:
+        return 0
     p1, p2 = e1.point, e2.point
     if p1[0] > p2[0]:
         return 1
@@ -126,9 +141,25 @@ def _compare_events(e1: _SweepEvent, e2: _SweepEvent) -> int:
         return 1 if p1[1] > p2[1] else -1
     if e1.left != e2.left:
         return 1 if e1.left else -1
-    if _sa_snap(p1, e1.other.point, e2.other.point) != 0:
-        return 1 if not e1.is_below(e2.other.point) else -1
-    return 1 if (not e1.is_subject and e2.is_subject) else -1
+    o1, o2 = e1.other.point, e2.other.point
+    sa = _signed_area(p1, o1, o2)
+    tol = 3.0 * max(
+        abs(o1[0] - p1[0]) + abs(o1[1] - p1[1]),
+        abs(o2[0] - p1[0]) + abs(o2[1] - p1[1]),
+    )
+    if sa < -tol or sa > tol:
+        # not collinear: same convention as before (e1 first when e2's
+        # other endpoint lies above e1's segment). For right events the
+        # segment runs other->point, which negates the orientation.
+        below = sa > 0 if e1.left else sa < 0
+        return 1 if not below else -1
+    if e1.is_subject != e2.is_subject:
+        return 1 if not e1.is_subject else -1
+    if o1 != o2:
+        return 1 if (o1[0], o1[1]) > (o2[0], o2[1]) else -1
+    if e1.contour_id != e2.contour_id:
+        return 1 if e1.contour_id > e2.contour_id else -1
+    return 1 if e1.sid > e2.sid else -1
 
 
 def _compare_segments(le1: _SweepEvent, le2: _SweepEvent) -> int:
@@ -477,18 +508,17 @@ def _subdivide(queue: list, operation: int, s_maxx: float, minmaxx: float) -> Li
 
 
 def _order_events(sorted_events: List[_SweepEvent]) -> List[_SweepEvent]:
+    import functools
+
     result: List[_SweepEvent] = []
     for ev in sorted_events:
         if (ev.left and ev.in_result) or (not ev.left and ev.other.in_result):
             result.append(ev)
-    # Overlapping-edge splits can leave the list slightly unsorted
-    ok = False
-    while not ok:
-        ok = True
-        for i in range(len(result) - 1):
-            if _compare_events(result[i], result[i + 1]) == 1:
-                result[i], result[i + 1] = result[i + 1], result[i]
-                ok = False
+    # Overlapping-edge splits can leave the list slightly unsorted; the
+    # comparator is a strict total order (see _compare_events), so a real
+    # sort is safe — the previous exchange-sort loop span forever on
+    # comparator cycles.
+    result.sort(key=functools.cmp_to_key(_compare_events))
     for i, ev in enumerate(result):
         ev.pos = i
     # Right events adopt their left counterpart's position
@@ -585,7 +615,15 @@ def _initialize_contour(event: _SweepEvent, contours: List[_Contour], cid: int) 
     if event.prev_in_result is not None:
         lower = event.prev_in_result
         lower_cid = lower.output_contour_id
-        if lower.result_transition > 0:
+        if lower_cid < 0:
+            # The lower event's ring hasn't been walked yet — possible under
+            # extreme quantization degeneracies (sub-lattice slivers). A
+            # Python negative index would silently nest under the LAST ring
+            # (and the C++ port would read out of bounds): treat as no
+            # parent instead; _contours_to_geometry's degenerate-promotion
+            # handles any stray face.
+            pass
+        elif lower.result_transition > 0:
             lower_contour = contours[lower_cid]
             if lower_contour.hole_of is not None:
                 parent = lower_contour.hole_of
@@ -758,8 +796,13 @@ def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str) -> _p
             c.hole_of = hole_of if hole_of >= 0 else None
             contours.append(c)
         for cid, c in enumerate(contours):
-            if c.hole_of is not None:
+            # bounds check is defense-in-depth: the C++ engine guards the
+            # degenerate lower_cid=-1 case itself (booleanop.cc
+            # initialize_contour), but a stray parent id must never crash
+            if c.hole_of is not None and 0 <= c.hole_of < len(contours):
                 contours[c.hole_of].hole_ids.append(cid)
+            else:
+                c.hole_of = None
     else:
         queue = _fill_queue(subj_rings, clip_rings)
         sorted_events = _subdivide(queue, operation, s_maxx_t, minmaxx_t)

@@ -52,6 +52,7 @@ struct SweepEvent {
   int pos = 0;
   int contour_id = 0;
   int output_contour_id = -1;
+  int64_t sid = 0;  // total-order tiebreak (see compare_events)
 
   bool in_result() const { return result_transition != 0; }
   bool is_vertical() const { return point.x == other->point.x; }
@@ -75,17 +76,38 @@ inline bool is_below(const SweepEvent* e, const Pt& p) {
 
 inline bool is_above(const SweepEvent* e, const Pt& p) { return !is_below(e, p); }
 
-// Sweep processing order (boolean.py _compare_events).
+// Sweep processing order (boolean.py _compare_events). MUST be a strict
+// total order: order_events sorts with it, and an inconsistent comparator
+// is UB for std::sort / cycles an exchange sort forever (hit by a ring x
+// sub-lattice-width sliver). The orientation snap band is symmetric (max
+// of both segments' spans) and collinear ties break by other-endpoint,
+// contour id, then the per-event serial id.
 int compare_events(const SweepEvent* e1, const SweepEvent* e2) {
+  if (e1 == e2) return 0;
   const Pt& p1 = e1->point;
   const Pt& p2 = e2->point;
   if (p1.x > p2.x) return 1;
   if (p1.x < p2.x) return -1;
   if (p1.y != p2.y) return p1.y > p2.y ? 1 : -1;
   if (e1->left != e2->left) return e1->left ? 1 : -1;
-  if (sa_snap(p1, e1->other->point, e2->other->point) != 0.0)
-    return !is_below(e1, e2->other->point) ? 1 : -1;
-  return (!e1->is_subject && e2->is_subject) ? 1 : -1;
+  const Pt& o1 = e1->other->point;
+  const Pt& o2 = e2->other->point;
+  const double sa = signed_area(p1, o1, o2);
+  const double tol = 3.0 * std::max(
+      std::fabs(o1.x - p1.x) + std::fabs(o1.y - p1.y),
+      std::fabs(o2.x - p1.x) + std::fabs(o2.y - p1.y));
+  if (sa < -tol || sa > tol) {
+    const bool below = e1->left ? (sa > 0) : (sa < 0);
+    return below ? -1 : 1;
+  }
+  if (e1->is_subject != e2->is_subject) return e1->is_subject ? -1 : 1;
+  if (o1 != o2) {
+    if (o1.x != o2.x) return o1.x > o2.x ? 1 : -1;
+    return o1.y > o2.y ? 1 : -1;
+  }
+  if (e1->contour_id != e2->contour_id)
+    return e1->contour_id > e2->contour_id ? 1 : -1;
+  return e1->sid > e2->sid ? 1 : -1;
 }
 
 // Status-line vertical order (boolean.py _compare_segments).
@@ -178,6 +200,7 @@ struct Engine {
     e->left = left;
     e->other = other;
     e->is_subject = is_subject;
+    e->sid = static_cast<int64_t>(pool.size());  // creation order, like Python
     return e;
   }
 
@@ -422,16 +445,13 @@ std::vector<SweepEvent*> order_events(const std::vector<SweepEvent*>& sorted_eve
     if ((ev->left && ev->in_result()) || (!ev->left && ev->other->in_result()))
       result.push_back(ev);
   }
-  bool ok = false;
-  while (!ok) {  // overlapping-edge splits can leave the list slightly unsorted
-    ok = true;
-    for (size_t i = 0; i + 1 < result.size(); ++i) {
-      if (compare_events(result[i], result[i + 1]) == 1) {
-        std::swap(result[i], result[i + 1]);
-        ok = false;
-      }
-    }
-  }
+  // Overlapping-edge splits can leave the list slightly unsorted; the
+  // comparator is a strict total order, so a real sort is safe (the old
+  // exchange-sort loop span forever on comparator cycles).
+  std::stable_sort(result.begin(), result.end(),
+                   [](const SweepEvent* a, const SweepEvent* b) {
+                     return compare_events(a, b) < 0;
+                   });
   for (size_t i = 0; i < result.size(); ++i) result[i]->pos = static_cast<int>(i);
   for (SweepEvent* ev : result) {
     if (!ev->left) std::swap(ev->pos, ev->other->pos);
@@ -500,7 +520,10 @@ Contour initialize_contour(const SweepEvent* event, std::vector<Contour>& contou
   if (event->prev_in_result != nullptr) {
     const SweepEvent* lower = event->prev_in_result;
     const int lower_cid = lower->output_contour_id;
-    if (lower->result_transition > 0) {
+    if (lower_cid < 0) {
+      // lower's ring not walked yet (sub-lattice degeneracies): no parent —
+      // indexing contours[-1] here would be out-of-bounds UB.
+    } else if (lower->result_transition > 0) {
       const Contour& lower_contour = contours[lower_cid];
       if (lower_contour.hole_of >= 0) {
         const int parent = lower_contour.hole_of;

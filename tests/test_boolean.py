@@ -415,3 +415,41 @@ def test_geoframe_buffer_roundtrip():
     assert B.crs == 3857 and len(B) == 2
     assert B["geometry"].iloc[0].area > 16
     assert B["geometry"].iloc[1].area > 3.0  # ~pi
+
+
+def test_ring_sliver_degenerate_terminates():
+    """Regression: a ring x sub-lattice-width sliver sent the event
+    comparator into an inconsistent state (cmp(a,b)<0 and cmp(b,a)<0) and
+    the _order_events exchange sort cycled forever — in BOTH the Python
+    and C++ engines. The comparator is now a strict total order; this case
+    must terminate with consistent set algebra."""
+    A = P.Polygon(
+        [[1.0, -3.0], [1.0, 5.0], [-6.0, 5.0], [-6.0, -3.0]],
+        [[[-3.0, 0.0], [-3.0, 2.0], [-2.0, 2.0], [-2.0, 0.0]]],
+    )
+    B = P.Polygon(
+        [[0.01685603041968342, 3.7089485382939635],
+         [0.016857236499638426, 3.7089485382939635],
+         [0.016857236499638426, 8.178158289721416],
+         [0.01685603041968342, 8.178158289721416]],
+    )
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    engines = [("native", object())] if NB.load_library() is not None else []
+    engines.append(("python", None))
+    for name, _ in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            gi = boolean_op(A, B, "intersection")
+            gu = boolean_op(A, B, "union")
+            gd = boolean_op(A, B, "difference")
+            gx = boolean_op(A, B, "xor")
+        finally:
+            NB._lib = lib
+        tol = 1e-5
+        assert abs(gi.area + gd.area - A.area) < tol, name
+        assert abs(gu.area - (A.area + B.area - gi.area)) < 1e-4, name
+        assert gx.area <= gu.area + tol, name
+        assert 0.0 <= gi.area < 1e-4, name
