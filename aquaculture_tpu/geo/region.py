@@ -223,37 +223,49 @@ def to_geometry(r: Region):
     return _poly.MultiPolygon(polys)
 
 
+def _merge_axis(rs, axis: int):
+    """One sorted merge pass along one axis: group rects sharing the exact
+    cross-axis extent (keys snapped to the _EPS grid), sort along the merge
+    axis, and coalesce runs whose edges abut within _EPS. O(n log n)."""
+    groups: dict = {}
+    if axis == 0:  # horizontal merge: same (y0, y1)
+        lo, hi, k0, k1 = 0, 2, 1, 3
+    else:          # vertical merge: same (x0, x1)
+        lo, hi, k0, k1 = 1, 3, 0, 2
+    for r in rs:
+        key = (round(r[k0] / _EPS), round(r[k1] / _EPS))
+        groups.setdefault(key, []).append(r)
+    out = []
+    changed = False
+    for grp in groups.values():
+        if len(grp) == 1:
+            out.append(grp[0])
+            continue
+        grp.sort(key=lambda r: r[lo])
+        cur = list(grp[0])
+        for r in grp[1:]:
+            if r[lo] - cur[hi] < _EPS:  # abutting (or overlapping) runs merge
+                if r[hi] > cur[hi]:
+                    cur[hi] = r[hi]
+                changed = True
+            else:
+                out.append(tuple(cur))
+                cur = list(r)
+        out.append(tuple(cur))
+    return out, changed
+
+
 def _merge_rects(rects: np.ndarray) -> np.ndarray:
-    """Best-effort pass merging rectangles that share a full edge."""
+    """Best-effort merge of rectangles sharing a full edge.
+
+    Alternating sorted passes per axis instead of the previous all-pairs
+    scan: the union-tree dissolve calls this on every internal node, and
+    the O(n^2)-per-pass version dominated rectilinear unary_union profiles
+    (e.g. dissolving the 4,142-cage corpus)."""
     rs = [tuple(r) for r in rects]
     changed = True
     while changed and len(rs) > 1:
-        changed = False
-        out = []
-        used = [False] * len(rs)
-        for i in range(len(rs)):
-            if used[i]:
-                continue
-            a = rs[i]
-            for j in range(i + 1, len(rs)):
-                if used[j]:
-                    continue
-                b = rs[j]
-                # Horizontal neighbors with identical y-extent
-                if abs(a[1] - b[1]) < _EPS and abs(a[3] - b[3]) < _EPS and (
-                    abs(a[2] - b[0]) < _EPS or abs(b[2] - a[0]) < _EPS
-                ):
-                    a = (min(a[0], b[0]), a[1], max(a[2], b[2]), a[3])
-                    used[j] = True
-                    changed = True
-                # Vertical neighbors with identical x-extent
-                elif abs(a[0] - b[0]) < _EPS and abs(a[2] - b[2]) < _EPS and (
-                    abs(a[3] - b[1]) < _EPS or abs(b[3] - a[1]) < _EPS
-                ):
-                    a = (a[0], min(a[1], b[1]), a[2], max(a[3], b[3]))
-                    used[j] = True
-                    changed = True
-            used[i] = True
-            out.append(a)
-        rs = out
+        rs, ch_h = _merge_axis(rs, 0)
+        rs, ch_v = _merge_axis(rs, 1)
+        changed = ch_h or ch_v
     return np.array(rs, dtype=np.float64).reshape(-1, 4)
