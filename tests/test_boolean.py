@@ -453,3 +453,41 @@ def test_ring_sliver_degenerate_terminates():
         assert abs(gu.area - (A.area + B.area - gi.area)) < 1e-4, name
         assert gx.area <= gu.area + tol, name
         assert 0.0 <= gi.area < 1e-4, name
+
+
+def test_event_comparator_is_total_order():
+    """Property test for the hang fix: on events harvested from degenerate
+    operands, _compare_events must be antisymmetric and cycle-free
+    (sampled triples) — the exchange-sort hang was exactly a comparator
+    cycle."""
+    from aquaculture_tpu.geo.boolean import _compare_events, _fill_queue
+
+    rng = np.random.default_rng(11)
+    events = []
+    for _ in range(6):
+        a = _rand_hull_int(rng)
+        if a is None:
+            continue
+        ring = np.round(np.asarray(a.exterior) * 7)  # lattice-ish coords
+        q = _fill_queue([ring], [np.roll(ring, 1, axis=0)])
+        events.extend(q)
+    events = events[:80]
+    n = len(events)
+    assert n > 20
+    # antisymmetry on all pairs
+    for i in range(n):
+        assert _compare_events(events[i], events[i]) == 0
+        for j in range(i + 1, n):
+            cij = _compare_events(events[i], events[j])
+            cji = _compare_events(events[j], events[i])
+            assert cij in (-1, 1) and cji == -cij, (i, j, cij, cji)
+    # no 3-cycles on sampled triples
+    idx = rng.integers(0, n, size=(400, 3))
+    for a, b, c in idx:
+        if len({a, b, c}) < 3:
+            continue
+        ab = _compare_events(events[a], events[b])
+        bc = _compare_events(events[b], events[c])
+        ca = _compare_events(events[c], events[a])
+        assert not (ab < 0 and bc < 0 and ca < 0), (a, b, c)
+        assert not (ab > 0 and bc > 0 and ca > 0), (a, b, c)
