@@ -81,8 +81,13 @@ def main(argv=None) -> None:
         with open(args.facility_pickle, "rb") as f:
             AF = pickle.load(f)
         tru = load_trujillo_locations(args.trujillo)
+        # NOTE: pass the facility frame in its native CRS — GeoFrame.to_crs
+        # (like geopandas) transforms only the active geometry column, and
+        # true_positive_facilities derives its join boxes from the
+        # circle/square cage-geometry columns
+        fac_frame = AF.final_facilities
         tp = true_positive_facilities(
-            AF.final_facilities.to_crs(3857), labels.to_crs(3857), map_year_to_image_pass
+            fac_frame, labels.to_crs(fac_frame.crs or 3857), map_year_to_image_pass
         )
         combined = classify_our_facilities(tp, trujillo_1km_boxes(tru, box_crs=3035), tru)
         out = os.path.join(args.out_dir, "facilities.pdf")

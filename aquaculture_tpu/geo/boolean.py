@@ -122,14 +122,21 @@ def _compare_events(e1: _SweepEvent, e2: _SweepEvent) -> int:
     """Sweep processing order: smaller x first; ties by y; right endpoints
     before left; bottom segment first; subject before clipping.
 
-    This MUST be a strict total order: _order_events sorts with it, and an
-    inconsistent comparator (cmp(a,b)<0 and cmp(b,a)<0) makes any exchange
-    sort cycle forever — hit in the wild by a ring x sub-lattice-width
-    sliver (tests/test_boolean.py::test_ring_sliver_degenerate_terminates).
-    Hence (a) the orientation snap band uses the MAX of both segments'
-    spans (the per-segment band of _sa_snap is asymmetric between the two
-    call orders), and (b) collinear ties break by other-endpoint, contour
-    id, then the per-event serial id — never by a constant."""
+    This MUST be a strict total order: _order_events sorts with it, the
+    C++ port feeds it to std::stable_sort (UB on non-strict-weak orders),
+    and an inconsistent comparator made the old exchange sort cycle
+    forever (hit by a ring x sub-lattice-width sliver,
+    tests/test_boolean.py::test_ring_sliver_degenerate_terminates).
+
+    Transitivity argument: all event coordinates live on the integer
+    lattice (boolean_op snaps operands; splits round), so _signed_area is
+    EXACT (|cross| <= 2^52) and the orientation branch uses it with NO
+    snap band — a band makes "collinear" non-transitive (A~B, B~C but
+    A<C). Both events here share a point and a left flag, so their other
+    endpoints lie in one half-plane; exact cross-sign ordering over a
+    half-plane is a transitive angular order. Exact collinearity falls to
+    discrete keys (subject, other-endpoint lex — distance along the shared
+    ray — contour id, serial id), never a constant."""
     if e1 is e2:
         return 0
     p1, p2 = e1.point, e2.point
@@ -143,14 +150,11 @@ def _compare_events(e1: _SweepEvent, e2: _SweepEvent) -> int:
         return 1 if e1.left else -1
     o1, o2 = e1.other.point, e2.other.point
     sa = _signed_area(p1, o1, o2)
-    tol = 3.0 * max(
-        abs(o1[0] - p1[0]) + abs(o1[1] - p1[1]),
-        abs(o2[0] - p1[0]) + abs(o2[1] - p1[1]),
-    )
-    if sa < -tol or sa > tol:
-        # not collinear: same convention as before (e1 first when e2's
-        # other endpoint lies above e1's segment). For right events the
-        # segment runs other->point, which negates the orientation.
+    if sa != 0.0:
+        # bottom segment first (same convention as the original: e1 first
+        # when e2's other endpoint lies above e1's segment). For right
+        # events the segment runs other->point, which negates the
+        # orientation.
         below = sa > 0 if e1.left else sa < 0
         return 1 if not below else -1
     if e1.is_subject != e2.is_subject:

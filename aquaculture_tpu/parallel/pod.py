@@ -125,11 +125,18 @@ def _rows_to_specs(rows: np.ndarray, layers=None):
     ]
 
 
-def _corpus_fingerprint(all_paths: Sequence[str], n_hosts: int) -> str:
+def _corpus_fingerprint(all_paths: Sequence[str], n_hosts: int, cfg=None) -> str:
+    """Identity of a resumable run: corpus list + host count + the
+    detection-relevant config. Without cfg in the hash, a resume with a
+    different conf threshold would silently merge detections produced
+    under different settings into one output."""
     import hashlib
 
     h = hashlib.sha1()
     h.update(f"hosts={n_hosts}\n".encode())
+    if cfg is not None:
+        h.update(repr(cfg).encode())
+        h.update(b"\n")
     for p in all_paths:
         h.update(p.encode())
         h.update(b"\n")
@@ -157,10 +164,11 @@ def _load_progress(checkpoint_dir: str, host: int, fingerprint: str):
         fp = str(z["fingerprint"])
         if fp != fingerprint:
             raise RuntimeError(
-                f"pod checkpoint {f} was written for a different corpus or "
-                f"host count (fingerprint {fp[:12]} != {fingerprint[:12]}); "
-                "resume requires the SAME corpus list and process count — "
-                "delete the checkpoint dir to start fresh"
+                f"pod checkpoint {f} was written for a different corpus, "
+                f"host count, or detection config (fingerprint {fp[:12]} != "
+                f"{fingerprint[:12]}); resume requires the SAME corpus list, "
+                "process count, and config — delete the checkpoint dir to "
+                "start fresh"
             )
         done.update(str(p) for p in z["done_paths"])
         bs.append(z["boxes"].reshape(-1, 4))
@@ -190,7 +198,10 @@ def _append_chunk(
     """One append-only chunk manifest (atomic publish via os.replace);
     write volume stays O(chunk), not O(total progress)."""
     path = os.path.join(checkpoint_dir, f"pod_host{host}_chunk{idx:06d}.npz")
-    tmp = path + ".tmp.npz"  # explicit .npz so np.savez doesn't append one
+    # dot-prefixed temp so the _chunk_files glob can NEVER pick up a
+    # partial file left by a crash mid-write (explicit .npz suffix so
+    # np.savez doesn't append another)
+    tmp = os.path.join(checkpoint_dir, f".pod_host{host}_chunk{idx:06d}.tmp.npz")
     np.savez(
         tmp,
         fingerprint=np.str_(fingerprint),
@@ -243,8 +254,8 @@ def run_pod_pipeline(
         from aquaculture_tpu.pipeline import PipelineStats, make_infer_fn
 
         os.makedirs(checkpoint_dir, exist_ok=True)
-        fingerprint = _corpus_fingerprint(all_paths, n_hosts)
-        done, boxes, conf, cls, spec_rows, spec_layers = _load_progress(
+        fingerprint = _corpus_fingerprint(all_paths, n_hosts, cfg)
+        done, boxes0, conf0, cls0, spec_rows0, spec_layers0 = _load_progress(
             checkpoint_dir, host, fingerprint
         )
         todo = [p for p in shard if p not in done]
@@ -258,6 +269,14 @@ def run_pod_pipeline(
         # One compiled program for every chunk: detect_files would otherwise
         # rebuild its jitted infer fn per call (a remote recompile per chunk).
         infer_fn = make_infer_fn(model, params, cfg, batch_size=batch_size) if todo else None
+        # Accumulate per-chunk arrays in lists (one concatenate per table at
+        # the end) — concatenating the whole history every chunk is O(n^2)
+        # copied bytes over a big shard.
+        acc_b = [np.asarray(boxes0).reshape(-1, 4)]
+        acc_c = [np.asarray(conf0)]
+        acc_k = [np.asarray(cls0, np.int64)]
+        acc_r = [np.asarray(spec_rows0, np.int64).reshape(-1, 4)]
+        acc_l = [np.asarray(spec_layers0, dtype=np.str_)]
         for i in range(0, len(todo), checkpoint_every):
             chunk = todo[i : i + checkpoint_every]
             b, c, k, specs, st = detect_files(
@@ -271,11 +290,16 @@ def run_pod_pipeline(
                 checkpoint_dir, host, next_idx, fingerprint, chunk, b, c, k, specs
             )
             next_idx += 1
-            boxes = np.concatenate([boxes.reshape(-1, 4), np.asarray(b).reshape(-1, 4)])
-            conf = np.concatenate([conf, np.asarray(c)])
-            cls = np.concatenate([cls, np.asarray(k, np.int64)])
-            spec_rows = np.concatenate([spec_rows.reshape(-1, 4), _spec_rows(specs)])
-            spec_layers = np.concatenate([spec_layers, _spec_layers(specs)])
+            acc_b.append(np.asarray(b).reshape(-1, 4))
+            acc_c.append(np.asarray(c))
+            acc_k.append(np.asarray(k, np.int64))
+            acc_r.append(_spec_rows(specs))
+            acc_l.append(_spec_layers(specs))
+        boxes = np.concatenate(acc_b)
+        conf = np.concatenate(acc_c)
+        cls = np.concatenate(acc_k)
+        spec_rows = np.concatenate(acc_r)
+        spec_layers = np.concatenate([a.astype(np.str_) for a in acc_l]) if acc_l else np.zeros(0, np.str_)
         specs = _rows_to_specs(spec_rows, spec_layers)
     else:
         boxes, conf, cls, specs, stats = detect_files(shard, model, params, cfg, batch_size)
@@ -300,7 +324,15 @@ def run_pod_pipeline(
         pad[: len(enc)] = enc
         lay = np.zeros((n_max, _LAYER_BYTES), np.uint8)
         for i, s in enumerate(spec_table):
-            b = s.layer.encode("utf-8")[:_LAYER_BYTES]
+            b = s.layer.encode("utf-8")
+            if len(b) > _LAYER_BYTES:
+                # truncating could split a multi-byte codepoint (decode on
+                # every host would then raise at the final gather) and
+                # would corrupt the tile identity — fail loudly up front
+                raise ValueError(
+                    f"TileSpec layer exceeds the {_LAYER_BYTES}-byte gather "
+                    f"budget: {s.layer!r}"
+                )
             lay[i, : len(b)] = np.frombuffer(b, np.uint8)
         tables = multihost_utils.process_allgather(pad)
         layer_tables = multihost_utils.process_allgather(lay)

@@ -70,7 +70,13 @@ def true_positive_facilities(
     (reference get_true_facilities, FacilitiesMaps.py:64-94): bounds-box
     sjoin against labels, keep facility rows whose pass equals the label
     year's pass, dedup by facility_index. Geometry becomes the cage-extent
-    bounds box."""
+    bounds box.
+
+    Pass the facility frame in its NATIVE CRS: the join boxes derive from
+    the circle/square cage-geometry columns, which GeoFrame.to_crs (like
+    geopandas) does NOT transform — a pre-reprojected frame would carry
+    stale cage columns labeled with the new CRS and silently match
+    nothing. Labels are reprojected here to the frame's CRS."""
     fac = facilities.copy()
     fac["geometry"] = _cage_bounds_boxes(facilities)
     fac.crs = facilities.crs

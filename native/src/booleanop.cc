@@ -77,11 +77,12 @@ inline bool is_below(const SweepEvent* e, const Pt& p) {
 inline bool is_above(const SweepEvent* e, const Pt& p) { return !is_below(e, p); }
 
 // Sweep processing order (boolean.py _compare_events). MUST be a strict
-// total order: order_events sorts with it, and an inconsistent comparator
-// is UB for std::sort / cycles an exchange sort forever (hit by a ring x
-// sub-lattice-width sliver). The orientation snap band is symmetric (max
-// of both segments' spans) and collinear ties break by other-endpoint,
-// contour id, then the per-event serial id.
+// total order: order_events feeds it to std::stable_sort (UB on
+// non-strict-weak orders). Transitivity: event coordinates are lattice
+// integers, so signed_area is EXACT and the orientation branch runs with
+// NO snap band — a band made "collinear" non-transitive (A~B, B~C but
+// A<C), which both hung the old exchange sort and broke strict-weak
+// ordering. Exact collinearity falls to discrete keys.
 int compare_events(const SweepEvent* e1, const SweepEvent* e2) {
   if (e1 == e2) return 0;
   const Pt& p1 = e1->point;
@@ -93,10 +94,7 @@ int compare_events(const SweepEvent* e1, const SweepEvent* e2) {
   const Pt& o1 = e1->other->point;
   const Pt& o2 = e2->other->point;
   const double sa = signed_area(p1, o1, o2);
-  const double tol = 3.0 * std::max(
-      std::fabs(o1.x - p1.x) + std::fabs(o1.y - p1.y),
-      std::fabs(o2.x - p1.x) + std::fabs(o2.y - p1.y));
-  if (sa < -tol || sa > tol) {
+  if (sa != 0.0) {
     const bool below = e1->left ? (sa > 0) : (sa < 0);
     return below ? -1 : 1;
   }

@@ -481,6 +481,20 @@ def test_event_comparator_is_total_order():
             cij = _compare_events(events[i], events[j])
             cji = _compare_events(events[j], events[i])
             assert cij in (-1, 1) and cji == -cij, (i, j, cij, cji)
+    # the reviewer-found near-collinear fan: A->(100,3), B->(150,0),
+    # C->(200,-3) from one vertex formed a 3-cycle under the old snapped
+    # comparator; the exact comparator must order it consistently
+    def _ev(pt, o):
+        from aquaculture_tpu.geo.boolean import _SweepEvent
+        e = _SweepEvent(pt, True, None, True)
+        oe = _SweepEvent(o, False, e, True)
+        e.other = oe
+        return e
+
+    A, B, C = _ev((0.0, 0.0), (100.0, 3.0)), _ev((0.0, 0.0), (150.0, 0.0)), _ev((0.0, 0.0), (200.0, -3.0))
+    ab, bc, ac = _compare_events(A, B), _compare_events(B, C), _compare_events(A, C)
+    assert not (ab < 0 and bc < 0 and ac > 0) and not (ab > 0 and bc > 0 and ac < 0)
+
     # no 3-cycles on sampled triples
     idx = rng.integers(0, n, size=(400, 3))
     for a, b, c in idx:

@@ -147,7 +147,7 @@ def test_run_pod_pipeline_checkpoint_resume(tmp_path, monkeypatch):
     assert len(det_again) == len(det_full)
 
     # topology/corpus change: resume must refuse, not double-count
-    with pytest.raises(RuntimeError, match="different corpus or host count"):
+    with pytest.raises(RuntimeError, match="different corpus, host count, or detection config"):
         run_pod_pipeline(
             paths[:2], model, params, dl, cfg=cfg, batch_size=2,
             checkpoint_dir=str(ckpt), checkpoint_every=1,
