@@ -75,7 +75,7 @@ def main(argv=None) -> None:
     ap.add_argument("--source", required=True, help="image file, directory, or glob")
     ap.add_argument("--weights", default=None, help=".pt or checkpoint directory")
     ap.add_argument("--out", required=True, help="directory for label .txt files")
-    ap.add_argument("--variant", default="m", choices=list("nsmlx"))
+    ap.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
     ap.add_argument("--num-classes", type=int, default=5)
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--iou", type=float, default=0.45)

@@ -29,7 +29,7 @@ def main(argv=None) -> None:
     ap.add_argument("--download-bboxes", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--weights", default=None)
-    ap.add_argument("--variant", default="m", choices=list("nsmlx"))
+    ap.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
     ap.add_argument("--num-classes", type=int, default=5)
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--batch", type=int, default=128)

@@ -44,7 +44,7 @@ def calibrate(model, fused_params, sample_images) -> Dict[int, float]:
 
 # Backbone C3 blocks run their bottlenecks with shortcut adds; the neck C3s
 # don't (models/yolov5.py features()). Needed to place sum_yscale correctly.
-_SHORTCUT_C3 = ("b2", "b4", "b6", "b8")
+_SHORTCUT_C3 = ("b2", "b4", "b6", "b8", "b10")  # b10 exists only on P6
 
 # Default mixed-precision split for serving: the early large-spatial/
 # small-channel layers (P1-P3 backbone) tile poorly in int8 and stay bf16;

@@ -33,6 +33,15 @@ _LAYER_INDEX = {
 }
 _DETECT_INDEX = 24
 
+# P6 family (public yolov5-p6 yaml layer numbering)
+_LAYER_INDEX_P6 = {
+    "b0": 0, "b1": 1, "b2": 2, "b3": 3, "b4": 4, "b5": 5, "b6": 6,
+    "b7": 7, "b8": 8, "b9": 9, "b10": 10, "b11": 11,
+    "n12": 12, "n15": 15, "n16": 16, "n19": 19, "n20": 20, "n23": 23,
+    "n24": 24, "n26": 26, "n27": 27, "n29": 29, "n30": 30, "n32": 32,
+}
+_DETECT_INDEX_P6 = 33
+
 
 def _conv_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> dict:
     w = sd[f"{prefix}.conv.weight"]
@@ -80,17 +89,26 @@ def params_from_state_dict(model, state_dict: Dict[str, np.ndarray]) -> dict:
         sd[k] = np.asarray(v, dtype=np.float32)
 
     dp = model.depths()
-    c3_depths = {
-        "b2": dp["n3"], "b4": dp["n6"], "b6": dp["n9"], "b8": dp["n3"],
-        "n13": dp["n3"], "n17": dp["n3"], "n20": dp["n3"], "n23": dp["n3"],
-    }
+    if getattr(model, "is_p6", False):
+        layer_index, detect_index, sppf_name = _LAYER_INDEX_P6, _DETECT_INDEX_P6, "b11"
+        c3_depths = {
+            "b2": dp["n3"], "b4": dp["n6"], "b6": dp["n9"], "b8": dp["n3"],
+            "b10": dp["n3"], "n15": dp["n3"], "n19": dp["n3"], "n23": dp["n3"],
+            "n26": dp["n3"], "n29": dp["n3"], "n32": dp["n3"],
+        }
+    else:
+        layer_index, detect_index, sppf_name = _LAYER_INDEX, _DETECT_INDEX, "b9"
+        c3_depths = {
+            "b2": dp["n3"], "b4": dp["n6"], "b6": dp["n9"], "b8": dp["n3"],
+            "n13": dp["n3"], "n17": dp["n3"], "n20": dp["n3"], "n23": dp["n3"],
+        }
 
     params: dict = {}
-    for name, idx in _LAYER_INDEX.items():
+    for name, idx in layer_index.items():
         prefix = f"model.{idx}"
         if name in c3_depths:
             params[name] = _c3_from_torch(sd, prefix, c3_depths[name])
-        elif name == "b9":
+        elif name == sppf_name:
             params[name] = {
                 "cv1": _conv_from_torch(sd, f"{prefix}.cv1"),
                 "cv2": _conv_from_torch(sd, f"{prefix}.cv2"),
@@ -99,9 +117,9 @@ def params_from_state_dict(model, state_dict: Dict[str, np.ndarray]) -> dict:
             params[name] = _conv_from_torch(sd, prefix)
 
     head = []
-    for i in range(3):
-        w = sd[f"model.{_DETECT_INDEX}.m.{i}.weight"]
-        b = sd[f"model.{_DETECT_INDEX}.m.{i}.bias"]
+    for i in range(len(model.strides)):
+        w = sd[f"model.{detect_index}.m.{i}.weight"]
+        b = sd[f"model.{detect_index}.m.{i}.bias"]
         head.append({"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))), "b": jnp.asarray(b)})
     params["head"] = head
     return params
@@ -112,9 +130,9 @@ def anchors_from_state_dict(state_dict: Dict[str, np.ndarray]):
     for k in state_dict:
         if k.endswith("anchors"):
             a = np.asarray(state_dict[k], dtype=np.float32)
-            if a.shape == (3, 3, 2):
+            if a.shape in ((3, 3, 2), (4, 3, 2)):
                 # ultralytics stores anchors in grid units; scale by stride.
-                strides = np.array([8.0, 16.0, 32.0])[:, None, None]
+                strides = np.array([8.0, 16.0, 32.0, 64.0][: a.shape[0]])[:, None, None]
                 return tuple(tuple(map(tuple, lvl)) for lvl in a * strides)
     return None
 

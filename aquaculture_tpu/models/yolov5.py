@@ -25,13 +25,20 @@ import numpy as np
 
 from aquaculture_tpu.models import layers as L
 
-# depth_multiple, width_multiple per variant (public YOLOv5 scaling table)
+# depth_multiple, width_multiple per variant (public YOLOv5 scaling table).
+# The "*6" names are the P6 family (1280px-native, extra stride-64 level) —
+# same scaling pair as their base letter, different topology.
 VARIANTS: Dict[str, Tuple[float, float]] = {
     "n": (0.33, 0.25),
     "s": (0.33, 0.50),
     "m": (0.67, 0.75),
     "l": (1.00, 1.00),
     "x": (1.33, 1.25),
+    "n6": (0.33, 0.25),
+    "s6": (0.33, 0.50),
+    "m6": (0.67, 0.75),
+    "l6": (1.00, 1.00),
+    "x6": (1.33, 1.25),
 }
 
 # Default COCO anchors per stride level (w, h) in pixels.
@@ -41,6 +48,15 @@ DEFAULT_ANCHORS = (
     ((116.0, 90.0), (156.0, 198.0), (373.0, 326.0)),  # P5/32
 )
 STRIDES = (8, 16, 32)
+
+# P6 family (public yolov5-p6 anchor table, pixels at 1280px)
+DEFAULT_ANCHORS_P6 = (
+    ((19.0, 27.0), (44.0, 40.0), (38.0, 94.0)),          # P3/8
+    ((96.0, 68.0), (86.0, 152.0), (180.0, 137.0)),       # P4/16
+    ((140.0, 301.0), (303.0, 264.0), (238.0, 542.0)),    # P5/32
+    ((436.0, 615.0), (739.0, 380.0), (925.0, 792.0)),    # P6/64
+)
+STRIDES_P6 = (8, 16, 32, 64)
 
 
 def _make_divisible(c: float, divisor: int = 8) -> int:
@@ -57,11 +73,30 @@ def _depth(n: int, dm: float) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class YoloV5:
-    """Static architecture description + functional apply methods."""
+    """Static architecture description + functional apply methods.
+
+    anchors=None resolves to the family default (DEFAULT_ANCHORS /
+    DEFAULT_ANCHORS_P6); pass an explicit table (e.g. from a checkpoint)
+    to override. Use ``anchor_table`` / ``strides`` everywhere downstream.
+    """
 
     variant: str = "m"
     num_classes: int = 5
-    anchors: Sequence = DEFAULT_ANCHORS
+    anchors: Sequence = None
+
+    @property
+    def is_p6(self) -> bool:
+        return self.variant.endswith("6")
+
+    @property
+    def strides(self) -> Tuple[int, ...]:
+        return STRIDES_P6 if self.is_p6 else STRIDES
+
+    @property
+    def anchor_table(self) -> Sequence:
+        if self.anchors is not None:
+            return self.anchors
+        return DEFAULT_ANCHORS_P6 if self.is_p6 else DEFAULT_ANCHORS
 
     @property
     def depth_multiple(self):
@@ -73,7 +108,7 @@ class YoloV5:
 
     @property
     def na(self) -> int:
-        return len(self.anchors[0])
+        return len(self.anchor_table[0])
 
     @property
     def no(self) -> int:
@@ -81,13 +116,18 @@ class YoloV5:
 
     def channels(self) -> Dict[str, int]:
         w = self.width_multiple
-        return {
+        ch = {
             "c1": _width(64, w),
             "c2": _width(128, w),
             "c3": _width(256, w),
             "c4": _width(512, w),
             "c5": _width(1024, w),
         }
+        if self.is_p6:
+            # P6 backbone: ... 512 -> 768 -> 1024 (public yolov5-p6 yaml)
+            ch["c5"] = _width(768, w)
+            ch["c6"] = _width(1024, w)
+        return ch
 
     def depths(self) -> Dict[str, int]:
         d = self.depth_multiple
@@ -98,6 +138,8 @@ class YoloV5:
     # ------------------------------------------------------------------
 
     def init(self, seed: int = 0) -> dict:
+        if self.is_p6:
+            return self._init_p6(seed)
         ch = self.channels()
         dp = self.depths()
         rng = np.random.default_rng(seed)
@@ -129,6 +171,45 @@ class YoloV5:
             ],
         }
         return params
+
+    def _init_p6(self, seed: int = 0) -> dict:
+        """P6 topology (public yolov5-p6 yaml): one more backbone stage
+        (768 -> 1024) and a 4-level PANet with a stride-64 Detect level."""
+        ch = self.channels()
+        dp = self.depths()
+        rng = np.random.default_rng(seed)
+        return {
+            # backbone (layer indices 0..11 in the ultralytics yaml)
+            "b0": L.conv_init(rng, 3, ch["c1"], 6),
+            "b1": L.conv_init(rng, ch["c1"], ch["c2"], 3),
+            "b2": L.c3_init(rng, ch["c2"], ch["c2"], dp["n3"]),
+            "b3": L.conv_init(rng, ch["c2"], ch["c3"], 3),
+            "b4": L.c3_init(rng, ch["c3"], ch["c3"], dp["n6"]),
+            "b5": L.conv_init(rng, ch["c3"], ch["c4"], 3),
+            "b6": L.c3_init(rng, ch["c4"], ch["c4"], dp["n9"]),
+            "b7": L.conv_init(rng, ch["c4"], ch["c5"], 3),
+            "b8": L.c3_init(rng, ch["c5"], ch["c5"], dp["n3"]),
+            "b9": L.conv_init(rng, ch["c5"], ch["c6"], 3),
+            "b10": L.c3_init(rng, ch["c6"], ch["c6"], dp["n3"]),
+            "b11": L.sppf_init(rng, ch["c6"], ch["c6"]),
+            # neck (12..32)
+            "n12": L.conv_init(rng, ch["c6"], ch["c5"], 1),
+            "n15": L.c3_init(rng, 2 * ch["c5"], ch["c5"], dp["n3"]),
+            "n16": L.conv_init(rng, ch["c5"], ch["c4"], 1),
+            "n19": L.c3_init(rng, 2 * ch["c4"], ch["c4"], dp["n3"]),
+            "n20": L.conv_init(rng, ch["c4"], ch["c3"], 1),
+            "n23": L.c3_init(rng, 2 * ch["c3"], ch["c3"], dp["n3"]),
+            "n24": L.conv_init(rng, ch["c3"], ch["c3"], 3),
+            "n26": L.c3_init(rng, 2 * ch["c3"], ch["c4"], dp["n3"]),
+            "n27": L.conv_init(rng, ch["c4"], ch["c4"], 3),
+            "n29": L.c3_init(rng, 2 * ch["c4"], ch["c5"], dp["n3"]),
+            "n30": L.conv_init(rng, ch["c5"], ch["c5"], 3),
+            "n32": L.c3_init(rng, 2 * ch["c5"], ch["c6"], dp["n3"]),
+            "head": [
+                _detect_conv_init(rng, c, self.na * self.no)
+                for c in (ch["c3"], ch["c4"], ch["c5"], ch["c6"])
+            ],
+        }
 
     # ------------------------------------------------------------------
     # forward
@@ -170,30 +251,59 @@ class YoloV5:
         y = cb("b5", p3, 2)
         p4 = c3b("b6", y)            # stride 16
         y = cb("b7", p4, 2)
-        y = c3b("b8", y)
-        y, np_["b9"] = L.sppf(y, params["b9"], training=training)  # stride 32
 
-        # Neck (qcat/qup2 are QTensor-aware passthroughs of concat/upsample:
-        # the int8 serving pipeline keeps activations quantized through the
-        # whole backbone+neck; float paths are unchanged)
-        t10 = cb("n10", y)
-        u = L.qup2(t10)
-        y = L.qcat([u, p4], axis=-1)
-        y = c3b("n13", y, shortcut=False)
-        t14 = cb("n14", y)
-        u = L.qup2(t14)
-        y = L.qcat([u, p3], axis=-1)
-        o3 = c3b("n17", y, shortcut=False)                     # P3 out
-        y = cb("n18", o3, 2)
-        y = L.qcat([y, t14], axis=-1)
-        o4 = c3b("n20", y, shortcut=False)                     # P4 out
-        y = cb("n21", o4, 2)
-        y = L.qcat([y, t10], axis=-1)
-        o5 = c3b("n23", y, shortcut=False)                     # P5 out
+        if self.is_p6:
+            p5 = c3b("b8", y)        # stride 32
+            y = cb("b9", p5, 2)
+            y = c3b("b10", y)
+            y, np_["b11"] = L.sppf(y, params["b11"], training=training)  # stride 64
+            # 4-level PANet
+            t12 = cb("n12", y)
+            y = L.qcat([L.qup2(t12), p5], axis=-1)
+            y = c3b("n15", y, shortcut=False)
+            t16 = cb("n16", y)
+            y = L.qcat([L.qup2(t16), p4], axis=-1)
+            y = c3b("n19", y, shortcut=False)
+            t20 = cb("n20", y)
+            y = L.qcat([L.qup2(t20), p3], axis=-1)
+            o3 = c3b("n23", y, shortcut=False)                 # P3 out
+            y = cb("n24", o3, 2)
+            y = L.qcat([y, t20], axis=-1)
+            o4 = c3b("n26", y, shortcut=False)                 # P4 out
+            y = cb("n27", o4, 2)
+            y = L.qcat([y, t16], axis=-1)
+            o5 = c3b("n29", y, shortcut=False)                 # P5 out
+            y = cb("n30", o5, 2)
+            y = L.qcat([y, t12], axis=-1)
+            o6 = c3b("n32", y, shortcut=False)                 # P6 out
+            outs = (o3, o4, o5, o6)
+        else:
+            y = c3b("b8", y)
+            y, np_["b9"] = L.sppf(y, params["b9"], training=training)  # stride 32
+
+            # Neck (qcat/qup2 are QTensor-aware passthroughs of
+            # concat/upsample: the int8 serving pipeline keeps activations
+            # quantized through the whole backbone+neck; float paths are
+            # unchanged)
+            t10 = cb("n10", y)
+            u = L.qup2(t10)
+            y = L.qcat([u, p4], axis=-1)
+            y = c3b("n13", y, shortcut=False)
+            t14 = cb("n14", y)
+            u = L.qup2(t14)
+            y = L.qcat([u, p3], axis=-1)
+            o3 = c3b("n17", y, shortcut=False)                 # P3 out
+            y = cb("n18", o3, 2)
+            y = L.qcat([y, t14], axis=-1)
+            o4 = c3b("n20", y, shortcut=False)                 # P4 out
+            y = cb("n21", o4, 2)
+            y = L.qcat([y, t10], axis=-1)
+            o5 = c3b("n23", y, shortcut=False)                 # P5 out
+            outs = (o3, o4, o5)
 
         feats = []
         new_head = []
-        for o, hp in zip((o3, o4, o5), params["head"]):
+        for o, hp in zip(outs, params["head"]):
             o = L.deq(o)  # head stays floating point (feeds the box decode)
             f = L.conv2d(o, hp["w"].astype(o.dtype)).astype(o.dtype) + hp["b"].astype(o.dtype)
             feats.append(f)
@@ -211,7 +321,7 @@ class YoloV5:
         in input-image pixel coordinates. Fixed shape: N = sum(HW * na).
         """
         outs = []
-        for f, anchors, stride in zip(feats, self.anchors, STRIDES):
+        for f, anchors, stride in zip(feats, self.anchor_table, self.strides):
             b, h, w, _ = f.shape
             f = f.reshape(b, h, w, self.na, self.no).astype(jnp.float32)
             p = jax.nn.sigmoid(f)
@@ -266,7 +376,7 @@ def init_detect_biases(model: YoloV5, params: dict, img_size: int = 640, cls_pri
     """Ultralytics-style detect bias initialization for stable early training:
     obj bias ~ log(8 / (640/stride)^2), cls bias ~ log(prior / (nc - 1))."""
     new_head = []
-    for hp, stride in zip(params["head"], STRIDES):
+    for hp, stride in zip(params["head"], model.strides):
         b = np.array(hp["b"]).reshape(model.na, model.no)
         b[:, 4] += np.log(8.0 / (img_size / stride) ** 2)
         b[:, 5:] += np.log(cls_prior / max(model.num_classes - 1, 1))

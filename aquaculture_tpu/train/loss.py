@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 # Per-level objectness balance (P3, P4, P5) — public v5 defaults.
+# per-level objectness balance; 3-level P5 models use ultralytics'
+# [4.0, 1.0, 0.4], 4-level P6 models its nl=4 table [4.0, 1.0, 0.25, 0.06]
 OBJ_BALANCE = (4.0, 1.0, 0.4)
+OBJ_BALANCE_P6 = (4.0, 1.0, 0.25, 0.06)
 
 # Neighbor-cell offsets: center, left, up, right, down (in grid cells).
 _OFFSETS = jnp.asarray(
@@ -161,7 +164,8 @@ def yolo_loss(
     lobj = 0.0
     lcls = 0.0
 
-    for li, (f, stride, bal) in enumerate(zip(feats, strides, OBJ_BALANCE)):
+    balance = OBJ_BALANCE_P6 if len(feats) == 4 else OBJ_BALANCE
+    for li, (f, stride, bal) in enumerate(zip(feats, strides, balance)):
         gh, gw = f.shape[1], f.shape[2]
         p = f.reshape(b, gh, gw, na, no).astype(jnp.float32)
         anc = jnp.asarray(anchors[li], jnp.float32) / float(stride)  # grid units

@@ -81,8 +81,9 @@ def make_train_step(
             feats,
             batch["labels"],
             batch["label_mask"],
-            model.anchors,
+            model.anchor_table,
             model.num_classes,
+            strides=model.strides,
             box_gain=cfg.box_gain,
             cls_gain=cfg.cls_gain,
             obj_gain=cfg.obj_gain,

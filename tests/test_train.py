@@ -75,7 +75,7 @@ def test_loss_finite_and_components():
     labels = jnp.asarray([[[1.0, 32.0, 32.0, 10.0, 10.0]] * 4] * 2)
     mask = jnp.ones((2, 4), bool)
     feats, _ = model.features(params, imgs, training=False)
-    loss, m = yolo_loss(feats, labels, mask, model.anchors, 5)
+    loss, m = yolo_loss(feats, labels, mask, model.anchor_table, 5)
     assert np.isfinite(float(loss))
     assert float(m["box"]) > 0 and float(m["obj"]) > 0 and float(m["cls"]) > 0
 
@@ -86,7 +86,7 @@ def test_loss_no_labels_only_obj():
     labels = jnp.zeros((1, 4, 5))
     mask = jnp.zeros((1, 4), bool)
     feats, _ = model.features(params, imgs, training=False)
-    loss, m = yolo_loss(feats, labels, mask, model.anchors, 5)
+    loss, m = yolo_loss(feats, labels, mask, model.anchor_table, 5)
     assert float(m["box"]) == pytest.approx(0.0, abs=1e-6)
     assert float(m["cls"]) == pytest.approx(0.0, abs=1e-6)
     assert float(m["obj"]) > 0

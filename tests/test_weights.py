@@ -55,6 +55,32 @@ def _ultralytics_state_dict(model: YoloV5, seed: int = 0):
     c3("model.6", ch["c4"], ch["c4"], dp["n9"])
     conv("model.7", ch["c4"], ch["c5"], 3)
     c3("model.8", ch["c5"], ch["c5"], dp["n3"])
+    if model.is_p6:
+        conv("model.9", ch["c5"], ch["c6"], 3)
+        c3("model.10", ch["c6"], ch["c6"], dp["n3"])
+        conv("model.11.cv1", ch["c6"], ch["c6"] // 2, 1)
+        conv("model.11.cv2", 2 * ch["c6"], ch["c6"], 1)
+        conv("model.12", ch["c6"], ch["c5"], 1)
+        c3("model.15", 2 * ch["c5"], ch["c5"], dp["n3"])
+        conv("model.16", ch["c5"], ch["c4"], 1)
+        c3("model.19", 2 * ch["c4"], ch["c4"], dp["n3"])
+        conv("model.20", ch["c4"], ch["c3"], 1)
+        c3("model.23", 2 * ch["c3"], ch["c3"], dp["n3"])
+        conv("model.24", ch["c3"], ch["c3"], 3)
+        c3("model.26", 2 * ch["c3"], ch["c4"], dp["n3"])
+        conv("model.27", ch["c4"], ch["c4"], 3)
+        c3("model.29", 2 * ch["c4"], ch["c5"], dp["n3"])
+        conv("model.30", ch["c5"], ch["c5"], 3)
+        c3("model.32", 2 * ch["c5"], ch["c6"], dp["n3"])
+        no = model.na * model.no
+        for i, c in enumerate((ch["c3"], ch["c4"], ch["c5"], ch["c6"])):
+            sd[f"model.33.m.{i}.weight"] = rng.standard_normal((no, c, 1, 1)).astype(np.float32)
+            sd[f"model.33.m.{i}.bias"] = rng.standard_normal(no).astype(np.float32)
+        sd["model.33.anchors"] = (
+            np.asarray(model.anchor_table, np.float32)
+            / np.array([8.0, 16.0, 32.0, 64.0])[:, None, None]
+        )
+        return sd
     conv("model.9.cv1", ch["c5"], ch["c5"] // 2, 1)
     conv("model.9.cv2", 2 * ch["c5"], ch["c5"], 1)
     conv("model.10", ch["c5"], ch["c4"], 1)
@@ -83,7 +109,7 @@ def _tree_shapes(t):
     return {jax.tree_util.keystr(p): tuple(l.shape) for p, l in jax.tree_util.tree_flatten_with_path(t)[0]}
 
 
-@pytest.mark.parametrize("variant", ["n", "m"])
+@pytest.mark.parametrize("variant", ["n", "m", "n6"])
 def test_state_dict_mapping_shapes_match_init(variant):
     model = YoloV5(variant=variant, num_classes=5)
     sd = _ultralytics_state_dict(model)

@@ -138,3 +138,37 @@ def test_stem_s2d_reparametrization_exact():
     p_plain, _ = model.apply(model.fuse(params, stem_s2d=False), x)
     p_s2d, _ = model.apply(model.fuse(params, stem_s2d=True), x)
     np.testing.assert_allclose(np.asarray(p_plain), np.asarray(p_s2d), atol=1e-4)
+
+
+def test_p6_family_forward_decode_and_train_step():
+    """P6 variants (extra stride-64 level, 4-level PANet; public
+    yolov5-p6 yaml): decode emits sum((S/s)^2*3) rows over strides
+    8/16/32/64, fuse (incl. stem s2d) matches unfused, and the 4-level
+    loss is finite."""
+    import numpy as np
+
+    from aquaculture_tpu.train.loss import yolo_loss
+
+    model, params = yolov5_init("n6", num_classes=2, seed=0)
+    assert model.strides == (8, 16, 32, 64)
+    assert len(params["head"]) == 4 and "b11" in params and "n32" in params
+    x = jnp.asarray(np.random.default_rng(0).random((1, 128, 128, 3), dtype=np.float32))
+    preds, _ = model.apply(params, x)
+    n = sum((128 // s) ** 2 * 3 for s in model.strides)
+    assert preds.shape == (1, n, 7)
+    fused = model.fuse(params)
+    pf, _ = model.apply(fused, x)
+    assert np.allclose(np.asarray(preds), np.asarray(pf), atol=2e-2)
+
+    feats, _ = model.features(params, x, training=True)
+    assert len(feats) == 4
+    labels = jnp.asarray([[[0.0, 40.0, 40.0, 24.0, 24.0]]])
+    mask = jnp.asarray([[True]])
+    loss, metrics = yolo_loss(
+        feats, labels, mask, model.anchor_table, 2, strides=model.strides
+    )
+    assert bool(jnp.isfinite(loss)) and float(loss) > 0
+
+    # x6: construction only (heaviest variant)
+    m6, p6 = yolov5_init("x6", num_classes=5, seed=0)
+    assert m6.num_params(p6) > 0
