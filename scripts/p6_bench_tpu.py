@@ -1,0 +1,82 @@
+"""One-off P6 throughput datapoint: YOLOv5m6 at its native 1280px,
+infer + NMS, steady-state windows (same harness shape as bench.py).
+Appends to BENCH_P6.jsonl."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BATCH = 32
+IMG = 1280
+WARMUP = 3
+WINDOWS = 3
+BPW = 4
+RESULTS = os.path.join(os.path.dirname(__file__), "..", "BENCH_P6.jsonl")
+
+
+def main() -> None:
+    cache = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    os.makedirs(cache, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.ops.nms import batched_nms
+
+    model, params = yolov5_init("m6", num_classes=5, seed=0)
+    params = model.fuse(params)
+    cfg = DetectConfig()
+
+    def infer(params, images):
+        preds, _ = model.apply(params, images.astype(jnp.bfloat16))
+        return batched_nms(
+            preds, conf_thresh=cfg.conf_threshold, iou_thresh=cfg.iou_threshold,
+            max_det=cfg.max_detections, pre_topk=cfg.pre_nms_topk,
+        )
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(jnp.asarray(rng.random((BATCH, IMG, IMG, 3), dtype=np.float32)))
+    params = jax.device_put(params)
+    t0 = time.perf_counter()
+    compiled = jax.jit(infer).lower(params, images).compile()
+    compile_s = time.perf_counter() - t0
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    for _ in range(WARMUP):
+        det, valid = compiled(params, images)
+    jax.block_until_ready(det)
+    rates = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(BPW):
+            det, valid = compiled(params, images)
+        jax.block_until_ready(det)
+        rates.append(BATCH * BPW / (time.perf_counter() - t0))
+    v = float(np.median(rates))
+    out = {
+        "metric": "yolov5m6_1280px_infer_nms_tiles_per_sec_per_chip",
+        "value": round(v, 2),
+        "batch": BATCH,
+        "compile_s": round(compile_s, 1),
+    }
+    if flops:
+        out["mfu_pct"] = round(100.0 * flops * (v / BATCH) / 197e12, 2)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
