@@ -80,7 +80,8 @@ def main(argv=None) -> None:
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--iou", type=float, default=0.45)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--img", type=int, default=None,
+                    help="inference size (default: 640, or 1280 for *6 variants)")
     ap.add_argument("--int8", action="store_true", help="int8 PTQ serving path (calibrates on the first source images)")
     ap.add_argument("--multi-label", action="store_true",
                     help="one detection per (box, class) above conf "
@@ -96,6 +97,8 @@ def main(argv=None) -> None:
     else:
         paths = sorted(glob.glob(args.source)) or [args.source]
 
+    if args.img is None:
+        args.img = 1280 if args.variant.endswith("6") else 640
     model, params = load_model(args.weights, args.variant, args.num_classes)
     if args.int8:
         params = quantize_for_serving(model, params, paths, args.img)

@@ -29,6 +29,8 @@ def main(argv=None) -> None:
     ap.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
     ap.add_argument("--num-classes", type=int, default=5)
     ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--img", type=int, default=None,
+                    help="inference size (default: 640, or 1280 for *6 variants)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--land", default=None, help="land polygons GeoJSON")
     ap.add_argument("--no-dedup", action="store_true")
@@ -49,7 +51,8 @@ def main(argv=None) -> None:
         from aquaculture_tpu.cli.detect import quantize_for_serving
 
         params = quantize_for_serving(model, params, paths)
-    cfg = DetectConfig(conf_threshold=args.conf)
+    img = args.img or (1280 if args.variant.endswith("6") else 640)
+    cfg = DetectConfig(img_size=img, conf_threshold=args.conf)
     dl = load_download_bboxes(args.download_bboxes)
     land = gf.read_file(args.land) if args.land else None
 

@@ -32,6 +32,8 @@ def main(argv=None) -> None:
     ap.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
     ap.add_argument("--num-classes", type=int, default=5)
     ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--img", type=int, default=None,
+                    help="inference size (default: 640, or 1280 for *6 variants)")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--coordinator", default=None, help="host:port of process 0 (multi-host)")
     ap.add_argument("--num-processes", type=int, default=None)
@@ -57,7 +59,9 @@ def main(argv=None) -> None:
     model, params = load_model(args.weights, args.variant, args.num_classes)
     dl = load_download_bboxes(args.download_bboxes)
     det, stats = run_pod_pipeline(
-        paths, model, params, dl, DetectConfig(conf_threshold=args.conf),
+        paths, model, params, dl,
+        DetectConfig(img_size=args.img or (1280 if args.variant.endswith("6") else 640),
+                     conf_threshold=args.conf),
         batch_size=args.batch, out_path=args.out,
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
     )

@@ -9,6 +9,10 @@ which is fixed for the public v6 architecture:
     model.10..23  PANet neck
     model.24      Detect (m.0/m.1/m.2 1x1 convs)
 
+P6 models (n6..x6) use the yolov5-p6 numbering instead: backbone
+model.0..11 (extra 768->1024 Conv+C3 before SPPF), 4-level neck
+model.12..32, Detect at model.33 with four m.* convs (_LAYER_INDEX_P6).
+
 Torch tensors are OIHW; we store HWIO. BatchNorm maps 1:1
 (weight->scale, bias->bias, running_mean->mean, running_var->var).
 """
@@ -126,7 +130,8 @@ def params_from_state_dict(model, state_dict: Dict[str, np.ndarray]) -> dict:
 
 
 def anchors_from_state_dict(state_dict: Dict[str, np.ndarray]):
-    """Extract the (3, 3, 2) per-stride anchor table if present."""
+    """Extract the per-stride anchor table if present — (3, 3, 2) for
+    P5 checkpoints, (4, 3, 2) for the P6 family."""
     for k in state_dict:
         if k.endswith("anchors"):
             a = np.asarray(state_dict[k], dtype=np.float32)

@@ -1,15 +1,18 @@
-"""YOLOv5 detector family (n/s/m/l/x) in pure functional JAX.
+"""YOLOv5 detector family (n/s/m/l/x + the P6 models n6..x6) in pure
+functional JAX.
 
 From-scratch implementation of the public YOLOv5 v6 architecture (PAPERS.md,
 arXiv 2407.20892): CSPDarknet backbone (6x6/s2 stem, C3 blocks, SPPF),
-PANet feature pyramid neck, anchor-based Detect head at strides 8/16/32.
-The reference pipeline trains/infers YOLOv5m at 640 px
-(reference: README.md:52,77); the vendored submodule is empty, so this is a
-ground-up build, not a port.
+PANet feature pyramid neck, anchor-based Detect head at strides 8/16/32 —
+or, for the *6 variants, an extra 768->1024 backbone stage, a 4-level
+PANet, and a stride-64 Detect level (public yolov5-p6 yaml). The reference
+pipeline trains/infers YOLOv5m at 640 px (reference: README.md:52,77); the
+vendored submodule is empty, so this is a ground-up build, not a port.
 
 TPU-first design choices:
 * NHWC layout, bf16 activations, f32 conv accumulation (MXU native)
-* static shapes end to end: decode emits a fixed (B, 25200, 5+nc) tensor
+* static shapes end to end: decode emits a fixed (B, sum_l (S/s_l)^2*na,
+  5+nc) tensor — 25,200 rows for a P5 model at 640 px
 * BN folded into convs for the inference path (``fuse``)
 * no Python control flow on traced values — the layer graph is static
 """
@@ -137,14 +140,11 @@ class YoloV5:
     # init
     # ------------------------------------------------------------------
 
-    def init(self, seed: int = 0) -> dict:
-        if self.is_p6:
-            return self._init_p6(seed)
-        ch = self.channels()
-        dp = self.depths()
-        rng = np.random.default_rng(seed)
-        params = {
-            # backbone
+    @staticmethod
+    def _init_backbone_prefix(rng, ch, dp) -> dict:
+        """b0..b8 — the CSPDarknet prefix both families share (the P6
+        family's c5 is 768-wide, but the expressions are identical)."""
+        return {
             "b0": L.conv_init(rng, 3, ch["c1"], 6),
             "b1": L.conv_init(rng, ch["c1"], ch["c2"], 3),
             "b2": L.c3_init(rng, ch["c2"], ch["c2"], dp["n3"]),
@@ -154,6 +154,16 @@ class YoloV5:
             "b6": L.c3_init(rng, ch["c4"], ch["c4"], dp["n9"]),
             "b7": L.conv_init(rng, ch["c4"], ch["c5"], 3),
             "b8": L.c3_init(rng, ch["c5"], ch["c5"], dp["n3"]),
+        }
+
+    def init(self, seed: int = 0) -> dict:
+        if self.is_p6:
+            return self._init_p6(seed)
+        ch = self.channels()
+        dp = self.depths()
+        rng = np.random.default_rng(seed)
+        params = {
+            **self._init_backbone_prefix(rng, ch, dp),
             "b9": L.sppf_init(rng, ch["c5"], ch["c5"]),
             # neck (PANet)
             "n10": L.conv_init(rng, ch["c5"], ch["c4"], 1),
@@ -180,15 +190,7 @@ class YoloV5:
         rng = np.random.default_rng(seed)
         return {
             # backbone (layer indices 0..11 in the ultralytics yaml)
-            "b0": L.conv_init(rng, 3, ch["c1"], 6),
-            "b1": L.conv_init(rng, ch["c1"], ch["c2"], 3),
-            "b2": L.c3_init(rng, ch["c2"], ch["c2"], dp["n3"]),
-            "b3": L.conv_init(rng, ch["c2"], ch["c3"], 3),
-            "b4": L.c3_init(rng, ch["c3"], ch["c3"], dp["n6"]),
-            "b5": L.conv_init(rng, ch["c3"], ch["c4"], 3),
-            "b6": L.c3_init(rng, ch["c4"], ch["c4"], dp["n9"]),
-            "b7": L.conv_init(rng, ch["c4"], ch["c5"], 3),
-            "b8": L.c3_init(rng, ch["c5"], ch["c5"], dp["n3"]),
+            **self._init_backbone_prefix(rng, ch, dp),
             "b9": L.conv_init(rng, ch["c5"], ch["c6"], 3),
             "b10": L.c3_init(rng, ch["c6"], ch["c6"], dp["n3"]),
             "b11": L.sppf_init(rng, ch["c6"], ch["c6"]),
@@ -222,8 +224,9 @@ class YoloV5:
             params: parameter tree from ``init`` (optionally fused)
             x: (B, H, W, 3) image batch, values in [0, 1]
         Returns:
-            (feats, new_params): feats is a list of three
-            (B, H/s, W/s, na*no) raw tensors for s in (8, 16, 32).
+            (feats, new_params): feats is a list of (B, H/s, W/s, na*no)
+            raw tensors, one per stride level (``self.strides`` — three
+            for P5 models, four for the *6 family).
         """
         np_ = dict(params)
 

@@ -22,9 +22,8 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-# Per-level objectness balance (P3, P4, P5) — public v5 defaults.
-# per-level objectness balance; 3-level P5 models use ultralytics'
-# [4.0, 1.0, 0.4], 4-level P6 models its nl=4 table [4.0, 1.0, 0.25, 0.06]
+# Per-level objectness balance: 3-level P5 models use ultralytics'
+# [4.0, 1.0, 0.4]; 4-level P6 models its nl=4 table [4.0, 1.0, 0.25, 0.06].
 OBJ_BALANCE = (4.0, 1.0, 0.4)
 OBJ_BALANCE_P6 = (4.0, 1.0, 0.25, 0.06)
 
@@ -164,6 +163,14 @@ def yolo_loss(
     lobj = 0.0
     lcls = 0.0
 
+    # zip would silently DROP levels on a feats/strides mismatch (e.g. a
+    # P6 model called with the 3-level default strides), zero-gradienting
+    # the stride-64 head while the loss stays finite — fail loudly instead.
+    assert len(feats) == len(strides) == len(anchors), (
+        f"level mismatch: {len(feats)} feature maps, {len(strides)} strides, "
+        f"{len(anchors)} anchor levels — pass strides=model.strides and "
+        "anchors=model.anchor_table"
+    )
     balance = OBJ_BALANCE_P6 if len(feats) == 4 else OBJ_BALANCE
     for li, (f, stride, bal) in enumerate(zip(feats, strides, balance)):
         gh, gw = f.shape[1], f.shape[2]
