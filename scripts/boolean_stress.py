@@ -80,6 +80,15 @@ def main() -> None:
         b = GENS[int(rng.integers(len(GENS)))](rng)
         if a is None or b is None or a.is_empty or b.is_empty:
             continue
+        if rng.random() < 0.5:
+            # projected-CRS magnitudes: translate both operands to
+            # EPSG:3857-scale coordinates so the lattice normalization runs
+            # where the pipeline actually operates (span-relative precision)
+            off = rng.uniform(3e5, 1e6, 2) * np.where(rng.random(2) < 0.5, 1, 5)
+            a = P.Polygon(np.asarray(a.exterior) + off,
+                          [np.asarray(h) + off for h in a.holes])
+            b = P.Polygon(np.asarray(b.exterior) + off,
+                          [np.asarray(h) + off for h in b.holes])
         done += 1
         for op in ("intersection", "union", "difference", "xor"):
             g_native = boolean_op(a, b, op)
