@@ -116,3 +116,22 @@ def test_head_stays_float():
     qparams = quantize_model(model, fused, imgs)
     assert "wq" not in qparams["head"][0]
     assert "wq" in qparams["b0"]
+
+
+def test_p6_quantization_pipeline():
+    """The int8 walk handles the P6 topology: b10 is a shortcut C3, the
+    4-level head stays float, and the mixed skip-prefix works."""
+    model, params = yolov5_init("n6", num_classes=2, seed=0)
+    fused = model.fuse(params)
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.random((2, 128, 128, 3), dtype=np.float32))
+    q = quantize_model(model, fused, calib, skip=("b0", "b1", "b2", "b3", "b4"))
+    assert "wq" in q["b5"] and "wq" not in q["b0"]
+    assert all("wq" not in hp for hp in q["head"])  # 4-level head stays float
+    x = jnp.asarray(rng.random((1, 128, 128, 3), dtype=np.float32))
+    p_f, _ = model.apply(fused, x)
+    p_q, _ = model.apply(q, x)
+    a = np.asarray(p_f, np.float32).ravel()
+    b = np.asarray(p_q, np.float32).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.99, cos
