@@ -83,6 +83,9 @@ def main(argv=None) -> None:
     ap.add_argument("--img", type=int, default=None,
                     help="inference size (default: 640, or 1280 for *6 variants)")
     ap.add_argument("--int8", action="store_true", help="int8 PTQ serving path (calibrates on the first source images)")
+    ap.add_argument("--augment", action="store_true",
+                    help="test-time augmentation (multi-scale + lr-flip, "
+                         "ultralytics detect.py --augment)")
     ap.add_argument("--multi-label", action="store_true",
                     help="one detection per (box, class) above conf "
                          "(ultralytics val.py semantics; default argmax class)")
@@ -104,7 +107,7 @@ def main(argv=None) -> None:
         params = quantize_for_serving(model, params, paths, args.img)
     cfg = DetectConfig(
         img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou,
-        multi_label=args.multi_label,
+        multi_label=args.multi_label, augment=args.augment,
     )
     boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
 

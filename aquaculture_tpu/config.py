@@ -59,6 +59,9 @@ class DetectConfig:
                                     # conf (ultralytics val.py semantics);
                                     # False = argmax class, matching the
                                     # reference's detect.py defaults
+    augment: bool = False           # test-time augmentation (ultralytics
+                                    # detect.py --augment): multi-scale +
+                                    # lr-flip passes merged before NMS
     class_agnostic: bool = False
     dtype: str = "bfloat16"
 

@@ -77,7 +77,12 @@ def make_infer_fn(
         x = jax.image.resize(
             x, (images_u8.shape[0], cfg.img_size, cfg.img_size, 3), method="bilinear"
         )
-        preds, _ = model.apply(params, x)
+        if cfg.augment:
+            from aquaculture_tpu.ops.tta import tta_predict
+
+            preds = tta_predict(model, params, x)
+        else:
+            preds, _ = model.apply(params, x)
         det, valid = batched_nms(
             preds,
             conf_thresh=cfg.conf_threshold,

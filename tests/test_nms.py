@@ -207,3 +207,50 @@ def test_letterbox_rect_pads_centered():
     boxes = jnp.asarray([[0.0, 160.0, 640.0, 480.0]])
     src = np.asarray(unletterbox_boxes(boxes, gain, pad))
     np.testing.assert_allclose(src[0], [0, 0, 1024, 512], atol=1e-5)
+
+
+def test_tta_predict_identity_and_merge():
+    """ops/tta.py: the identity config equals the plain forward exactly;
+    the full 3-pass TTA concatenates per-pass pools with de-scaled,
+    de-flipped coordinates inside the input frame."""
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.ops.tta import TTA_FLIPS, TTA_SCALES, tta_predict
+
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    params = model.fuse(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 128, 128, 3), dtype=np.float32))
+
+    plain, _ = model.apply(params, x)
+    ident = tta_predict(model, params, x, scales=(1.0,), flips=(None,))
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(ident))
+
+    full = tta_predict(model, params, x)
+    # per-pass pool sizes: scale 1 -> 128px grid; 0.83 -> 106 -> pad 128;
+    # 0.67 -> 85 -> pad 96
+    def n_rows(size):
+        return sum((size // s) ** 2 * 3 for s in model.strides)
+
+    assert full.shape == (1, n_rows(128) * 2 + n_rows(96), 7)
+    # the scale-1 pass is the literal plain forward
+    np.testing.assert_array_equal(
+        np.asarray(full[:, : plain.shape[1]]), np.asarray(plain)
+    )
+    f = np.asarray(full)
+    assert np.isfinite(f).all()
+    # de-scaled centers stay in (generous) input-frame bounds for all passes
+    assert f[..., 0].min() > -200 and f[..., 0].max() < 350
+    # NMS consumes the merged pool directly
+    det, valid = batched_nms(full, conf_thresh=1e-5, max_det=25)
+    assert det.shape == (1, 25, 6) and bool(valid.any())
+
+    # flip de-mirroring: a flip-only pass maps the mirrored forward's cx
+    # back through w0 - cx
+    flip_only = tta_predict(model, params, x, scales=(1.0,), flips=("lr",))
+    mirrored, _ = model.apply(params, x[:, :, ::-1, :])
+    np.testing.assert_allclose(
+        np.asarray(flip_only[..., 0]), 128.0 - np.asarray(mirrored[..., 0]), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(flip_only[..., 1:]), np.asarray(mirrored[..., 1:])
+    )
