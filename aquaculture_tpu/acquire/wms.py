@@ -14,7 +14,6 @@ continue-on-connection-error; :45-47,185-189).
 from __future__ import annotations
 
 import io
-import os
 from typing import Iterable, List, Optional, Protocol, Sequence, Tuple
 
 import numpy as np
@@ -70,27 +69,9 @@ class HttpWmsTransport:
             return r.read()
 
 
-class BlobStore(Protocol):
-    def exists(self, path: str) -> bool: ...
-
-    def put(self, path: str, data: bytes) -> None: ...
-
-
-class LocalBlobStore:
-    def __init__(self, root: str):
-        self.root = root
-
-    def _p(self, path: str) -> str:
-        return os.path.join(self.root, path)
-
-    def exists(self, path: str) -> bool:
-        return os.path.exists(self._p(path))
-
-    def put(self, path: str, data: bytes) -> None:
-        full = self._p(path)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        with open(full, "wb") as f:
-            f.write(data)
+# The store now lives in data/store.py (round 3: the serving pipeline
+# consumes it too, not just acquisition); re-exported here for back-compat.
+from aquaculture_tpu.data.store import BlobStore, LocalBlobStore  # noqa: F401
 
 
 def tile_shapefile(geometries: Iterable[_poly.Geometry], size: float = 1200.0) -> List[_poly.Polygon]:

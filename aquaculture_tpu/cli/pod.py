@@ -25,7 +25,12 @@ from aquaculture_tpu.utils.logging import log_info
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--source", required=True, help="image directory or glob (same corpus on every host)")
+    ap.add_argument(
+        "--source", required=True,
+        help="corpus: image directory or glob, 'gs://bucket/prefix' (GCS "
+        "object-store streaming, the reference's transport utils.py:192-238), "
+        "or 'store:ROOT::PREFIX' (local object-store streaming)",
+    )
     ap.add_argument("--download-bboxes", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--weights", default=None)
@@ -47,10 +52,24 @@ def main(argv=None) -> None:
     host, n_hosts = init_distributed(args.coordinator, args.num_processes, args.process_id)
     log_info("process %d of %d", host, n_hosts)
 
-    if os.path.isdir(args.source):
+    store = None
+    exts = ("jpeg", "jpg", "png", "tif", "tiff")
+    if args.source.startswith("gs://"):
+        from aquaculture_tpu.data.store import GcsBlobStore
+
+        bucket, _, prefix = args.source[len("gs://"):].partition("/")
+        store = GcsBlobStore(bucket)
+        paths = [k for k in store.list(prefix) if k.rsplit(".", 1)[-1] in exts]
+    elif args.source.startswith("store:"):
+        from aquaculture_tpu.data.store import LocalBlobStore
+
+        root, _, prefix = args.source[len("store:"):].partition("::")
+        store = LocalBlobStore(root)
+        paths = [k for k in store.list(prefix) if k.rsplit(".", 1)[-1] in exts]
+    elif os.path.isdir(args.source):
         paths = sorted(
             p
-            for ext in ("jpeg", "jpg", "png", "tif", "tiff")
+            for ext in exts
             for p in glob.glob(os.path.join(args.source, f"*.{ext}"))
         )
     else:
@@ -64,6 +83,7 @@ def main(argv=None) -> None:
                      conf_threshold=args.conf),
         batch_size=args.batch, out_path=args.out,
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
+        store=store,
     )
     log_info("done: %d local tiles at %.1f tiles/s", stats.tiles, stats.tiles_per_second)
 

@@ -122,3 +122,15 @@ def read_image(path: str) -> np.ndarray:
 
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"))
+
+
+def read_image_bytes(data: bytes) -> np.ndarray:
+    """Decode an in-memory image blob (the store streaming path) to
+    (H, W, C) uint8 — same decoder as read_image, so store-vs-file
+    pipelines are pixel-identical."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"))

@@ -128,3 +128,76 @@ def tile_batches(
     """paths -> prefetched fixed-shape TileBatches (the full input pipeline)."""
     it = batch_tiles(iter_tiles_from_files(paths, tile), batch_size, tile)
     return prefetch(it, prefetch_depth)
+
+
+# ---------------------------------------------------------------------------
+# Object-store streaming (the reference's corpus transport: GCS blobs,
+# src/utils.py:192-238 listing + geocode_results.py:34-66 download)
+# ---------------------------------------------------------------------------
+
+def iter_tiles_from_store(
+    store,
+    keys: Sequence[str],
+    tile: int = IM_WIDTH,
+    fetch_threads: int = 4,
+) -> Iterator[Tuple[np.ndarray, TileSpec]]:
+    """Yield (tile_array, spec) streaming blob bytes from a BlobStore.
+
+    A small thread pool keeps a bounded window of in-flight ``store.get``
+    calls ahead of the decoder, so fetch latency (GCS round trips) overlaps
+    decode + device compute. Tiling semantics are identical to
+    iter_tiles_from_files — same decoder, same offset math — so a store
+    corpus and a file corpus produce pixel-identical batches.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aquaculture_tpu.data.geotiff import read_image_bytes
+
+    keys = list(keys)
+    if not keys:
+        return
+    with ThreadPoolExecutor(max_workers=max(1, fetch_threads)) as pool:
+        window = max(1, 2 * fetch_threads)
+        futures = {}
+        next_submit = 0
+
+        def top_up():
+            nonlocal next_submit
+            while next_submit < len(keys) and len(futures) < window:
+                futures[next_submit] = pool.submit(store.get, keys[next_submit])
+                next_submit += 1
+
+        top_up()
+        for i, key in enumerate(keys):
+            data = futures.pop(i).result()
+            top_up()
+            arr = read_image_bytes(data)
+            base = decode_tile_name(key)
+            if arr.shape[0] <= tile and arr.shape[1] <= tile:
+                yield arr, base
+                continue
+            tiles, offs = split_image(arr, tile)
+            for t, (dx, dy) in zip(tiles, offs):
+                yield t, TileSpec(
+                    year=base.year,
+                    bbox_ind=base.bbox_ind,
+                    x_offset=base.x_offset + dx,
+                    y_offset=base.y_offset + dy,
+                    layer=base.layer,
+                )
+
+
+def tile_batches_from_store(
+    store,
+    keys: Sequence[str],
+    batch_size: int = 32,
+    tile: int = IM_WIDTH,
+    prefetch_depth: int = 2,
+    fetch_threads: int = 4,
+) -> Iterator[TileBatch]:
+    """(store, keys) -> prefetched fixed-shape TileBatches: the streaming
+    twin of tile_batches."""
+    it = batch_tiles(
+        iter_tiles_from_store(store, keys, tile, fetch_threads), batch_size, tile
+    )
+    return prefetch(it, prefetch_depth)

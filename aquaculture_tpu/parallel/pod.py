@@ -225,9 +225,16 @@ def run_pod_pipeline(
     out_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1024,
+    store=None,
 ):
     """Config-5 runner: every host detects over its corpus shard; host 0
     assembles and writes the global detections GeoJSON.
+
+    store: a data.store.BlobStore — when given, ``all_paths`` are blob KEYS
+    and each host streams its contiguous key shard straight from the store
+    (the reference's corpus transport: GCS blobs, utils.py:192-238); resume
+    manifests are keyed by blob name so elastic recovery works identically
+    for store corpora.
 
     checkpoint_dir enables elastic recovery (SURVEY §5: the reference's
     only recovery is rerun-from-scratch with artifact caching): every
@@ -280,7 +287,7 @@ def run_pod_pipeline(
         for i in range(0, len(todo), checkpoint_every):
             chunk = todo[i : i + checkpoint_every]
             b, c, k, specs, st = detect_files(
-                chunk, model, params, cfg, batch_size, infer_fn=infer_fn
+                chunk, model, params, cfg, batch_size, infer_fn=infer_fn, store=store
             )
             stats.tiles += st.tiles
             stats.batches += st.batches
@@ -302,7 +309,9 @@ def run_pod_pipeline(
         spec_layers = np.concatenate([a.astype(np.str_) for a in acc_l]) if acc_l else np.zeros(0, np.str_)
         specs = _rows_to_specs(spec_rows, spec_layers)
     else:
-        boxes, conf, cls, specs, stats = detect_files(shard, model, params, cfg, batch_size)
+        boxes, conf, cls, specs, stats = detect_files(
+            shard, model, params, cfg, batch_size, store=store
+        )
 
     # Encode specs as ids for the numeric gather, decode after.
     spec_table = list({s for s in specs})

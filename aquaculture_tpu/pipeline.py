@@ -109,10 +109,15 @@ def detect_files(
     tile: int = IM_WIDTH,
     use_native: Optional[bool] = None,
     infer_fn=None,
+    store=None,
 ):
-    """Run inference over image files.
+    """Run inference over image files or object-store blobs.
 
-    Decode/tiling runs on the native C++ loader (threaded, off-GIL) when
+    store: a data.store.BlobStore — when given, ``paths`` are blob KEYS and
+    tiles stream through a threaded fetch window (the reference's corpus
+    lives in GCS end-to-end: utils.py:192-238, geocode_results.py:34-66);
+    no local image files are touched. When None, ``paths`` are local files:
+    decode/tiling runs on the native C++ loader (threaded, off-GIL) when
     libaquatile.so is built; use_native=False forces the Python loader.
     infer_fn: a prebuilt make_infer_fn result — pass it when calling
     detect_files repeatedly (e.g. the pod runner's checkpoint chunks) so
@@ -124,7 +129,7 @@ def detect_files(
     from aquaculture_tpu.data import native_loader
 
     if use_native is None:
-        use_native = native_loader.available()
+        use_native = store is None and native_loader.available()
 
     infer = infer_fn or make_infer_fn(model, params, cfg, tile, batch_size=batch_size)
     stats = PipelineStats()
@@ -153,7 +158,11 @@ def detect_files(
             all_specs.extend([spec] * len(d))
 
     t0 = time.perf_counter()
-    if use_native:
+    if store is not None:
+        from aquaculture_tpu.data.loader import tile_batches_from_store
+
+        batches = tile_batches_from_store(store, paths, batch_size=batch_size, tile=tile)
+    elif use_native:
         batches = native_loader.native_tile_batches(paths, batch_size=batch_size, tile=tile)
     else:
         batches = tile_batches(paths, batch_size=batch_size, tile=tile)
@@ -192,15 +201,17 @@ def run_pipeline(
     land: Optional["gf.GeoFrame"] = None,
     dedup: bool = True,
     use_native: Optional[bool] = None,
+    store=None,
 ):
     """Full slice: files -> geocoded + area-annotated (ocean) detections.
 
     Mirrors geocode_results.py __main__ + calc_net_areas.py __main__
-    (reference: src/process_yolo/) in one call.
+    (reference: src/process_yolo/) in one call. With ``store`` set,
+    ``paths`` are object-store keys streamed via the BlobStore protocol.
     Returns (detections GeoFrame in EPSG:4326, PipelineStats).
     """
     boxes, conf, cls, specs, stats = detect_files(
-        paths, model, params, cfg, batch_size, use_native=use_native
+        paths, model, params, cfg, batch_size, use_native=use_native, store=store
     )
     det = geocode_detections(boxes, conf, cls, specs, download_bboxes)
     if len(det) and dedup:

@@ -35,7 +35,19 @@ def main() -> None:
     from aquaculture_tpu.models.yolov5 import yolov5_init
     from aquaculture_tpu.parallel.pod import run_pod_pipeline
 
-    paths = sorted(glob.glob(corpus_dir + "/*.jpeg"))
+    store = None
+    if corpus_dir.startswith("mem:"):
+        # Fake-store streaming mode: the corpus exists ONLY inside a
+        # MemoryBlobStore rendered deterministically from the seed — zero
+        # local image files anywhere; every byte reaches the pipeline
+        # through BlobStore.get (the reference's GCS transport,
+        # utils.py:192-238).
+        seed = int(corpus_dir[len("mem:"):])
+        store = _render_mem_store(seed)
+        paths = store.list("corpus/")
+        assert store.get_count == 0
+    else:
+        paths = sorted(glob.glob(corpus_dir + "/*.jpeg"))
     dl = gf.GeoFrame(
         {"d": list(range(4))},
         geometry=[_poly.box(1200 * i, 0, 1200 * (i + 1), 1200) for i in range(4)],
@@ -53,8 +65,31 @@ def main() -> None:
         out_path=out_path,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=1,
+        store=store,
     )
-    print(f"WORKER {pid} OK tiles={stats.tiles} dets={len(det)}", flush=True)
+    streamed = store.get_count if store is not None else -1
+    print(
+        f"WORKER {pid} OK tiles={stats.tiles} dets={len(det)} streamed={streamed}",
+        flush=True,
+    )
+
+
+def _render_mem_store(seed: int):
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from aquaculture_tpu.data.store import MemoryBlobStore
+
+    rng = np.random.default_rng(seed)
+    store = MemoryBlobStore()
+    for i in range(4):
+        arr = rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")  # lossless -> determinism
+        store.put(f"corpus/ORTHOIMAGERY.ORTHOPHOTOS2014_{i}_0_0.png", buf.getvalue())
+    return store
 
 
 if __name__ == "__main__":
