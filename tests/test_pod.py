@@ -325,3 +325,69 @@ def test_pod_train_two_processes():
     for loss, fp in multi:
         assert np.isclose(loss, ref_loss, rtol=1e-4), (loss, ref_loss)
         assert np.isclose(fp, ref_fp, rtol=1e-5), (fp, ref_fp)
+
+
+def test_pod_train_elastic_recovery(tmp_path):
+    """VERDICT r2 next #7: kill one of 2 DP-training processes mid-run,
+    restart the job, resume from the utils/checkpoint.py TrainState, and
+    fingerprint-match an uninterrupted run. Steps: 6 total, crash after 3."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = "/root/repo"
+    worker = os.path.join(os.path.dirname(__file__), "pod_train_elastic_worker.py")
+    ckpt = str(tmp_path / "train_ckpt")
+    N_TOTAL, N_CRASH = 6, 3
+
+    def popen(pid, nproc, port, mode):
+        return subprocess.Popen(
+            [sys.executable, worker, str(pid), str(nproc), str(port), mode,
+             ckpt, str(N_TOTAL), str(N_CRASH)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+
+    def port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    def parse_fp(out):
+        m = re.search(r"OK loss=[\d.eE+-]+ fp=([\d.eE+-]+) fpe=([\d.eE+-]+)", out)
+        assert m, out
+        return float(m.group(1)), float(m.group(2))
+
+    # ground truth: uninterrupted 2-process 6-step run
+    p = port()
+    procs = [popen(i, 2, p, "full") for i in range(2)]
+    outs = [pr.communicate(timeout=600) for pr in procs]
+    for pr, (so, se) in zip(procs, outs):
+        assert pr.returncode == 0, f"{so}\n{se[-2000:]}"
+    ref_fp, ref_fpe = parse_fp(outs[0][0])
+
+    # crash run: checkpoint at step 3, worker 1 hard-exits; reap worker 0
+    p = port()
+    procs = [popen(i, 2, p, "crash") for i in range(2)]
+    so1, se1 = procs[1].communicate(timeout=600)
+    assert procs[1].returncode == 1, (procs[1].returncode, so1, se1[-500:])
+    try:  # worker 0 dies on the broken collective or hangs — reap either way
+        so0, _ = procs[0].communicate(timeout=60)
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        so0, _ = procs[0].communicate()
+    assert "CHECKPOINTED step=3" in so0
+    assert os.path.exists(os.path.join(ckpt, "params.npz"))
+
+    # restart: fresh 2-process job resumes steps 4..6 from the checkpoint
+    p = port()
+    procs = [popen(i, 2, p, "resume") for i in range(2)]
+    outs = [pr.communicate(timeout=600) for pr in procs]
+    for pr, (so, se) in zip(procs, outs):
+        assert pr.returncode == 0, f"{so}\n{se[-2000:]}"
+    for so, _ in outs:
+        fp, fpe = parse_fp(so)
+        assert np.isclose(fp, ref_fp, rtol=1e-5), (fp, ref_fp)
+        assert np.isclose(fpe, ref_fpe, rtol=1e-5), (fpe, ref_fpe)
