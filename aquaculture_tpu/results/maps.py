@@ -194,8 +194,12 @@ def plot_combined_map(combined: "gf.GeoFrame", out_path: Optional[str] = None):
         alpha=0.6,
         linewidth=0,
     )
-    ax.set_xlabel("Longitude")
-    ax.set_ylabel("Latitude")
+    from aquaculture_tpu.results.style import PAPER_FONTSIZE, stylize_axes
+
+    ax.set_xlabel("Longitude", fontsize=PAPER_FONTSIZE)
+    ax.set_ylabel("Latitude", fontsize=PAPER_FONTSIZE)
+    ax.tick_params(labelsize=PAPER_FONTSIZE)
+    stylize_axes(ax)
     fig.tight_layout()
     if out_path:
         fig.savefig(out_path, dpi=300, bbox_inches="tight")
@@ -282,11 +286,15 @@ def plot_facility_map(
             [g.centroid.y for g in tll["geometry"]],
             facecolors="none", edgecolors="gray", s=40, label="Trujillo et al.",
         )
-    ax.set_xlabel("Longitude")
-    ax.set_ylabel("Latitude")
+    from aquaculture_tpu.results.style import PAPER_FONTSIZE, stylize_axes
+
+    ax.set_xlabel("Longitude", fontsize=PAPER_FONTSIZE)
+    ax.set_ylabel("Latitude", fontsize=PAPER_FONTSIZE)
+    ax.tick_params(labelsize=PAPER_FONTSIZE)
+    stylize_axes(ax)
     if period:
         ax.set_title(period, fontsize=10)
-    ax.legend(frameon=False, fontsize=8)
+    ax.legend(frameon=False, fontsize=PAPER_FONTSIZE)
     fig.tight_layout()
     if out_path:
         fig.savefig(out_path, dpi=300, bbox_inches="tight")

@@ -89,10 +89,16 @@ def plot_precision_recall_curves(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from aquaculture_tpu.results.style import PAPER_FONTSIZE, paper_ticks, stylize_axes
+
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(5.67, 2.5))
+    # Reference stage styling (ModelPerformance.py:42-59): clustered model
+    # darkred lw2.8, raw/ocean indianred lw0.8 (raw dashed), all alpha .6.
     stages = [
-        (all_stats, "Object detection", {"linestyle": "--", "linewidth": 0.8, "alpha": 0.6}),
-        (ocean_stats, "Object detection\nand land filtering", {"linewidth": 0.8, "alpha": 0.6}),
+        (all_stats, "Object detection",
+         {"linestyle": "--", "linewidth": 0.8, "alpha": 0.6, "color": "indianred"}),
+        (ocean_stats, "Object detection\nand land filtering",
+         {"linewidth": 0.8, "alpha": 0.6, "color": "indianred"}),
         (cluster_stats, "Model", {"linewidth": 2.8, "alpha": 0.6, "color": "darkred"}),
     ]
     for stats, label, kw in stages:
@@ -100,14 +106,15 @@ def plot_precision_recall_curves(
             continue
         ax1.plot(stats["threshold"], stats["precision"], label=label, **kw)
         ax2.plot(stats["threshold"], stats["recall"], **kw)
-    ax1.set_xlabel("Model confidence threshold")
-    ax1.set_ylabel("Precision")
-    ax2.set_xlabel("Model confidence threshold")
-    ax2.set_ylabel("Recall")
+    ax1.set_xlabel("Model confidence threshold", fontsize=PAPER_FONTSIZE)
+    ax1.set_ylabel("Precision", fontsize=PAPER_FONTSIZE)
+    ax2.set_xlabel("Model confidence threshold", fontsize=PAPER_FONTSIZE)
+    ax2.set_ylabel("Recall", fontsize=PAPER_FONTSIZE)
+    ticks = [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]
     for ax in (ax1, ax2):
-        ax.spines["top"].set_visible(False)
-        ax.spines["right"].set_visible(False)
-    ax1.legend(frameon=False, fontsize=8)
+        stylize_axes(ax)
+        paper_ticks(ax, xticks=ticks, yticks=ticks)
+    ax1.legend(frameon=False, fontsize=PAPER_FONTSIZE)
     fig.tight_layout()
     if out_path:
         fig.savefig(out_path, dpi=300, bbox_inches="tight")

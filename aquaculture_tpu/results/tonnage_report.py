@@ -160,41 +160,50 @@ def combined_tonnage_plot(
     fao_by_period: Optional[pd.Series] = None,
     out_path: Optional[str] = None,
 ):
-    """Model vs HITL vs FAO per-period tonnage with +-1.96 sd error bars
-    (reference combined_tonnage_plot, :136-198)."""
+    """Model vs HITL vs FAO per-period tonnage as the reference's grouped
+    bar chart (reference combined_tonnage_plot, :136-198): one bar group
+    per period with Model steelblue / HITL mediumseagreen / FAO salmon,
+    ±1.96 sd error whiskers (capsize 5, capthick 0), 8 pt type,
+    comma-formatted tonnes, top/right spines off."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(6, 3))
+    from aquaculture_tpu.results.style import (
+        PAPER_FONTSIZE,
+        comma_yaxis,
+        stylize_axes,
+    )
+
+    fig, ax = plt.subplots(figsize=(5.67, 3))
     periods = list(model_estimates.index)
     x = np.arange(len(periods))
-    ax.errorbar(
-        x,
-        model_estimates["tonnage"],
-        yerr=1.96 * model_estimates.get("tonnage_sd", pd.Series(0, index=model_estimates.index)),
-        fmt="o-",
-        capsize=3,
-        label="Model",
-        color="darkred",
-    )
+    series = [("Model", model_estimates, "steelblue")]
     if hitl_estimates is not None:
-        hx = [periods.index(p) for p in hitl_estimates.index if p in periods]
-        hs = hitl_estimates.loc[[periods[i] for i in hx]]
-        ax.errorbar(
-            hx, hs["tonnage"], yerr=1.96 * hs.get("tonnage_sd", 0), fmt="s--",
-            capsize=3, label="HITL", color="steelblue",
-        )
+        series.append(("HITL", hitl_estimates, "mediumseagreen"))
     if fao_by_period is not None:
-        fx = [periods.index(p) for p in fao_by_period.index if p in periods]
-        ax.plot(fx, fao_by_period.loc[[periods[i] for i in fx]], "k^:", label="FAO")
+        series.append(("FAO statistics", fao_by_period.to_frame("tonnage"), "salmon"))
+    offsets = (np.arange(len(series)) - (len(series) - 1) / 2) / (len(series) + 1.0)
+    width = float(np.diff(offsets).mean()) if len(series) > 1 else 0.25
+
+    for (label, df, color), off in zip(series, offsets):
+        px = [periods.index(p) for p in df.index if p in periods]
+        sub = df.loc[[periods[i] for i in px]]
+        sd = sub.get("tonnage_sd", pd.Series(0.0, index=sub.index))
+        ax.bar(
+            np.asarray(px) + off, sub["tonnage"].values, width=width,
+            label=label, color=color,
+            yerr=1.96 * np.asarray(sd, float),
+            error_kw=dict(ecolor=color, lw=1, capsize=5, capthick=0),
+        )
     ax.set_xticks(x)
-    ax.set_xticklabels(periods, rotation=30, fontsize=8)
-    ax.set_ylabel("Tonnage (t)")
-    ax.legend(frameon=False, fontsize=8)
-    ax.spines["top"].set_visible(False)
-    ax.spines["right"].set_visible(False)
+    ax.set_xticklabels(periods, fontsize=PAPER_FONTSIZE)
+    ax.tick_params(labelsize=PAPER_FONTSIZE)
+    ax.set_ylabel("Live weight - tonnes", fontsize=PAPER_FONTSIZE)
+    comma_yaxis(ax)
+    ax.legend(frameon=False, fontsize=PAPER_FONTSIZE)
+    stylize_axes(ax)
     fig.tight_layout()
     if out_path:
         fig.savefig(out_path, dpi=300, bbox_inches="tight")
