@@ -17,9 +17,16 @@ import os
 import numpy as np
 
 
-def render_world(out_dir: str, n_images: int = 24, size: int = 1024, seed: int = 0):
+def render_world(
+    out_dir: str,
+    n_images: int = 24,
+    size: int = 1024,
+    seed: int = 0,
+    r_range: tuple = (18, 40),
+):
     """Synthetic 'sea' tiles with bright circle/square cages + YOLO labels
-    + a wanted_bboxes.csv grid."""
+    + a wanted_bboxes.csv grid. r_range widens the cage-scale distribution
+    (the augmentation study trains/validates on varied scales)."""
     from PIL import Image, ImageDraw
 
     rng = np.random.default_rng(seed)
@@ -39,7 +46,7 @@ def render_world(out_dir: str, n_images: int = 24, size: int = 1024, seed: int =
         for _ in range(int(rng.integers(4, 9))):
             cx = np.clip(ccx + rng.normal(0, 80), 40, size - 40)
             cy = np.clip(ccy + rng.normal(0, 80), 40, size - 40)
-            r = rng.uniform(18, 40)
+            r = rng.uniform(*r_range)
             cls = int(rng.integers(0, 2))  # 0 circle, 1 square
             bb = (cx - r, cy - r, cx + r, cy + r)
             if cls == 0:
@@ -123,29 +130,13 @@ def main() -> None:
     det.to_file(os.path.join(args.out, "detections.geojson"))
     log_info("%d tiles -> %d detections (%.1f tiles/s)", stats.tiles, len(det), stats.tiles_per_second)
 
-    # --- mAP against the rendered labels ---
-    import glob as _glob
+    # --- mAP against the rendered labels (eval/accuracy harness) ---
+    from aquaculture_tpu.eval.accuracy import world_map
 
-    from aquaculture_tpu.eval.map import evaluate_map
-    from aquaculture_tpu.pipeline import detect_files
-
-    boxes, conf, cls, specs, _ = detect_files(
-        paths, model2, params2, DetectConfig(img_size=args.img, conf_threshold=0.001), batch_size=8
+    m = world_map(
+        paths, lab_dir, model2, params2,
+        DetectConfig(img_size=args.img, conf_threshold=0.001), num_classes=2,
     )
-    dets_by_img, gts_by_img = [], []
-    for lp in sorted(_glob.glob(os.path.join(lab_dir, "*.txt"))):
-        stem = os.path.basename(lp)[:-4]
-        rows = np.loadtxt(lp, ndmin=2)
-        g = rows[:, 1:5] * 1024.0
-        gb = np.stack([g[:, 0] - g[:, 2] / 2, g[:, 1] - g[:, 3] / 2,
-                       g[:, 0] + g[:, 2] / 2, g[:, 1] + g[:, 3] / 2], axis=1)
-        gts_by_img.append((gb, rows[:, 0].astype(int)))
-        sel = [i for i, sp in enumerate(specs) if f"{sp.name}_{sp.bbox_ind}" in stem or stem.startswith(sp.name)]
-        sel = [i for i, sp in enumerate(specs)
-               if f"{sp.name}_{sp.bbox_ind}_{sp.x_offset}_{sp.y_offset}" == stem]
-        sel = np.asarray(sel, int)
-        dets_by_img.append((boxes[sel].astype(float), conf[sel], cls[sel]))
-    m = evaluate_map(dets_by_img, gts_by_img, num_classes=2)
     log_info("mAP@.5 = %.3f, mAP@.5:.95 = %.3f", m["map50"], m["map"])
 
     # --- cluster into facilities ---

@@ -38,13 +38,18 @@ STEPS = 8
 PEAK_FLOPS = 197e12  # v5e bf16 peak
 
 
-def done_keys():
+def done_keys(include_errors: bool = True):
+    """Configs already recorded. --retry-errors treats past error records
+    (e.g. the round-2 tunnel compile-helper HTTP 500s at batch 192/256) as
+    not-done so they re-run."""
     keys = set()
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             for line in f:
                 try:
                     r = json.loads(line)
+                    if not include_errors and "error" in r:
+                        continue
                     keys.add((r["batch"], r["remat"], r.get("dtype", "float32")))
                 except Exception:
                     pass
@@ -134,7 +139,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    done = done_keys()
+    done = done_keys(include_errors="--retry-errors" not in sys.argv)
     todo = [c for c in CONFIGS if c not in done]
     if not todo:
         print("all configs done")

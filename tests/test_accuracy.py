@@ -1,0 +1,65 @@
+"""CI accuracy bounds for the serving options (VERDICT r2 weak #1).
+
+Loads the committed trained fixture (tests/data/demo_ckpt_n160: the "n"
+detector trained on the 24-image seed-0 demo world at 160px, float16
+storage) and measures mAP on a freshly rendered demo world for the serving
+configurations that change the math. The mixed-int8 default must stay
+within epsilon of bf16 — a quantization regression fails CI, mirroring the
+accuracy-selected operating point the reference pins
+(reference: src/get_kfold_cluster_performance.py:538-546).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "data", "demo_ckpt_n160")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURE, "params.npz")),
+    reason="trained fixture not present",
+)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from end_to_end_demo import render_world
+
+    out = str(tmp_path_factory.mktemp("accworld"))
+    img_dir, lab_dir = render_world(out, n_images=12, seed=0)
+    return img_dir, lab_dir
+
+
+@pytest.fixture(scope="module")
+def table(world):
+    from aquaculture_tpu.eval.accuracy import serving_accuracy_table
+
+    img_dir, lab_dir = world
+    rows = serving_accuracy_table(
+        img_dir, lab_dir, FIXTURE,
+        variant="n", num_classes=2, img_size=160,
+        configs=("bf16", "int8_mixed", "multi_label"),
+    )
+    return {r.name: r for r in rows}
+
+
+def test_fixture_is_trained(table):
+    # the fixture must actually detect cages, not noise
+    assert table["bf16"].map50 >= 0.5, table["bf16"]
+
+
+def test_int8_mixed_within_epsilon_of_bf16(table):
+    """The --int8 default (mixed split) ships only while its accuracy is
+    bounded: mAP@.5 within 0.05 of bf16 on the demo world at fixed seed."""
+    d = table["int8_mixed"].map50 - table["bf16"].map50
+    assert abs(d) <= 0.05, (table["int8_mixed"], table["bf16"])
+
+
+def test_multi_label_not_catastrophic(table):
+    """multi_label emits strictly more candidates; its mAP must not fall
+    below bf16 by more than epsilon (it usually matches or beats it)."""
+    d = table["multi_label"].map50 - table["bf16"].map50
+    assert d >= -0.05, (table["multi_label"], table["bf16"])
