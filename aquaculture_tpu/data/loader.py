@@ -12,6 +12,7 @@ by a validity mask so downstream XLA stages never see a ragged shape.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
@@ -36,16 +37,27 @@ class TileBatch:
 
 
 def iter_tiles_from_files(
-    paths: Sequence[str], tile: int = IM_WIDTH
+    paths: Sequence[str], tile: int = IM_WIDTH, decode_threads: int = 0
 ) -> Iterator[Tuple[np.ndarray, TileSpec]]:
     """Yield (tile_array, spec) over whole pre-tiled images or large rasters.
 
     A 1024px file is one tile (its offsets come from its name); larger files
     are split into the offset grid with offsets ADDED to the name's base
     offsets (supports re-tiling 6144px downloads).
+
+    decode_threads > 1 decodes ahead in an ordered thread pool — PIL's
+    libjpeg decode releases the GIL, so this scales across host cores
+    (measured 63 tiles/s/core for 1024px JPEGs on this box; a v5e chip at
+    ~1850 tiles/s needs ~29 such cores, which is the per-chip core budget
+    of a TPU-VM host). 0 = auto (cpu_count capped at 8), 1 = sequential.
     """
-    for path in paths:
-        arr = read_image(path)
+    if decode_threads == 0:
+        decode_threads = min(os.cpu_count() or 1, 8)
+    if decode_threads > 1 and len(paths) > 1:
+        images = _decode_ahead(paths, decode_threads)
+    else:
+        images = ((read_image(p), p) for p in paths)
+    for arr, path in images:
         base = decode_tile_name(path)
         if arr.shape[0] <= tile and arr.shape[1] <= tile:
             yield arr, base
@@ -59,6 +71,30 @@ def iter_tiles_from_files(
                 y_offset=base.y_offset + dy,
                 layer=base.layer,
             )
+
+
+def _decode_ahead(paths: Sequence[str], workers: int):
+    """Ordered threaded decode with a bounded in-flight window (2x workers):
+    output order == input order, memory stays O(window)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        window = 2 * workers
+        futures = {}
+        next_submit = 0
+
+        def top_up():
+            nonlocal next_submit
+            while next_submit < len(paths) and len(futures) < window:
+                futures[next_submit] = pool.submit(read_image, paths[next_submit])
+                next_submit += 1
+
+        top_up()
+        for i, path in enumerate(paths):
+            arr = futures.pop(i).result()
+            top_up()
+            yield arr, path
 
 
 def batch_tiles(
