@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=600)
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--mosaic", type=float, default=1.0)
+    ap.add_argument("--scale", type=float, default=0.5,
+                    help="affine scale jitter; the demo world's cages are "
+                    "6-26px at 160px, so +-50% can shrink targets below "
+                    "detectability — 0.25-0.3 suits small worlds")
     ap.add_argument("--arms", default="noaug,aug")
     args = ap.parse_args()
 
@@ -83,7 +87,7 @@ def main():
     render_world(val_dir, n_images=args.val_images, seed=777, r_range=(12, 52))
 
     cfg = TrainConfig(img_size=args.img, batch_size=4, epochs=args.epochs,
-                      mosaic=args.mosaic)
+                      mosaic=args.mosaic, scale=args.scale)
     for arm in args.arms.split(","):
         model, ema, loss, dt = train_arm(t_img, t_lab, arm == "aug", cfg)
         m_tr = arm_map(model, ema, train_dir, args.img)
