@@ -7,6 +7,15 @@ with the same step budget), recovering all per-tile facilities —
 the full reference workflow (README.md Run section) in one process:
 
     python examples/end_to_end_demo.py --out /tmp/aq_demo
+
+The default quick run trains WITHOUT augmentation and overfits its own
+world (that's fine for the same-world pipeline demo). For a model that
+generalizes to unseen imagery, use the augmented recipe with the larger
+budget it needs — measured 8x the held-out mAP of the no-aug path
+(BENCHMARKS.md "Augmentation study"):
+
+    python examples/end_to_end_demo.py --out /tmp/aq_demo \
+        --augment --epochs 2400
 """
 
 from __future__ import annotations
@@ -74,7 +83,9 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--augment", action="store_true",
-                    help="mosaic/affine/HSV (needs a far larger step budget to converge)")
+                    help="mosaic/affine/HSV — the generalizing recipe; pair "
+                         "with --epochs 2400 (8x held-out mAP vs no-aug, "
+                         "BENCHMARKS.md aug study)")
     args = ap.parse_args()
 
     import jax
@@ -101,7 +112,11 @@ def main() -> None:
     # objectness converges slowly (the obj BCE averages over all cells, so
     # the positive gradient is diluted ~1000x); short runs stay inside the
     # 100-step warmup and look untrained.
-    cfg = TrainConfig(img_size=args.img, batch_size=4, epochs=args.epochs, mosaic=0.5)
+    # With --augment, scale jitter is moderated to 0.3: the world's cages
+    # are 6-26 px at 160px and the ultralytics default +-50% shrinks them
+    # below detectability (measured in BENCHMARKS.md "Augmentation study").
+    cfg = TrainConfig(img_size=args.img, batch_size=4, epochs=args.epochs,
+                      mosaic=0.5, scale=0.3 if args.augment else 0.5)
     ds = DetectionDataset(img_dir, lab_dir, cfg, augment=args.augment, seed=0)
     model, params = yolov5_init("n", num_classes=2, seed=0)
     state = init_train_state(model, params)
