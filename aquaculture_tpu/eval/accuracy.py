@@ -126,8 +126,15 @@ def load_checkpoint_f32(ckpt_dir: str, variant: str, num_classes: int):
 
 
 SERVING_CONFIGS = (
-    "f32", "bf16", "int8_mixed", "int8_full", "tta", "multi_label"
+    "f32", "bf16", "int8_mixed", "int8_full", "int8_safe", "tta", "multi_label"
 )
+
+# "Localization-safe" int8 split: the mixed split PLUS the neck C3 blocks
+# that feed the detect head directly (P3/P4/P5 outputs, layers 17/20/23 of
+# the public yolov5 graph) kept in floating point — int8 noise on the
+# features the box regression reads is where the mAP@.5:.95 cost of
+# quantization concentrates (BENCHMARKS.md serving-accuracy A/B).
+INT8_SAFE_EXTRA = ("n17", "n20", "n23")
 
 
 def serving_accuracy_table(
@@ -167,6 +174,11 @@ def serving_accuracy_table(
             p = _int8_params(model, params, paths, img_size, SERVING_INT8_SKIP)
         elif name == "int8_full":
             p = _int8_params(model, params, paths, img_size, ())
+        elif name == "int8_safe":
+            p = _int8_params(
+                model, params, paths, img_size,
+                tuple(SERVING_INT8_SKIP) + INT8_SAFE_EXTRA,
+            )
         elif name == "tta":
             cfg_kw["augment"] = True
         elif name == "multi_label":

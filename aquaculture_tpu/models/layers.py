@@ -177,6 +177,11 @@ def conv_block(x, p: dict, stride: int = 1, padding=None, training: bool = False
             # tensor handed to the next block stays int8
             return requant(act, p["yscale"]), p
         return act.astype(float_dtype), p
+    if isinstance(x, QTensor):
+        # int8 -> float boundary: a float conv downstream of a quantized
+        # block (mixed splits that keep head-feeding layers in fp, e.g.
+        # eval.accuracy's int8_safe) consumes the dequantized activations
+        x = deq(x)
     if _CALIB_STATS is not None:  # eager calibration pass (models.quantize)
         key = id(p["w"])
         m = float(jnp.max(jnp.abs(x)))

@@ -46,13 +46,21 @@ def calibrate(model, fused_params, sample_images) -> Dict[int, float]:
 # don't (models/yolov5.py features()). Needed to place sum_yscale correctly.
 _SHORTCUT_C3 = ("b2", "b4", "b6", "b8", "b10")  # b10 exists only on P6
 
-# Default mixed-precision split for serving: the early large-spatial/
-# small-channel layers (P1-P3 backbone) tile poorly in int8 and stay bf16;
-# int8 starts at the stride-16 backbone. Measured on v5e at batch 128
-# (BENCH_INT8_MIXED.jsonl): bf16 1,794 / full int8 1,893 / THIS SPLIT
-# 1,935 tiles/s (+7.9% over bf16, and fewer quantized stages than full
-# int8, so accuracy is also >= the full-int8 path).
+# Mixed-precision split: the early large-spatial/small-channel layers
+# (P1-P3 backbone) tile poorly in int8 and stay bf16; int8 starts at the
+# stride-16 backbone. Measured on v5e at batch 128 (BENCH_INT8_MIXED.jsonl):
+# bf16 1,794 / full int8 1,893 / THIS SPLIT 1,935 tiles/s.
 SERVING_INT8_SKIP = ("b0", "b1", "b2", "b3", "b4")
+
+# Round-3 serving DEFAULT: the localization-safe split — the mixed split
+# PLUS the neck C3 blocks feeding the detect head (P3/P4/P5 outputs,
+# public-graph layers 17/20/23). int8 noise on the features the box
+# regression reads is where quantization's mAP@.5:.95 cost concentrates;
+# keeping them float recovers it entirely (BENCH_ACCURACY: 0.3259 vs bf16
+# 0.3264 vs mixed 0.3052) AND measures FASTEST (BENCH_INT8_MIXED: 1,951
+# tiles/s vs mixed 1,935) — the float head boundary drops the dequant/
+# requant chains at the largest-spatial neck level.
+SERVING_INT8_SAFE_SKIP = SERVING_INT8_SKIP + ("n17", "n20", "n23")
 
 
 def quantize(fused_params, calib: Dict, default_xscale: float = 1.0, skip=()):

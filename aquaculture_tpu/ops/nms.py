@@ -73,6 +73,15 @@ def nms(
     return _compact(boxes, cls_top, top_scores, keep, max_det)
 
 
+# Pools at least this many times larger than k use the exact two-stage
+# (blocked) top-k: per-block top-k over contiguous blocks, then a final
+# top-k over the G*k survivors. Exact because a block holds at most k of
+# the global top-k. P6 at 1280px has a 100,800-anchor pool where the
+# global top_k dominated NMS prep (BENCHMARKS.md P6 study).
+_TWO_STAGE_RATIO = 8
+_TWO_STAGE_BLOCK = 8192
+
+
 def _select_topk(score: jnp.ndarray, k: int, approx: bool):
     """Exact or approximate top-k over the candidate pool.
 
@@ -86,10 +95,33 @@ def _select_topk(score: jnp.ndarray, k: int, approx: bool):
     approx_max_k falls back to exact top_k. Measured throughput-NEUTRAL at
     the serving pool size (BENCHMARKS.md round 2c), so this stays an
     opt-in experiment: NOT exposed on any CLI and never the default.
+
+    Large pools (n >= _TWO_STAGE_RATIO * k) take the EXACT two-stage path:
+    top-k per contiguous block, then top-k over the survivors. The result
+    SET equals lax.top_k's; only the order among exactly-tied scores can
+    differ (ties merge by score across blocks instead of by global index).
     """
     if approx:
         return jax.lax.approx_max_k(score, k, recall_target=0.95)
+    n = score.shape[0]
+    if n >= _TWO_STAGE_RATIO * k and n > _TWO_STAGE_BLOCK:
+        return _two_stage_topk(score, k)
     return jax.lax.top_k(score, k)
+
+
+def _two_stage_topk(score: jnp.ndarray, k: int):
+    """Exact blocked top-k: (n,) -> (values (k,), indices (k,))."""
+    n = score.shape[0]
+    g = -(-n // _TWO_STAGE_BLOCK)  # ceil
+    padded = g * _TWO_STAGE_BLOCK
+    if padded != n:
+        score = jnp.pad(score, (0, padded - n), constant_values=-jnp.inf)
+    blocks = score.reshape(g, _TWO_STAGE_BLOCK)
+    kb = min(k, _TWO_STAGE_BLOCK)
+    vals, idx = jax.lax.top_k(blocks, kb)             # (g, kb) each
+    flat_idx = idx + (jnp.arange(g) * _TWO_STAGE_BLOCK)[:, None]
+    vals2, sel = jax.lax.top_k(vals.reshape(-1), k)   # over g*kb survivors
+    return vals2, flat_idx.reshape(-1)[sel]
 
 
 def _prepare_candidates(pred, conf_thresh, pre_topk, class_agnostic, multi_label=False,

@@ -28,6 +28,10 @@ from aquaculture_tpu.post.dedup import deduplicate_download_boxes, deduplicate_g
 from aquaculture_tpu.post.geocode import geocode_detections, remove_land_detections
 
 
+# formats the native C++ decoder (libaquatile) can read
+_NATIVE_EXTS = (".jpg", ".jpeg", ".tif", ".tiff")
+
+
 @dataclasses.dataclass
 class PipelineStats:
     tiles: int = 0
@@ -130,6 +134,10 @@ def detect_files(
 
     if use_native is None:
         use_native = store is None and native_loader.available()
+    if use_native and not all(p.lower().endswith(_NATIVE_EXTS) for p in paths):
+        # the native decoder speaks JPEG/TIFF only; its decode-failure skip
+        # would SILENTLY drop e.g. a PNG corpus — use the Python loader
+        use_native = False
 
     infer = infer_fn or make_infer_fn(model, params, cfg, tile, batch_size=batch_size)
     stats = PipelineStats()

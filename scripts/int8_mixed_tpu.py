@@ -19,7 +19,14 @@ import sys
 import time
 
 RESULTS = os.path.join(os.path.dirname(__file__), "..", "BENCH_INT8_MIXED.jsonl")
-VARIANTS = ["bf16", "int8_full", "int8_mixed_b5plus", "int8_mixed_b7plus"]
+VARIANTS = [
+    "bf16", "int8_full", "int8_mixed_b5plus", "int8_mixed_b7plus",
+    # round 3: the localization-safe split — mixed PLUS the neck C3s that
+    # feed the detect head (n17/n20/n23) kept float; recovers the int8
+    # mAP@.5:.95 cost entirely (BENCH_ACCURACY int8_safe row)
+    "int8_safe",
+    "bf16_r3",  # same-session bf16 pair for the int8_safe measurement
+]
 BATCH = 128
 IMG = 640
 WARMUP = 3
@@ -30,6 +37,8 @@ SKIPS = {
     "int8_full": (),
     "int8_mixed_b5plus": ("b0", "b1", "b2", "b3", "b4"),
     "int8_mixed_b7plus": ("b0", "b1", "b2", "b3", "b4", "b5", "b6"),
+    "int8_safe": ("b0", "b1", "b2", "b3", "b4", "n17", "n20", "n23"),
+    "bf16_r3": None,
 }
 
 

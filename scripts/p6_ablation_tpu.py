@@ -24,7 +24,12 @@ import sys
 import time
 
 RESULTS = os.path.join(os.path.dirname(__file__), "..", "BENCH_P6.jsonl")
-CONFIGS = ["m6_full", "m6_fwd_decode", "m6_fwd_raw", "m6_full_topk512", "m_full_b32"]
+CONFIGS = [
+    "m6_full", "m6_fwd_decode", "m6_fwd_raw", "m6_full_topk512", "m_full_b32",
+    # round-3b: same full configs with the exact two-stage blocked top-k
+    # active in the candidate prep (ops/nms.py _two_stage_topk)
+    "m6_full_2stage",
+]
 WARMUP = 3
 WINDOWS = 3
 BPW = 4
@@ -58,6 +63,12 @@ def run(config: str) -> dict:
     img = 1280 if variant == "m6" else 640
     batch = 32
     topk = 512 if config.endswith("topk512") else 1024
+    # the pre-round-3b records were measured with the global top_k; force
+    # single-stage for them so the _2stage suffix is the only A/B axis
+    import importlib
+
+    N = importlib.import_module("aquaculture_tpu.ops.nms")
+    N._TWO_STAGE_RATIO = 8 if config.endswith("_2stage") else 10**9
 
     model, params = yolov5_init(variant, num_classes=5, seed=0)
     params = model.fuse(params)

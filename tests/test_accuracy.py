@@ -41,7 +41,7 @@ def table(world):
     rows = serving_accuracy_table(
         img_dir, lab_dir, FIXTURE,
         variant="n", num_classes=2, img_size=160,
-        configs=("bf16", "int8_mixed", "multi_label"),
+        configs=("bf16", "int8_mixed", "int8_safe", "multi_label"),
     )
     return {r.name: r for r in rows}
 
@@ -56,6 +56,16 @@ def test_int8_mixed_within_epsilon_of_bf16(table):
     bounded: mAP@.5 within 0.05 of bf16 on the demo world at fixed seed."""
     d = table["int8_mixed"].map50 - table["bf16"].map50
     assert abs(d) <= 0.05, (table["int8_mixed"], table["bf16"])
+
+
+def test_int8_safe_default_localization_neutral(table):
+    """The --int8 DEFAULT (localization-safe split) must hold BOTH bounds:
+    mAP@.5 within 0.05 of bf16 AND mAP@.5:.95 within 0.03 — the tight-IoU
+    bound is the reason this split exists (the plain mixed split loses
+    ~0.03 there)."""
+    safe, bf16 = table["int8_safe"], table["bf16"]
+    assert abs(safe.map50 - bf16.map50) <= 0.05, (safe, bf16)
+    assert abs(safe.map - bf16.map) <= 0.03, (safe, bf16)
 
 
 def test_multi_label_not_catastrophic(table):

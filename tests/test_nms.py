@@ -151,6 +151,56 @@ def test_batched_nms_multi_label_shape():
     assert int(np.asarray(valid).sum()) > 0
 
 
+def test_two_stage_topk_exact_parity():
+    """The blocked top-k for large pools must return lax.top_k's exact
+    result (values AND indices) on distinct scores, at P5/P6 pool sizes
+    and awkward block boundaries."""
+    import importlib
+
+    import jax
+
+    N = importlib.import_module("aquaculture_tpu.ops.nms")
+    rng = np.random.default_rng(0)
+    for n, k in ((100_800, 1024), (25_200, 1024), (8193, 512)):
+        s = rng.permutation(n).astype(np.float32) / n
+        v1, i1 = jax.lax.top_k(jnp.asarray(s), k)
+        v2, i2 = N._two_stage_topk(jnp.asarray(s), k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # sparse pool with -1 below-threshold fill: real candidates first,
+    # padding never leaks a finite score
+    s = np.full(50_000, -1.0, np.float32)
+    s[[5, 777, 49_999]] = [0.9, 0.8, 0.7]
+    v2, i2 = N._two_stage_topk(jnp.asarray(s), 1024)
+    assert list(np.asarray(i2[:3])) == [5, 777, 49_999]
+    assert (np.asarray(v2[3:]) <= -1.0).all()
+
+
+def test_nms_large_pool_two_stage_end_to_end():
+    """End-to-end nms over a P6-sized pool (two-stage path active) equals
+    the forced single-stage result."""
+    import importlib
+
+    N = importlib.import_module("aquaculture_tpu.ops.nms")
+    rng = np.random.default_rng(1)
+    n = 40_000
+    pred = rng.random((n, 7)).astype(np.float32)
+    pred[:, 0:2] = rng.uniform(0, 1200, (n, 2))
+    pred[:, 2:4] = rng.uniform(10, 60, (n, 2))
+    pred[:, 4] = rng.random(n) * 0.02  # sparse survivors
+    pred[rng.choice(n, 200, replace=False), 4] = rng.uniform(0.5, 1.0, 200)
+
+    det1, v1 = N.nms(jnp.asarray(pred), conf_thresh=0.25, pre_topk=1024)
+    ratio = N._TWO_STAGE_RATIO
+    try:
+        N._TWO_STAGE_RATIO = 10**9  # force single-stage
+        det2, v2 = N.nms(jnp.asarray(pred), conf_thresh=0.25, pre_topk=1024)
+    finally:
+        N._TWO_STAGE_RATIO = ratio
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(det1), np.asarray(det2), rtol=1e-6)
+
+
 def test_nms_conf_threshold():
     rng = np.random.default_rng(1)
     pred = _make_preds(rng, n=100)

@@ -144,6 +144,30 @@ def test_detect_files_store_parity(tmp_path):
     assert store.get_count == 2
 
 
+def test_detect_files_png_corpus_not_silently_dropped(tmp_path):
+    """A PNG corpus must route through the Python loader even when the
+    native lib is present — the native decoder is JPEG/TIFF-only and its
+    decode-failure skip would silently drop every file (found by driving
+    cli.detect --int8 on a PNG source: 0 tiles, no error)."""
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.pipeline import detect_files
+
+    rng = np.random.default_rng(4)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"ORTHOIMAGERY.ORTHOPHOTOS2014_{i}_0_0.png"
+        Image.fromarray(rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    model, params = yolov5_init("n", num_classes=5, seed=0)
+    params = model.fuse(params)
+    _b, _c, _k, _s, stats = detect_files(
+        paths, model, params, DetectConfig(img_size=160, conf_threshold=1e-5),
+        batch_size=2,  # use_native unspecified: auto
+    )
+    assert stats.tiles == 2
+
+
 def test_pod_checkpoint_resume_from_store(tmp_path, monkeypatch):
     """Elastic recovery over a store corpus: manifests are keyed by blob
     name; a crashed run resumes and only re-fetches the unfinished keys."""
