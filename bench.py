@@ -135,14 +135,15 @@ def main() -> None:
         images = jnp.asarray(rng.random((batch, IMG, IMG, 3), dtype=np.float32))
 
     if int8:
-        from aquaculture_tpu.models.quantize import SERVING_INT8_SKIP, quantize_model
+        from aquaculture_tpu.models.quantize import SERVING_INT8_SAFE_SKIP, quantize_model
 
         # Calibrate activation scales on the SAME distribution the run
         # infers on: real tiles in --trained mode (noise-calibrated scales
-        # clip a trained net's activations), noise otherwise. The mixed
-        # split (early layers bf16) is the measured-fastest int8 config.
+        # clip a trained net's activations), noise otherwise. The
+        # localization-safe split (early layers + head-feeding neck C3s
+        # bf16) is the measured-fastest AND accuracy-neutral int8 config.
         calib = images[:2]
-        params = quantize_model(model, params, calib, skip=SERVING_INT8_SKIP)
+        params = quantize_model(model, params, calib, skip=SERVING_INT8_SAFE_SKIP)
         metric = metric.replace("infer_nms", "int8_infer_nms")
 
     images = jax.device_put(images)
