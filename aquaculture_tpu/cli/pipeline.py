@@ -35,6 +35,11 @@ def main(argv=None) -> None:
     ap.add_argument("--land", default=None, help="land polygons GeoJSON")
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--int8", action="store_true", help="int8 PTQ serving path")
+    ap.add_argument("--overlap", type=int, default=0,
+                    help="overlap serving: tile overlap in px on large "
+                         "rasters (boundary objects appear whole in a "
+                         "neighboring tile; duplicates dedup by meter-space "
+                         "IoU). 0 = the reference's hard grid")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.source):
@@ -57,7 +62,8 @@ def main(argv=None) -> None:
     land = gf.read_file(args.land) if args.land else None
 
     det, stats = run_pipeline(
-        paths, model, params, dl, cfg, args.batch, land=land, dedup=not args.no_dedup
+        paths, model, params, dl, cfg, args.batch, land=land,
+        dedup=not args.no_dedup, overlap=args.overlap,
     )
     det.to_file(args.out)
     log_info(

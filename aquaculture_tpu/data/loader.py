@@ -37,7 +37,8 @@ class TileBatch:
 
 
 def iter_tiles_from_files(
-    paths: Sequence[str], tile: int = IM_WIDTH, decode_threads: int = 0
+    paths: Sequence[str], tile: int = IM_WIDTH, decode_threads: int = 0,
+    stride: int = 0,
 ) -> Iterator[Tuple[np.ndarray, TileSpec]]:
     """Yield (tile_array, spec) over whole pre-tiled images or large rasters.
 
@@ -62,7 +63,7 @@ def iter_tiles_from_files(
         if arr.shape[0] <= tile and arr.shape[1] <= tile:
             yield arr, base
             continue
-        tiles, offs = split_image(arr, tile)
+        tiles, offs = split_image(arr, tile, stride=stride)
         for t, (dx, dy) in zip(tiles, offs):
             yield t, TileSpec(
                 year=base.year,
@@ -160,9 +161,11 @@ def tile_batches(
     batch_size: int = 32,
     tile: int = IM_WIDTH,
     prefetch_depth: int = 2,
+    stride: int = 0,
 ) -> Iterator[TileBatch]:
-    """paths -> prefetched fixed-shape TileBatches (the full input pipeline)."""
-    it = batch_tiles(iter_tiles_from_files(paths, tile), batch_size, tile)
+    """paths -> prefetched fixed-shape TileBatches (the full input pipeline).
+    stride < tile overlaps tiles of large rasters (overlap serving)."""
+    it = batch_tiles(iter_tiles_from_files(paths, tile, stride=stride), batch_size, tile)
     return prefetch(it, prefetch_depth)
 
 
@@ -176,6 +179,7 @@ def iter_tiles_from_store(
     keys: Sequence[str],
     tile: int = IM_WIDTH,
     fetch_threads: int = 4,
+    stride: int = 0,
 ) -> Iterator[Tuple[np.ndarray, TileSpec]]:
     """Yield (tile_array, spec) streaming blob bytes from a BlobStore.
 
@@ -212,7 +216,7 @@ def iter_tiles_from_store(
             if arr.shape[0] <= tile and arr.shape[1] <= tile:
                 yield arr, base
                 continue
-            tiles, offs = split_image(arr, tile)
+            tiles, offs = split_image(arr, tile, stride=stride)
             for t, (dx, dy) in zip(tiles, offs):
                 yield t, TileSpec(
                     year=base.year,
@@ -230,10 +234,12 @@ def tile_batches_from_store(
     tile: int = IM_WIDTH,
     prefetch_depth: int = 2,
     fetch_threads: int = 4,
+    stride: int = 0,
 ) -> Iterator[TileBatch]:
     """(store, keys) -> prefetched fixed-shape TileBatches: the streaming
     twin of tile_batches."""
     it = batch_tiles(
-        iter_tiles_from_store(store, keys, tile, fetch_threads), batch_size, tile
+        iter_tiles_from_store(store, keys, tile, fetch_threads, stride=stride),
+        batch_size, tile,
     )
     return prefetch(it, prefetch_depth)

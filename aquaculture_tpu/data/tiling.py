@@ -26,17 +26,36 @@ def tile_offsets(large: int = LARGE_TIF_SIZE, tile: int = IM_WIDTH) -> List[Tupl
 
 
 def split_image(
-    img: np.ndarray, tile: int = IM_WIDTH
+    img: np.ndarray, tile: int = IM_WIDTH, stride: int = 0
 ) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
-    """Split a (H, W, C) image into the full tile grid.
+    """Split a (H, W, C) image into a tile grid.
 
-    Returns (tiles, offsets): tiles is (N, tile, tile, C) in the same order
-    as :func:`tile_offsets`; ragged edges are ignored (the reference's grid
-    assumes exact divisibility: 6144 = 6*1024).
+    stride == 0 (default) is the reference's non-overlapping grid
+    (reshape-transpose, zero copies per tile): ragged edges are ignored
+    (the reference's grid assumes exact divisibility: 6144 = 6*1024).
+
+    stride < tile produces OVERLAPPING tiles (overlap serving: boundary
+    objects fragmented by a hard grid appear whole in a neighboring
+    overlapped tile; duplicates dedup downstream in meter space,
+    post/dedup.nms_cross_tile). Offsets step by ``stride`` per axis with a
+    final offset flush to the image edge, x-major order.
+
+    Returns (tiles (N, tile, tile, C), offsets [(x, y), ...]).
     """
     h, w = img.shape[:2]
-    ny, nx = h // tile, w // tile
     c = img.shape[2] if img.ndim == 3 else 1
+    if stride and stride < tile:
+        def starts(extent):
+            if extent <= tile:
+                return [0]
+            ss = list(range(0, extent - tile, stride))
+            ss.append(extent - tile)  # flush to the edge
+            return ss
+
+        offsets = [(x, y) for x in starts(w) for y in starts(h)]
+        tiles = np.stack([img[y : y + tile, x : x + tile] for x, y in offsets])
+        return tiles.reshape(len(offsets), tile, tile, c), offsets
+    ny, nx = h // tile, w // tile
     view = img[: ny * tile, : nx * tile].reshape(ny, tile, nx, tile, c)
     # -> (nx, ny, tile, tile, c) to match x-major offset order
     tiles = np.ascontiguousarray(view.transpose(2, 0, 1, 3, 4)).reshape(nx * ny, tile, tile, c)

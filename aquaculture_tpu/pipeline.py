@@ -114,8 +114,14 @@ def detect_files(
     use_native: Optional[bool] = None,
     infer_fn=None,
     store=None,
+    stride: int = 0,
 ):
     """Run inference over image files or object-store blobs.
+
+    stride: 0 = the reference's hard grid; 0 < stride < tile overlaps
+    tiles of large rasters (overlap serving — boundary objects appear
+    whole in a neighboring tile; dedup downstream with
+    post.dedup.nms_cross_tile). Forces the Python loader.
 
     store: a data.store.BlobStore — when given, ``paths`` are blob KEYS and
     tiles stream through a threaded fetch window (the reference's corpus
@@ -138,6 +144,8 @@ def detect_files(
         # the native decoder speaks JPEG/TIFF only; its decode-failure skip
         # would SILENTLY drop e.g. a PNG corpus — use the Python loader
         use_native = False
+    if stride and stride < tile:
+        use_native = False  # overlapped slicing lives in the Python loader
 
     infer = infer_fn or make_infer_fn(model, params, cfg, tile, batch_size=batch_size)
     stats = PipelineStats()
@@ -169,11 +177,13 @@ def detect_files(
     if store is not None:
         from aquaculture_tpu.data.loader import tile_batches_from_store
 
-        batches = tile_batches_from_store(store, paths, batch_size=batch_size, tile=tile)
+        batches = tile_batches_from_store(
+            store, paths, batch_size=batch_size, tile=tile, stride=stride
+        )
     elif use_native:
         batches = native_loader.native_tile_batches(paths, batch_size=batch_size, tile=tile)
     else:
-        batches = tile_batches(paths, batch_size=batch_size, tile=tile)
+        batches = tile_batches(paths, batch_size=batch_size, tile=tile, stride=stride)
     # Double-buffered: dispatch batch N+1 before harvesting batch N so the
     # device-to-host transfer and python postprocess overlap device compute
     # (jax dispatch is async; device_get is the only sync point).
@@ -210,22 +220,43 @@ def run_pipeline(
     dedup: bool = True,
     use_native: Optional[bool] = None,
     store=None,
+    overlap: int = 0,
+    overlap_iou: float = 0.5,
 ):
     """Full slice: files -> geocoded + area-annotated (ocean) detections.
 
     Mirrors geocode_results.py __main__ + calc_net_areas.py __main__
     (reference: src/process_yolo/) in one call. With ``store`` set,
     ``paths`` are object-store keys streamed via the BlobStore protocol.
+    overlap > 0 enables overlap serving on large rasters: tiles step by
+    (tile - overlap) px so boundary objects appear whole in a neighboring
+    tile, and the duplicate detections collapse via meter-space IoU NMS
+    (post.dedup.nms_cross_tile) right after geocoding. The reference's
+    hard grid fragments boundary cages (measured 3.5x mAP cost on
+    boundary-heavy worlds, BENCHMARKS.md P6 study).
     Returns (detections GeoFrame in EPSG:4326, PipelineStats).
     """
+    from aquaculture_tpu.post.dedup import nms_cross_tile
+
+    tile_px = IM_WIDTH
+    stride = max(tile_px - overlap, 1) if overlap else 0
     boxes, conf, cls, specs, stats = detect_files(
-        paths, model, params, cfg, batch_size, use_native=use_native, store=store
+        paths, model, params, cfg, batch_size, use_native=use_native, store=store,
+        stride=stride,
     )
     det = geocode_detections(boxes, conf, cls, specs, download_bboxes)
+    if len(det):
+        # assign BEFORE cross-tile NMS: specs align with geocode's rows,
+        # not with the post-NMS survivors
+        det["bbox_ind"] = [s.bbox_ind for s in specs]
+    if len(det) and overlap:
+        det = nms_cross_tile(det, iou_thresh=overlap_iou)
+        det.crs = 4326
     if len(det) and dedup:
         dd = deduplicate_download_boxes(download_bboxes)
-        det["bbox_ind"] = [s.bbox_ind for s in specs]
         det = deduplicate_gdf_with_bboxes(dd, det)
+        det.crs = 4326
+    if len(det) and "bbox_ind" in det.columns:
         det = det.drop(columns=["bbox_ind"])
         det.crs = 4326
     if len(det):

@@ -76,3 +76,50 @@ def deduplicate_gdf_with_bboxes(dedup_boxes: "gf.GeoFrame", gdf: "gf.GeoFrame") 
     out["geometry"] = new_geoms
     out.crs = 3857
     return out.to_crs(src_crs)
+
+
+def nms_cross_tile(det: "gf.GeoFrame", iou_thresh: float = 0.5) -> "gf.GeoFrame":
+    """Greedy confidence-ordered IoU dedup across overlapping tiles.
+
+    Overlap serving (pipeline.run_pipeline(overlap=...)) detects the same
+    physical cage in every overlapped tile that covers it; this collapses
+    the copies to the highest-confidence one. Boxes compare in the
+    EPSG:3035 meter frame (the xmin_m.. columns geocode emits), class-aware
+    within a year — the reference has no equivalent because its grid never
+    overlaps (tile_tifs.py hard grid).
+    """
+    import numpy as np
+
+    if len(det) == 0:
+        return det
+    boxes = det[["xmin_m", "ymin_m", "xmax_m", "ymax_m"]].to_numpy(np.float64)
+    conf = det["det_conf"].to_numpy(np.float64)
+    years = det["year"].to_numpy()
+    types = det["type"].to_numpy()
+
+    keep_mask = np.zeros(len(det), bool)
+    groups: dict = {}
+    for i, (y, t) in enumerate(zip(years, types)):
+        groups.setdefault((y, t), []).append(i)
+    for idx in groups.values():
+        idx = np.asarray(idx)
+        order = idx[np.argsort(-conf[idx], kind="stable")]
+        kept: list = []
+        for i in order:
+            if kept:
+                kb = boxes[kept]
+                lt = np.maximum(kb[:, :2], boxes[i, :2])
+                rb = np.minimum(kb[:, 2:], boxes[i, 2:])
+                wh = np.clip(rb - lt, 0, None)
+                inter = wh[:, 0] * wh[:, 1]
+                a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                ak = (kb[:, 2] - kb[:, 0]) * (kb[:, 3] - kb[:, 1])
+                iou = inter / np.maximum(a + ak - inter, 1e-12)
+                if (iou > iou_thresh).any():
+                    continue
+            kept.append(int(i))
+        keep_mask[kept] = True
+
+    out = det.iloc[np.flatnonzero(keep_mask)].copy()
+    out.crs = det.crs
+    return out

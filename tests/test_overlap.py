@@ -1,0 +1,115 @@
+"""Overlap serving: strided tiling + cross-tile meter-space dedup.
+
+Round-3 capability beyond the reference (its grid never overlaps,
+tile_tifs.py): the P6 accuracy study measured a 3.5x mAP cost from
+boundary fragmentation on hard grids; overlap serving fixes it for tiled
+detection at a throughput cost proportional to the overlap.
+"""
+
+import numpy as np
+import pytest
+
+from aquaculture_tpu import frame as gf
+from aquaculture_tpu.data.tiling import split_image
+from aquaculture_tpu.geo import polygon as _poly
+from aquaculture_tpu.post.dedup import nms_cross_tile
+
+
+def test_split_image_strided_offsets_and_pixels():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1024, 1536, 3), dtype=np.uint8)
+    tiles, offs = split_image(img, tile=512, stride=384)
+    # x starts: 0, 384, 768, flush 1024; y starts: 0, 384, flush 512
+    assert sorted({x for x, _ in offs}) == [0, 384, 768, 1024]
+    assert sorted({y for _, y in offs}) == [0, 384, 512]
+    assert len(offs) == 12 and tiles.shape == (12, 512, 512, 3)
+    for t, (x, y) in zip(tiles, offs):
+        np.testing.assert_array_equal(t, img[y : y + 512, x : x + 512])
+
+
+def test_split_image_stride_default_matches_grid():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (1024, 1024, 3), dtype=np.uint8)
+    t0, o0 = split_image(img, tile=512)
+    t1, o1 = split_image(img, tile=512, stride=512)
+    assert o0 == o1
+    np.testing.assert_array_equal(t0, t1)
+
+
+def test_split_image_stride_exact_fit_no_duplicate_edge():
+    img = np.zeros((1024, 1024, 3), np.uint8)
+    _, offs = split_image(img, tile=512, stride=256)
+    # starts per axis: 0, 256, flush 512 — the flush offset must not
+    # duplicate an existing stride multiple
+    assert sorted({x for x, _ in offs}) == [0, 256, 512]
+    assert len(offs) == len(set(offs)) == 9
+
+
+def test_nms_cross_tile_collapses_duplicates():
+    # the same cage seen from two overlapped tiles: slightly shifted boxes,
+    # different confidences; plus a distinct cage and a same-box different
+    # class (class-aware: kept)
+    rows = {
+        "xmin_m": [100.0, 101.0, 500.0, 100.0],
+        "ymin_m": [100.0, 101.0, 500.0, 100.0],
+        "xmax_m": [140.0, 141.0, 540.0, 140.0],
+        "ymax_m": [140.0, 141.0, 540.0, 140.0],
+        "det_conf": [0.9, 0.8, 0.7, 0.6],
+        "year": [2014, 2014, 2014, 2014],
+        "type": ["circle_farm", "circle_farm", "circle_farm", "square_farm"],
+    }
+    geoms = [_poly.box(x, y, X, Y) for x, y, X, Y in zip(
+        rows["xmin_m"], rows["ymin_m"], rows["xmax_m"], rows["ymax_m"])]
+    det = gf.GeoFrame(rows, geometry=geoms, crs=4326)
+    out = nms_cross_tile(det, iou_thresh=0.5)
+    assert len(out) == 3
+    kept_conf = sorted(out["det_conf"])
+    assert kept_conf == [0.6, 0.7, 0.9]  # the 0.8 duplicate collapsed
+
+
+def test_run_pipeline_overlap_end_to_end(tmp_path):
+    """A 2048px raster served with overlap: every boundary-crossing
+    detection region is covered whole by some tile; duplicated detections
+    collapse and the output schema is unchanged."""
+    from PIL import Image
+
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.pipeline import run_pipeline
+
+    rng = np.random.default_rng(2)
+    p = tmp_path / "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0.jpeg"
+    Image.fromarray(rng.integers(0, 255, (2048, 2048, 3), dtype=np.uint8)).save(p)
+    dl = gf.GeoFrame(
+        {"d": [0]}, geometry=[_poly.box(0, 0, 2400, 2400)], crs=3857
+    )
+    model, params = yolov5_init("n", num_classes=5, seed=0)
+    params = model.fuse(params)
+    cfg = DetectConfig(img_size=160, conf_threshold=1e-5)
+
+    det0, st0 = run_pipeline([str(p)], model, params, dl, cfg, batch_size=4,
+                             dedup=False)
+    det1, st1 = run_pipeline([str(p)], model, params, dl, cfg, batch_size=4,
+                             dedup=False, overlap=512)
+    # hard grid: 4 tiles; overlap 512 -> stride 512: 3x3 = 9 tiles
+    assert st0.tiles == 4 and st1.tiles == 9
+    assert len(det0) > 0 and len(det1) > 0
+    # untrained-noise detections are mostly uncorrelated between tiles, so
+    # the bound is the tile ratio (9/4 = 2.25x) — the NMS must not let the
+    # output EXCEED it (and real duplicates do collapse: next assertion)
+    assert len(det1) <= 2.3 * len(det0)
+    assert det1.crs == 4326
+    for col in ("xmin_m", "det_conf", "type", "year"):
+        assert col in det1.columns
+    # no near-duplicate pair survives within a class (vectorized IoU)
+    b = det1[["xmin_m", "ymin_m", "xmax_m", "ymax_m"]].to_numpy(float)
+    types = det1["type"].to_numpy()
+    lt = np.maximum(b[:, None, :2], b[None, :, :2])
+    rb = np.minimum(b[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    iou = inter / np.maximum(area[:, None] + area[None, :] - inter, 1e-12)
+    same_type = types[:, None] == types[None, :]
+    np.fill_diagonal(iou, 0.0)
+    assert float(np.where(same_type, iou, 0.0).max()) <= 0.5 + 1e-9
