@@ -33,13 +33,14 @@ def quantize_for_serving(model, fused_params, sample_paths, img_size: int = 640,
     import jax.numpy as jnp
 
     from aquaculture_tpu.data.geotiff import read_image
-    from aquaculture_tpu.models.quantize import SERVING_INT8_SAFE_SKIP, quantize_model
+    from aquaculture_tpu.models.quantize import quantize_model, serving_int8_safe_skip
     from aquaculture_tpu.ops.letterbox import letterbox
 
     if skip is None:
         # localization-safe split: measured fastest AND mAP@.5:.95-neutral
-        # vs bf16 (BENCHMARKS.md round 3)
-        skip = SERVING_INT8_SAFE_SKIP
+        # vs bf16 (BENCHMARKS.md round 3); P6 variants skip their 4-level
+        # head-feeding C3s
+        skip = serving_int8_safe_skip(getattr(model, "variant", "m"))
     imgs = []
     for p in sample_paths[:8]:
         arr = read_image(p)

@@ -62,6 +62,15 @@ SERVING_INT8_SKIP = ("b0", "b1", "b2", "b3", "b4")
 # requant chains at the largest-spatial neck level.
 SERVING_INT8_SAFE_SKIP = SERVING_INT8_SKIP + ("n17", "n20", "n23")
 
+# The P6 family's 4-level neck names its head-feeding C3s differently
+# (models/yolov5.py features(): o3..o6 = n23/n26/n29/n32).
+SERVING_INT8_SAFE_SKIP_P6 = SERVING_INT8_SKIP + ("n23", "n26", "n29", "n32")
+
+
+def serving_int8_safe_skip(variant: str = "m"):
+    """The localization-safe skip list for a detector variant."""
+    return SERVING_INT8_SAFE_SKIP_P6 if variant.endswith("6") else SERVING_INT8_SAFE_SKIP
+
 
 def quantize(fused_params, calib: Dict, default_xscale: float = 1.0, skip=()):
     """Fused {w, b} conv dicts -> int8 dicts for the PIPELINED serving path.

@@ -29,6 +29,8 @@ CONFIGS = [
     # round-3b: same full configs with the exact two-stage blocked top-k
     # active in the candidate prep (ops/nms.py _two_stage_topk)
     "m6_full_2stage",
+    # round-3c: P6 + the localization-safe int8 split (two-stage top-k on)
+    "m6_full_int8safe",
 ]
 WARMUP = 3
 WINDOWS = 3
@@ -68,11 +70,24 @@ def run(config: str) -> dict:
     import importlib
 
     N = importlib.import_module("aquaculture_tpu.ops.nms")
-    N._TWO_STAGE_RATIO = 8 if config.endswith("_2stage") else 10**9
+    two_stage = config.endswith("_2stage") or config.endswith("_int8safe")
+    N._TWO_STAGE_RATIO = 8 if two_stage else 10**9
 
     model, params = yolov5_init(variant, num_classes=5, seed=0)
     params = model.fuse(params)
     cfg = DetectConfig(img_size=img)
+    if config.endswith("_int8safe"):
+        import numpy as _np
+
+        from aquaculture_tpu.models.quantize import (
+            quantize_model,
+            serving_int8_safe_skip,
+        )
+
+        calib = jnp.asarray(
+            _np.random.default_rng(0).random((2, img, img, 3), dtype=_np.float32)
+        )
+        params = quantize_model(model, params, calib, skip=serving_int8_safe_skip(variant))
 
     def fn(params, images):
         x = images.astype(jnp.bfloat16)
