@@ -59,13 +59,13 @@ def main(argv=None) -> None:
 
         bucket, _, prefix = args.source[len("gs://"):].partition("/")
         store = GcsBlobStore(bucket)
-        paths = [k for k in store.list(prefix) if k.rsplit(".", 1)[-1] in exts]
+        paths = [k for k in store.list(prefix) if k.rsplit(".", 1)[-1].lower() in exts]
     elif args.source.startswith("store:"):
         from aquaculture_tpu.data.store import LocalBlobStore
 
         root, _, prefix = args.source[len("store:"):].partition("::")
         store = LocalBlobStore(root)
-        paths = [k for k in store.list(prefix) if k.rsplit(".", 1)[-1] in exts]
+        paths = [k for k in store.list(prefix) if k.rsplit(".", 1)[-1].lower() in exts]
     elif os.path.isdir(args.source):
         paths = sorted(
             p

@@ -53,7 +53,17 @@ def split_image(
             return ss
 
         offsets = [(x, y) for x in starts(w) for y in starts(h)]
-        tiles = np.stack([img[y : y + tile, x : x + tile] for x, y in offsets])
+        crops = []
+        for x, y in offsets:
+            crop = img[y : y + tile, x : x + tile]
+            if crop.shape[0] < tile or crop.shape[1] < tile:
+                # a raster dimension below tile (edge strip): zero-pad like
+                # the batcher does, instead of crashing the stack/reshape
+                pad = np.zeros((tile, tile) + img.shape[2:], img.dtype)
+                pad[: crop.shape[0], : crop.shape[1]] = crop
+                crop = pad
+            crops.append(crop)
+        tiles = np.stack(crops)
         return tiles.reshape(len(offsets), tile, tile, c), offsets
     ny, nx = h // tile, w // tile
     view = img[: ny * tile, : nx * tile].reshape(ny, tile, nx, tile, c)

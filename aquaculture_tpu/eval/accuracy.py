@@ -75,9 +75,13 @@ def world_map(
     cfg: DetectConfig,
     num_classes: int = 2,
     batch_size: int = 8,
+    tile: int = 1024,
 ) -> Dict[str, float]:
-    """mAP of one serving configuration over a rendered world."""
-    gts = load_world_ground_truths(lab_dir)
+    """mAP of one serving configuration over a rendered world.
+
+    tile: the world's image size in px — YOLO labels are normalized, so GT
+    boxes scale by it; a mismatch silently zeroes every IoU match."""
+    gts = load_world_ground_truths(lab_dir, tile=tile)
     dets = detections_by_image(paths, model, params, cfg, batch_size)
     d_list, g_list = [], []
     for stem, gb, gk in gts:
@@ -129,13 +133,6 @@ SERVING_CONFIGS = (
     "f32", "bf16", "int8_mixed", "int8_full", "int8_safe", "tta", "multi_label"
 )
 
-# "Localization-safe" int8 split: the mixed split PLUS the neck C3 blocks
-# that feed the detect head directly (P3/P4/P5 outputs, layers 17/20/23 of
-# the public yolov5 graph) kept in floating point — int8 noise on the
-# features the box regression reads is where the mAP@.5:.95 cost of
-# quantization concentrates (BENCHMARKS.md serving-accuracy A/B).
-INT8_SAFE_EXTRA = ("n17", "n20", "n23")
-
 
 def serving_accuracy_table(
     world_images_dir: str,
@@ -147,6 +144,7 @@ def serving_accuracy_table(
     conf_threshold: float = 1e-3,
     configs: Sequence[str] = SERVING_CONFIGS,
     batch_size: int = 8,
+    tile: int = 1024,
 ) -> List[ServingConfigResult]:
     """Evaluate every serving option on one world with one checkpoint.
 
@@ -175,9 +173,12 @@ def serving_accuracy_table(
         elif name == "int8_full":
             p = _int8_params(model, params, paths, img_size, ())
         elif name == "int8_safe":
+            # the CANONICAL shipped default (variant-aware) — a local copy
+            # of the skip list here would let CI bound a stale split
+            from aquaculture_tpu.models.quantize import serving_int8_safe_skip
+
             p = _int8_params(
-                model, params, paths, img_size,
-                tuple(SERVING_INT8_SKIP) + INT8_SAFE_EXTRA,
+                model, params, paths, img_size, serving_int8_safe_skip(variant)
             )
         elif name == "tta":
             cfg_kw["augment"] = True
@@ -186,6 +187,6 @@ def serving_accuracy_table(
         else:
             raise ValueError(f"unknown serving config {name!r}")
         cfg = DetectConfig(**cfg_kw)
-        m = world_map(paths, lab_dir, model, p, cfg, num_classes, batch_size)
+        m = world_map(paths, lab_dir, model, p, cfg, num_classes, batch_size, tile=tile)
         rows.append(ServingConfigResult(name=name, map50=m["map50"], map=m["map"]))
     return rows

@@ -144,8 +144,22 @@ def detect_files(
         # the native decoder speaks JPEG/TIFF only; its decode-failure skip
         # would SILENTLY drop e.g. a PNG corpus — use the Python loader
         use_native = False
-    if stride and stride < tile:
-        use_native = False  # overlapped slicing lives in the Python loader
+    if stride and stride < tile and use_native:
+        # overlapped slicing lives in the Python loader — but only rasters
+        # LARGER than a tile are ever sliced, so probe image headers (PIL
+        # reads dimensions without decoding) and keep the native fast path
+        # for an all-pre-tiled corpus
+        from PIL import Image
+
+        def _exceeds_tile(p):
+            try:
+                with Image.open(p) as im:
+                    return im.size[0] > tile or im.size[1] > tile
+            except Exception:
+                return True  # unreadable header: let the fallback decide
+
+        if any(_exceeds_tile(p) for p in paths):
+            use_native = False
 
     infer = infer_fn or make_infer_fn(model, params, cfg, tile, batch_size=batch_size)
     stats = PipelineStats()
@@ -239,7 +253,11 @@ def run_pipeline(
     from aquaculture_tpu.post.dedup import nms_cross_tile
 
     tile_px = IM_WIDTH
-    stride = max(tile_px - overlap, 1) if overlap else 0
+    if overlap and not 0 < overlap < tile_px:
+        # overlap >= tile would collapse the stride toward 1 px and emit
+        # ~(W-tile)^2 tiles per raster — an OOM, not a configuration
+        raise ValueError(f"overlap must be in (0, {tile_px}); got {overlap}")
+    stride = tile_px - overlap if overlap else 0
     boxes, conf, cls, specs, stats = detect_files(
         paths, model, params, cfg, batch_size, use_native=use_native, store=store,
         stride=stride,

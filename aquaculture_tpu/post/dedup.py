@@ -92,7 +92,16 @@ def nms_cross_tile(det: "gf.GeoFrame", iou_thresh: float = 0.5) -> "gf.GeoFrame"
 
     if len(det) == 0:
         return det
-    boxes = det[["xmin_m", "ymin_m", "xmax_m", "ymax_m"]].to_numpy(np.float64)
+    raw = det[["xmin_m", "ymin_m", "xmax_m", "ymax_m"]].to_numpy(np.float64)
+    # geocode's _m columns carry the reference's EPSG:3035 authority-order
+    # swap (post/geocode.py authority_order=True): "xmin_m" can exceed
+    # "xmax_m". Sort each corner pair so the IoU math sees real min/max —
+    # without this every intersection is zero and NMS silently no-ops.
+    boxes = np.empty_like(raw)
+    boxes[:, 0] = np.minimum(raw[:, 0], raw[:, 2])
+    boxes[:, 2] = np.maximum(raw[:, 0], raw[:, 2])
+    boxes[:, 1] = np.minimum(raw[:, 1], raw[:, 3])
+    boxes[:, 3] = np.maximum(raw[:, 1], raw[:, 3])
     conf = det["det_conf"].to_numpy(np.float64)
     years = det["year"].to_numpy()
     types = det["type"].to_numpy()

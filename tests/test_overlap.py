@@ -45,6 +45,33 @@ def test_split_image_stride_exact_fit_no_duplicate_edge():
     assert len(offs) == len(set(offs)) == 9
 
 
+def test_split_image_strided_edge_strip_pads():
+    """A raster with one dimension below the tile must not crash the
+    strided path (regression: reshape ValueError on 800x3000): short crops
+    zero-pad like the batcher."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (800, 3000, 3), dtype=np.uint8)
+    tiles, offs = split_image(img, tile=1024, stride=768)
+    assert tiles.shape[1:] == (1024, 1024, 3)
+    assert sorted({y for _, y in offs}) == [0]
+    assert sorted({x for x, _ in offs}) == [0, 768, 1536, 1976]
+    for t, (x, y) in zip(tiles, offs):
+        np.testing.assert_array_equal(t[:800, : min(1024, 3000 - x)],
+                                      img[:, x : x + 1024])
+        assert (t[800:] == 0).all()
+
+
+def test_run_pipeline_rejects_overlap_ge_tile(tmp_path):
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.pipeline import run_pipeline
+
+    model, params = yolov5_init("n", num_classes=5, seed=0)
+    dl = gf.GeoFrame({"d": [0]}, geometry=[_poly.box(0, 0, 1200, 1200)], crs=3857)
+    with pytest.raises(ValueError, match="overlap must be in"):
+        run_pipeline([], model, params, dl, DetectConfig(), overlap=1024)
+
+
 def test_nms_cross_tile_collapses_duplicates():
     # the same cage seen from two overlapped tiles: slightly shifted boxes,
     # different confidences; plus a distinct cage and a same-box different
@@ -101,8 +128,14 @@ def test_run_pipeline_overlap_end_to_end(tmp_path):
     assert det1.crs == 4326
     for col in ("xmin_m", "det_conf", "type", "year"):
         assert col in det1.columns
-    # no near-duplicate pair survives within a class (vectorized IoU)
-    b = det1[["xmin_m", "ymin_m", "xmax_m", "ymax_m"]].to_numpy(float)
+    # no near-duplicate pair survives within a class (vectorized IoU).
+    # CRITICAL: sort the corner pairs first — the _m columns carry the
+    # authority-order swap, and an unsorted IoU here is identically zero
+    # (which made an earlier version of this assertion vacuous).
+    raw = det1[["xmin_m", "ymin_m", "xmax_m", "ymax_m"]].to_numpy(float)
+    b = np.empty_like(raw)
+    b[:, 0] = np.minimum(raw[:, 0], raw[:, 2]); b[:, 2] = np.maximum(raw[:, 0], raw[:, 2])
+    b[:, 1] = np.minimum(raw[:, 1], raw[:, 3]); b[:, 3] = np.maximum(raw[:, 1], raw[:, 3])
     types = det1["type"].to_numpy()
     lt = np.maximum(b[:, None, :2], b[None, :, :2])
     rb = np.minimum(b[:, None, 2:], b[None, :, 2:])
@@ -110,6 +143,32 @@ def test_run_pipeline_overlap_end_to_end(tmp_path):
     inter = wh[..., 0] * wh[..., 1]
     area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     iou = inter / np.maximum(area[:, None] + area[None, :] - inter, 1e-12)
+    assert float(iou.max()) > 0.0  # the metric has teeth (corners sorted)
     same_type = types[:, None] == types[None, :]
     np.fill_diagonal(iou, 0.0)
     assert float(np.where(same_type, iou, 0.0).max()) <= 0.5 + 1e-9
+
+
+def test_nms_cross_tile_dedups_real_geocoded_output():
+    """Regression for the authority-order-swap no-op: run the REAL geocoder
+    on two overlapping tiles seeing the same pixel box, then assert the
+    cross-tile NMS collapses the geocoded duplicates (the _m columns it
+    consumes are corner-swapped by the replicated 3035 quirk)."""
+    from aquaculture_tpu.data.filenames import TileSpec
+    from aquaculture_tpu.post.geocode import geocode_detections
+
+    dl = gf.GeoFrame({"d": [0]}, geometry=[_poly.box(0, 0, 1200, 1200)], crs=3857)
+    # the same physical cage seen from tile offset (0,0) and from the
+    # overlapped tile at offset (512,0): pixel boxes shifted by the offset
+    specs = [
+        TileSpec(year=2014, bbox_ind=0, x_offset=0, y_offset=0),
+        TileSpec(year=2014, bbox_ind=0, x_offset=512, y_offset=0),
+    ]
+    boxes = np.asarray([[600, 100, 700, 200], [600 - 512, 100, 700 - 512, 200]], np.int64)
+    det = geocode_detections(
+        boxes, np.asarray([0.9, 0.8]), np.asarray([0, 0], np.int64), specs, dl
+    )
+    assert len(det) == 2
+    out = nms_cross_tile(det, iou_thresh=0.5)
+    assert len(out) == 1
+    assert float(out["det_conf"].iloc[0]) == pytest.approx(0.9)
