@@ -144,6 +144,61 @@ def test_detect_files_store_parity(tmp_path):
     assert store.get_count == 2
 
 
+def test_gcs_store_contract_via_fake_module(monkeypatch):
+    """GcsBlobStore maps the protocol onto the google-cloud-storage surface
+    the reference uses (utils.py:192-238 list, geocode_results.py:34-66
+    download, download_french_data.py:70-78 upload) — driven through a
+    fake module so the sandbox needs no network/SDK."""
+    import sys
+    import types
+
+    blobs = {}
+
+    class FakeBlob:
+        def __init__(self, name):
+            self.name = name
+
+        def exists(self):
+            return self.name in blobs
+
+        def upload_from_string(self, data):
+            blobs[self.name] = bytes(data)
+
+        def download_as_bytes(self):
+            return blobs[self.name]
+
+    class FakeBucket:
+        def blob(self, key):
+            return FakeBlob(key)
+
+        def list_blobs(self, prefix=""):
+            return [FakeBlob(k) for k in sorted(blobs) if k.startswith(prefix)]
+
+    class FakeClient:
+        def get_bucket(self, name):
+            assert name == "corpus-bucket"
+            return FakeBucket()
+
+    fake_storage = types.SimpleNamespace(Client=FakeClient)
+    fake_gc = types.ModuleType("google.cloud")
+    fake_gc.storage = fake_storage
+    fake_google = types.ModuleType("google")
+    fake_google.cloud = fake_gc
+    monkeypatch.setitem(sys.modules, "google", fake_google)
+    monkeypatch.setitem(sys.modules, "google.cloud", fake_gc)
+
+    from aquaculture_tpu.data.store import GcsBlobStore
+
+    s = GcsBlobStore("corpus-bucket")
+    assert not s.exists("tiles/a.jpeg")
+    s.put("tiles/a.jpeg", b"abc")
+    s.put("tiles/b.jpeg", b"de")
+    s.put("other/c.jpeg", b"f")
+    assert s.exists("tiles/a.jpeg")
+    assert s.get("tiles/b.jpeg") == b"de"
+    assert s.list("tiles/") == ["tiles/a.jpeg", "tiles/b.jpeg"]
+
+
 def test_detect_files_png_corpus_not_silently_dropped(tmp_path):
     """A PNG corpus must route through the Python loader even when the
     native lib is present — the native decoder is JPEG/TIFF-only and its
