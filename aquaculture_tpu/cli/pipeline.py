@@ -40,6 +40,10 @@ def main(argv=None) -> None:
                          "rasters (boundary objects appear whole in a "
                          "neighboring tile; duplicates dedup by meter-space "
                          "IoU). 0 = the reference's hard grid")
+    ap.add_argument("--decode-threads", type=int, default=0,
+                    help="host decode pool for the Python loader: 0 = auto "
+                         "(cores, capped at 8), 1 = sequential (bounds host "
+                         "RAM to one raster in flight)")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.source):
@@ -64,6 +68,7 @@ def main(argv=None) -> None:
     det, stats = run_pipeline(
         paths, model, params, dl, cfg, args.batch, land=land,
         dedup=not args.no_dedup, overlap=args.overlap,
+        decode_threads=args.decode_threads,
     )
     det.to_file(args.out)
     log_info(

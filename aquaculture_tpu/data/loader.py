@@ -55,47 +55,60 @@ def iter_tiles_from_files(
     if decode_threads == 0:
         decode_threads = min(os.cpu_count() or 1, 8)
     if decode_threads > 1 and len(paths) > 1:
-        images = _decode_ahead(paths, decode_threads)
+        images = _window_map(read_image, paths, decode_threads)
     else:
         images = ((read_image(p), p) for p in paths)
     for arr, path in images:
-        base = decode_tile_name(path)
-        if arr.shape[0] <= tile and arr.shape[1] <= tile:
-            yield arr, base
-            continue
-        tiles, offs = split_image(arr, tile, stride=stride)
-        for t, (dx, dy) in zip(tiles, offs):
-            yield t, TileSpec(
-                year=base.year,
-                bbox_ind=base.bbox_ind,
-                x_offset=base.x_offset + dx,
-                y_offset=base.y_offset + dy,
-                layer=base.layer,
-            )
+        yield from _emit_tiles(arr, decode_tile_name(path), tile, stride)
 
 
-def _decode_ahead(paths: Sequence[str], workers: int):
-    """Ordered threaded decode with a bounded in-flight window (2x workers):
-    output order == input order, memory stays O(window)."""
+def _window_map(fn, items: Sequence, workers: int):
+    """Ordered threaded map with a bounded in-flight window (2x workers):
+    yields (fn(item), item) in input order, memory stays O(window).
+
+    The in-flight window holds up to 2x workers results (for 6144px uint8
+    rasters that is ~113 MB each) — pass workers=1 from a memory-constrained
+    caller to get sequential behavior."""
     from concurrent.futures import ThreadPoolExecutor
 
-    paths = list(paths)
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        window = 2 * workers
+    items = list(items)
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        window = max(1, 2 * workers)
         futures = {}
         next_submit = 0
 
         def top_up():
             nonlocal next_submit
-            while next_submit < len(paths) and len(futures) < window:
-                futures[next_submit] = pool.submit(read_image, paths[next_submit])
+            while next_submit < len(items) and len(futures) < window:
+                futures[next_submit] = pool.submit(fn, items[next_submit])
                 next_submit += 1
 
         top_up()
-        for i, path in enumerate(paths):
-            arr = futures.pop(i).result()
+        for i, item in enumerate(items):
+            res = futures.pop(i).result()
             top_up()
-            yield arr, path
+            yield res, item
+
+
+def _emit_tiles(
+    arr: np.ndarray, base: TileSpec, tile: int, stride: int
+) -> Iterator[Tuple[np.ndarray, TileSpec]]:
+    """Split one decoded raster into (tile, spec) pairs: a <=tile-px image is
+    one tile (offsets from its name); larger rasters split into the offset
+    grid with offsets ADDED to the name's base offsets. The single copy of
+    this math keeps file- and store-corpus batches pixel-identical."""
+    if arr.shape[0] <= tile and arr.shape[1] <= tile:
+        yield arr, base
+        return
+    tiles, offs = split_image(arr, tile, stride=stride)
+    for t, (dx, dy) in zip(tiles, offs):
+        yield t, TileSpec(
+            year=base.year,
+            bbox_ind=base.bbox_ind,
+            x_offset=base.x_offset + dx,
+            y_offset=base.y_offset + dy,
+            layer=base.layer,
+        )
 
 
 def batch_tiles(
@@ -162,10 +175,16 @@ def tile_batches(
     tile: int = IM_WIDTH,
     prefetch_depth: int = 2,
     stride: int = 0,
+    decode_threads: int = 0,
 ) -> Iterator[TileBatch]:
     """paths -> prefetched fixed-shape TileBatches (the full input pipeline).
-    stride < tile overlaps tiles of large rasters (overlap serving)."""
-    it = batch_tiles(iter_tiles_from_files(paths, tile, stride=stride), batch_size, tile)
+    stride < tile overlaps tiles of large rasters (overlap serving).
+    decode_threads: 0 = auto (cores capped at 8), 1 = sequential decode
+    (bounds host RAM to one raster at a time)."""
+    it = batch_tiles(
+        iter_tiles_from_files(paths, tile, decode_threads=decode_threads, stride=stride),
+        batch_size, tile,
+    )
     return prefetch(it, prefetch_depth)
 
 
@@ -189,42 +208,14 @@ def iter_tiles_from_store(
     iter_tiles_from_files — same decoder, same offset math — so a store
     corpus and a file corpus produce pixel-identical batches.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from aquaculture_tpu.data.geotiff import read_image_bytes
 
     keys = list(keys)
     if not keys:
         return
-    with ThreadPoolExecutor(max_workers=max(1, fetch_threads)) as pool:
-        window = max(1, 2 * fetch_threads)
-        futures = {}
-        next_submit = 0
-
-        def top_up():
-            nonlocal next_submit
-            while next_submit < len(keys) and len(futures) < window:
-                futures[next_submit] = pool.submit(store.get, keys[next_submit])
-                next_submit += 1
-
-        top_up()
-        for i, key in enumerate(keys):
-            data = futures.pop(i).result()
-            top_up()
-            arr = read_image_bytes(data)
-            base = decode_tile_name(key)
-            if arr.shape[0] <= tile and arr.shape[1] <= tile:
-                yield arr, base
-                continue
-            tiles, offs = split_image(arr, tile, stride=stride)
-            for t, (dx, dy) in zip(tiles, offs):
-                yield t, TileSpec(
-                    year=base.year,
-                    bbox_ind=base.bbox_ind,
-                    x_offset=base.x_offset + dx,
-                    y_offset=base.y_offset + dy,
-                    layer=base.layer,
-                )
+    for data, key in _window_map(store.get, keys, fetch_threads):
+        arr = read_image_bytes(data)
+        yield from _emit_tiles(arr, decode_tile_name(key), tile, stride)
 
 
 def tile_batches_from_store(

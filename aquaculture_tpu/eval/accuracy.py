@@ -83,6 +83,20 @@ def world_map(
     boxes scale by it; a mismatch silently zeroes every IoU match."""
     gts = load_world_ground_truths(lab_dir, tile=tile)
     dets = detections_by_image(paths, model, params, cfg, batch_size)
+    # A detection stem with no GT entry would silently vanish from the
+    # evaluation (its false positives never counted -> inflated precision).
+    # That happens when an image has no labels/*.txt, or when a raster
+    # larger than `tile` px splits into per-subtile stems — both are harness
+    # misconfigurations, so fail loudly instead of scoring garbage.
+    gt_stems = {stem for stem, _, _ in gts}
+    unmatched = sorted(set(dets) - gt_stems)
+    if unmatched:
+        raise ValueError(
+            f"{len(unmatched)} detection stem(s) have no ground-truth label "
+            f"file (first: {unmatched[0]!r}). Every world image needs a "
+            f"labels/<stem>.txt (empty for negatives), and `tile` must match "
+            f"the world's image size so images aren't split into subtiles."
+        )
     d_list, g_list = [], []
     for stem, gb, gk in gts:
         db, dc, dk = dets.get(stem, (np.zeros((0, 4)), np.zeros(0), np.zeros(0, int)))

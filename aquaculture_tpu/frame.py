@@ -345,6 +345,10 @@ def _within(a: _poly.Geometry, b: _poly.Geometry) -> bool:
 # searchsorted window that prunes the narrow majority.
 _WIDE_FACTOR = 16.0
 
+# Cap on candidate pairs materialized per expansion chunk (~8 int64/bool
+# arrays of this length live at once => ~300 MB peak at 4M).
+_PAIR_CHUNK = 4_000_000
+
 
 def _candidate_pairs(ab: np.ndarray, bb: np.ndarray):
     """Bounds-overlap candidate pairs between two (N,4)/(M,4) bounds arrays.
@@ -378,20 +382,38 @@ def _candidate_pairs(ab: np.ndarray, bb: np.ndarray):
         lo = np.searchsorted(bx0, ab[ai, 0] - wmax, side="left")
         hi = np.searchsorted(bx0, ab[ai, 2], side="right")
         counts = np.maximum(hi - lo, 0)
-        total = int(counts.sum())
+        # Chunk the expansion so peak temporaries stay bounded even when the
+        # windows are fat (heavy-tailed widths below the wide cutoff can push
+        # counts.sum() toward N*M; the exact `sel` filter prunes AFTER
+        # materialization, so the cap must come first).
+        cum = np.cumsum(counts)
+        total = int(cum[-1]) if counts.size else 0
         if total:
-            li = np.repeat(ai, counts)
-            offs = np.concatenate([[0], np.cumsum(counts[:-1])])
-            pos = np.arange(total) - np.repeat(offs, counts) + np.repeat(lo, counts)
-            ri = order[pos]
-            sel = (
-                (bb[ri, 2] >= ab[li, 0])
-                & (bb[ri, 0] <= ab[li, 2])
-                & (bb[ri, 1] <= ab[li, 3])
-                & (bb[ri, 3] >= ab[li, 1])
-            )
-            pairs_l.append(li[sel])
-            pairs_r.append(ri[sel])
+            starts = [0]
+            while True:
+                done = cum[starts[-1] - 1] if starts[-1] else 0
+                nxt = int(np.searchsorted(cum, done + _PAIR_CHUNK, side="left")) + 1
+                if nxt >= len(ai):
+                    break
+                starts.append(nxt)
+            starts.append(len(ai))
+            for s, e in zip(starts[:-1], starts[1:]):
+                c = counts[s:e]
+                n = int(c.sum())
+                if not n:
+                    continue
+                li = np.repeat(ai[s:e], c)
+                offs = np.concatenate([[0], np.cumsum(c[:-1])])
+                pos = np.arange(n) - np.repeat(offs, c) + np.repeat(lo[s:e], c)
+                ri = order[pos]
+                sel = (
+                    (bb[ri, 2] >= ab[li, 0])
+                    & (bb[ri, 0] <= ab[li, 2])
+                    & (bb[ri, 1] <= ab[li, 3])
+                    & (bb[ri, 3] >= ab[li, 1])
+                )
+                pairs_l.append(li[sel])
+                pairs_r.append(ri[sel])
 
     if ai.size and wide.any():
         for j in np.where(wide)[0]:

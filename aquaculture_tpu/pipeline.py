@@ -115,8 +115,13 @@ def detect_files(
     infer_fn=None,
     store=None,
     stride: int = 0,
+    decode_threads: int = 0,
 ):
     """Run inference over image files or object-store blobs.
+
+    decode_threads (Python file loader only): 0 = auto thread pool (cores
+    capped at 8; holds up to 2x threads decoded rasters in flight), 1 =
+    sequential decode (bounds host RAM to one raster).
 
     stride: 0 = the reference's hard grid; 0 < stride < tile overlaps
     tiles of large rasters (overlap serving — boundary objects appear
@@ -197,7 +202,10 @@ def detect_files(
     elif use_native:
         batches = native_loader.native_tile_batches(paths, batch_size=batch_size, tile=tile)
     else:
-        batches = tile_batches(paths, batch_size=batch_size, tile=tile, stride=stride)
+        batches = tile_batches(
+            paths, batch_size=batch_size, tile=tile, stride=stride,
+            decode_threads=decode_threads,
+        )
     # Double-buffered: dispatch batch N+1 before harvesting batch N so the
     # device-to-host transfer and python postprocess overlap device compute
     # (jax dispatch is async; device_get is the only sync point).
@@ -236,6 +244,7 @@ def run_pipeline(
     store=None,
     overlap: int = 0,
     overlap_iou: float = 0.5,
+    decode_threads: int = 0,
 ):
     """Full slice: files -> geocoded + area-annotated (ocean) detections.
 
@@ -260,26 +269,25 @@ def run_pipeline(
     stride = tile_px - overlap if overlap else 0
     boxes, conf, cls, specs, stats = detect_files(
         paths, model, params, cfg, batch_size, use_native=use_native, store=store,
-        stride=stride,
+        stride=stride, decode_threads=decode_threads,
     )
     det = geocode_detections(boxes, conf, cls, specs, download_bboxes)
     if len(det):
         # assign BEFORE cross-tile NMS: specs align with geocode's rows,
         # not with the post-NMS survivors
         det["bbox_ind"] = [s.bbox_ind for s in specs]
+    # geocode_detections returns CRS 4326 and every step below preserves it
+    # (nms_cross_tile copies det.crs; deduplicate_gdf_with_bboxes round-trips
+    # through to_crs(src_crs); drop/cage_areas copy the frame)
     if len(det) and overlap:
         det = nms_cross_tile(det, iou_thresh=overlap_iou)
-        det.crs = 4326
     if len(det) and dedup:
         dd = deduplicate_download_boxes(download_bboxes)
         det = deduplicate_gdf_with_bboxes(dd, det)
-        det.crs = 4326
     if len(det) and "bbox_ind" in det.columns:
         det = det.drop(columns=["bbox_ind"])
-        det.crs = 4326
     if len(det):
         det = cage_areas(det)
-        det.crs = 4326
     if land is not None and len(det):
         det = remove_land_detections(det, land)
     return det, stats

@@ -73,3 +73,30 @@ def test_multi_label_not_catastrophic(table):
     below bf16 by more than epsilon (it usually matches or beats it)."""
     d = table["multi_label"].map50 - table["bf16"].map50
     assert d >= -0.05, (table["multi_label"], table["bf16"])
+
+
+def test_world_map_rejects_unmatched_detection_stems(monkeypatch, tmp_path):
+    # A detection stem with no GT label file must raise, not silently
+    # vanish from the evaluation (review r3: unlabeled images or >tile
+    # rasters inflated precision / zeroed mAP with no warning).
+    from aquaculture_tpu.eval import accuracy
+
+    lab = tmp_path / "labels"
+    lab.mkdir()
+    (lab / "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0.txt").write_text(
+        "0 0.5 0.5 0.1 0.1\n"
+    )
+    monkeypatch.setattr(
+        accuracy,
+        "detections_by_image",
+        lambda *a, **k: {
+            "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0": (
+                np.zeros((0, 4)), np.zeros(0), np.zeros(0, int)),
+            "ORTHOIMAGERY.ORTHOPHOTOS2014_1_512_0": (
+                np.zeros((1, 4)), np.ones(1), np.zeros(1, int)),
+        },
+    )
+    with pytest.raises(ValueError, match="no ground-truth"):
+        accuracy.world_map(
+            ["unused"], str(lab), model=None, params=None, cfg=None
+        )

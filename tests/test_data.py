@@ -137,3 +137,25 @@ def test_tile_batches_end_to_end(tmp_path):
     # split tiles carry accumulated offsets
     offs = sorted((s.x_offset, s.y_offset) for s in specs if s.year == 2012)
     assert offs == [(0, 0), (0, 1024), (1024, 0), (1024, 1024)]
+
+
+def test_iter_tiles_decode_threads_order(tmp_path):
+    # Threaded decode-ahead must yield tiles in exactly sequential order
+    # with identical pixels, and decode_threads=1 must opt out of the pool.
+    from PIL import Image
+
+    from aquaculture_tpu.data.loader import iter_tiles_from_files
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(5):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        p = tmp_path / f"ORTHOIMAGERY.ORTHOPHOTOS2014_{i}_0_0.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    seq = list(iter_tiles_from_files(paths, tile=64, decode_threads=1))
+    par = list(iter_tiles_from_files(paths, tile=64, decode_threads=4))
+    assert len(seq) == len(par) == 5
+    for (a, sa), (b, sb) in zip(seq, par):
+        assert sa == sb
+        assert np.array_equal(a, b)

@@ -151,3 +151,24 @@ def test_sjoin_intersects_unchanged_by_new_sweep():
     }
     got = set(zip(joined["i"], joined["j"]))
     assert got == want
+
+
+def test_candidate_pairs_chunked_expansion_identical():
+    # The vectorized window expansion is chunked to bound peak temporaries
+    # (review r3: heavy-tailed widths below the wide cutoff can push the
+    # un-chunked expansion toward N*M pairs). Forcing tiny chunks must not
+    # change the pair set or its (left, insertion) order.
+    from aquaculture_tpu import frame
+
+    rng = np.random.default_rng(7)
+    ab = _rand_bounds(rng, 300, extent=500.0, wmax=60.0)
+    bb = _rand_bounds(rng, 250, extent=500.0, wmax=60.0)
+    ref = frame._candidate_pairs(ab, bb)
+    old = frame._PAIR_CHUNK
+    try:
+        frame._PAIR_CHUNK = 17
+        got = frame._candidate_pairs(ab, bb)
+    finally:
+        frame._PAIR_CHUNK = old
+    assert np.array_equal(ref[0], got[0])
+    assert np.array_equal(ref[1], got[1])
