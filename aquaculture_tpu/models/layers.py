@@ -342,6 +342,36 @@ def stem_weights_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def down_weights_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Exact reparametrization of a k3/s2/p1 conv over C channels into a
+    k2/s1 conv with (1, 0) padding over 4C space-to-depth channels.
+
+    For output pixel i: 2i + u - 1 = 2(i + du) + a with (du, a) =
+    divmod(u - 1, 2) — every original tap lands on exactly one
+    (s2d neighbor, sub-pixel channel) slot, identical sums. Same FLOPs,
+    4x the MXU contraction depth: YOLOv5's early downsample convs have
+    channel counts far below the 128-lane MXU tile (48 in for m's b1), and
+    those large-spatial layers dominate the serving step (BENCHMARKS.md
+    ablation) — this is the stem_weights_to_s2d trick applied to them."""
+    k, _, cin, cout = w.shape
+    assert k == 3, k
+    w = np.asarray(w, np.float32)
+    out = np.zeros((2, 2, 4 * cin, cout), np.float32)
+    for u in range(3):
+        du, a = divmod(u - 1, 2)
+        for v in range(3):
+            dv, b = divmod(v - 1, 2)
+            out[du + 1, dv + 1, (a * 2 + b) * cin : (a * 2 + b + 1) * cin, :] = w[u, v]
+    return jnp.asarray(out)
+
+
+def qs2d(x):
+    """space_to_depth2, QTensor-aware (pure data movement, scale unchanged)."""
+    if isinstance(x, QTensor):
+        return QTensor(space_to_depth2(x.q), x.scale)
+    return space_to_depth2(x)
+
+
 def upsample2x(x):
     """Nearest-neighbor 2x upsample (exact repeat; XLA-friendly)."""
     b, h, w, c = x.shape

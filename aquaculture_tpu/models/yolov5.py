@@ -238,6 +238,16 @@ class YoloV5:
             y, np_[name] = L.c3(t, params[name], shortcut, training)
             return y
 
+        def down(name, t):
+            # Stride-2 downsample conv. After fuse(down_s2d=...) the stored
+            # kernel is k2 — a shape no native YOLOv5 conv has — and the
+            # layer runs as space-to-depth + k2/s1 with (1, 0) padding
+            # (exactly equivalent; layers.down_weights_to_s2d).
+            w = params[name].get("w", params[name].get("wq"))
+            if w is not None and w.shape[0] == 2:
+                return cb(name, L.qs2d(t), 1, [(1, 0), (1, 0)])
+            return cb(name, t, 2)
+
         # Backbone. The stem runs either as the native k6/s2 conv on C=3
         # (training / unfused) or, after fuse(stem_s2d=True), as
         # space-to-depth + an exactly equivalent k3/s1 conv on 12 channels
@@ -247,17 +257,17 @@ class YoloV5:
             y = cb("b0", L.space_to_depth2(x), 1, [(1, 1), (1, 1)])
         else:
             y = cb("b0", x, 2, [(2, 2), (2, 2)])
-        y = cb("b1", y, 2)
+        y = down("b1", y)
         y = c3b("b2", y)
-        y = cb("b3", y, 2)
+        y = down("b3", y)
         p3 = c3b("b4", y)            # stride 8
-        y = cb("b5", p3, 2)
+        y = down("b5", p3)
         p4 = c3b("b6", y)            # stride 16
-        y = cb("b7", p4, 2)
+        y = down("b7", p4)
 
         if self.is_p6:
             p5 = c3b("b8", y)        # stride 32
-            y = cb("b9", p5, 2)
+            y = down("b9", p5)
             y = c3b("b10", y)
             y, np_["b11"] = L.sppf(y, params["b11"], training=training)  # stride 64
             # 4-level PANet
@@ -270,13 +280,13 @@ class YoloV5:
             t20 = cb("n20", y)
             y = L.qcat([L.qup2(t20), p3], axis=-1)
             o3 = c3b("n23", y, shortcut=False)                 # P3 out
-            y = cb("n24", o3, 2)
+            y = down("n24", o3)
             y = L.qcat([y, t20], axis=-1)
             o4 = c3b("n26", y, shortcut=False)                 # P4 out
-            y = cb("n27", o4, 2)
+            y = down("n27", o4)
             y = L.qcat([y, t16], axis=-1)
             o5 = c3b("n29", y, shortcut=False)                 # P5 out
-            y = cb("n30", o5, 2)
+            y = down("n30", o5)
             y = L.qcat([y, t12], axis=-1)
             o6 = c3b("n32", y, shortcut=False)                 # P6 out
             outs = (o3, o4, o5, o6)
@@ -296,10 +306,10 @@ class YoloV5:
             u = L.qup2(t14)
             y = L.qcat([u, p3], axis=-1)
             o3 = c3b("n17", y, shortcut=False)                 # P3 out
-            y = cb("n18", o3, 2)
+            y = down("n18", o3)
             y = L.qcat([y, t14], axis=-1)
             o4 = c3b("n20", y, shortcut=False)                 # P4 out
-            y = cb("n21", o4, 2)
+            y = down("n21", o4)
             y = L.qcat([y, t10], axis=-1)
             o5 = c3b("n23", y, shortcut=False)                 # P5 out
             outs = (o3, o4, o5)
@@ -346,7 +356,8 @@ class YoloV5:
         feats, np_ = self.features(params, x, training)
         return self.decode(feats), np_
 
-    def fuse(self, params: dict, stem_s2d: bool = True) -> dict:
+    def fuse(self, params: dict, stem_s2d: bool = True,
+             down_s2d: Sequence[str] = ()) -> dict:
         """Fold all BN layers into conv weights for inference.
 
         stem_s2d reparametrizes the k6/s2 stem into space-to-depth(2) +
@@ -355,7 +366,13 @@ class YoloV5:
         (lane padding 3 -> 128); the s2d form feeds the MXU 12 channels
         at 1/4 the spatial size. features() dispatches on the stored
         kernel shape. Same trick as ultralytics' old Focus layer, applied
-        as an inference-time weight transform."""
+        as an inference-time weight transform.
+
+        down_s2d names stride-2 downsample convs (e.g. ("b1", "b3")) to
+        rewrite the same way: k3/s2/p1 -> space-to-depth + k2/s1/(1,0)
+        (layers.down_weights_to_s2d, exact). The early downsamples have
+        channel counts far below the 128-lane MXU tile; s2d quadruples
+        their contraction depth at identical FLOPs."""
         fused = {}
         for name, p in params.items():
             if name == "head":
@@ -364,6 +381,10 @@ class YoloV5:
                 fused[name] = L.tree_map_fuse(p)
         if stem_s2d and "w" in fused["b0"] and fused["b0"]["w"].shape[0] == 6:
             fused["b0"] = {**fused["b0"], "w": L.stem_weights_to_s2d(fused["b0"]["w"])}
+        for name in down_s2d:
+            p = fused.get(name)
+            if p is not None and "w" in p and p["w"].shape[0] == 3:
+                fused[name] = {**p, "w": L.down_weights_to_s2d(p["w"])}
         return fused
 
     def num_params(self, params: dict) -> int:

@@ -172,3 +172,26 @@ def test_p6_family_forward_decode_and_train_step():
     # x6: construction only (heaviest variant)
     m6, p6 = yolov5_init("x6", num_classes=5, seed=0)
     assert m6.num_params(p6) > 0
+
+
+def test_down_s2d_reparametrization_exact():
+    """fuse(down_s2d=...) must be EXACTLY the k3/s2/p1 downsample convs:
+    space-to-depth plus a k2/s1/(1,0)-pad conv with rearranged taps
+    computes the same sums (layers.down_weights_to_s2d), on both the P5
+    backbone+neck downsamples and the P6 family's."""
+    import numpy as np
+
+    for variant, size, downs in [
+        ("n", 96, ("b1", "b3", "b5", "b7", "n18", "n21")),
+        ("n6", 128, ("b1", "b3", "b5", "b7", "b9", "n24", "n27", "n30")),
+    ]:
+        model, params = yolov5_init(variant, num_classes=3, seed=4)
+        x = jnp.asarray(
+            np.random.default_rng(1).random((2, size, size, 3), dtype=np.float32)
+        )
+        p_plain, _ = model.apply(model.fuse(params, down_s2d=()), x)
+        p_s2d, _ = model.apply(model.fuse(params, down_s2d=downs), x)
+        np.testing.assert_allclose(
+            np.asarray(p_plain), np.asarray(p_s2d), atol=1e-3,
+            err_msg=variant,
+        )
