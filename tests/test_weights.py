@@ -13,7 +13,7 @@ from aquaculture_tpu.models.weights import (
     load_torch_checkpoint,
     params_from_state_dict,
 )
-from aquaculture_tpu.models.yolov5 import VARIANTS, YoloV5
+from aquaculture_tpu.models.yolov5 import VARIANTS, YoloV5, yolov5_init
 from aquaculture_tpu.utils.checkpoint import load_params, save_params
 
 torch = pytest.importorskip("torch")
@@ -273,3 +273,97 @@ def test_torchfree_prefers_ema_weights(tmp_path):
     np.testing.assert_array_equal(
         via_zip[k], (sd_ema[k]).astype(np.float16).astype(np.float32)
     )
+
+
+# ---------------------------------------------------------------------------
+# Export (models/export.py): params -> ultralytics .pt, torch-free writer
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["n", "n6"])
+def test_export_pt_roundtrips_through_real_torch(tmp_path, variant):
+    """export_ultralytics_pt writes a torch-zip .pt (no torch involved)
+    that real torch.load(weights_only=True) reads bit-exactly, and the
+    state dict maps back to an identical param tree + anchor table."""
+    import jax
+
+    from aquaculture_tpu.models.export import export_ultralytics_pt
+
+    model, params = yolov5_init(variant, num_classes=3, seed=2)
+    pt = str(tmp_path / "export.pt")
+    sd = export_ultralytics_pt(model, params, pt)
+
+    obj = torch.load(pt, map_location="cpu", weights_only=True)
+    assert set(obj) == set(sd)
+    for k, v in sd.items():
+        t = obj[k].numpy()
+        assert t.shape == v.shape
+        np.testing.assert_array_equal(t, v.astype(t.dtype))
+
+    npsd = {k: obj[k].numpy() for k in obj}
+    p2 = params_from_state_dict(model, npsd)
+    f1 = jax.tree_util.tree_leaves(params)
+    f2 = jax.tree_util.tree_leaves(p2)
+    assert len(f1) == len(f2)
+    for a, b in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    anc = anchors_from_state_dict(npsd)
+    want = tuple(tuple(map(tuple, np.asarray(l, np.float32))) for l in model.anchor_table)
+    assert anc == want
+
+
+def test_export_pt_torchfree_reader_and_scalars(tmp_path):
+    """The torch-free reader reads our own export back (float tensors),
+    and 0-d int64 entries survive the writer (ascontiguousarray promotes
+    0-d to 1-d — regression)."""
+    from aquaculture_tpu.models.export import export_ultralytics_pt, write_pt
+
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    pt = str(tmp_path / "e.pt")
+    sd = export_ultralytics_pt(model, params, pt)
+    back = _load_pt_no_torch(pt)
+    for k, v in sd.items():
+        if v.dtype == np.float32:
+            np.testing.assert_array_equal(back[k], v)
+
+    zd = str(tmp_path / "zd.pt")
+    write_pt(zd, {"x": np.asarray(7, np.int64), "y": np.zeros((2, 3), np.float32)})
+    obj = torch.load(zd, map_location="cpu", weights_only=True)
+    assert obj["x"].shape == () and int(obj["x"]) == 7
+    assert obj["y"].shape == (2, 3)
+
+
+def test_export_rejects_s2d_fused_trees(tmp_path):
+    """Reparametrized kernels (stem s2d k3-over-12ch, down_s2d k2) are not
+    ultralytics shapes; export must refuse rather than emit a broken .pt."""
+    from aquaculture_tpu.models.export import state_dict_from_params
+
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    with pytest.raises(ValueError, match="stem_s2d"):
+        state_dict_from_params(model, model.fuse(params))
+    with pytest.raises(ValueError, match="down_s2d"):
+        state_dict_from_params(
+            model, model.fuse(params, stem_s2d=False, down_s2d=("b1",))
+        )
+
+
+def test_export_cli(tmp_path):
+    """aq-export: checkpoint dir -> .pt that load_model serves identically."""
+    import jax.numpy as jnp
+
+    from aquaculture_tpu.cli.detect import load_model
+    from aquaculture_tpu.cli.export import main as export_main
+    from aquaculture_tpu.utils.checkpoint import save_params
+
+    model, params = yolov5_init("n", num_classes=2, seed=5)
+    ck = str(tmp_path / "ckpt")
+    save_params(ck, params)
+    pt = str(tmp_path / "out.pt")
+    export_main(["--ckpt", ck, "--out", pt, "--variant", "n", "--num-classes", "2"])
+
+    m1, p1 = load_model(ck, "n", 2)
+    m2, p2 = load_model(pt, "n", 2)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 96, 96, 3), dtype=np.float32))
+    o1, _ = m1.apply(p1, x)
+    o2, _ = m2.apply(p2, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
