@@ -99,6 +99,13 @@ class TrainConfig:
     scale: float = 0.5
     ema_decay: float = 0.9999
     max_boxes_per_image: int = 120  # fixed-shape label padding
+    # Host feed parallelism: sample creation (decode/mosaic/affine/HSV is
+    # numpy-heavy and mostly GIL-releasing) threads per batch. The measured
+    # aug feed is ~17 img/s/core while the m@640 step consumes 364 img/s
+    # (BENCHMARKS.md host-feed binder) — a full-rate host MUST thread.
+    # 0 = auto (cores capped at 8), 1 = sequential. Batches are identical
+    # for ANY thread count (per-sample deterministic seeding).
+    feed_threads: int = 0
     remat: bool = False             # jax.checkpoint the backbone forward:
                                     # trades recompute for activation memory
                                     # (bigger per-chip batches)

@@ -128,22 +128,49 @@ class DetectionDataset:
         return img.copy(), boxes
 
     def epoch(self, epoch_index: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """One epoch of fixed-shape batches (prefetched)."""
+        """One epoch of fixed-shape batches (prefetched).
+
+        Sample creation threads across ``cfg.feed_threads`` workers (the
+        mosaic/affine/HSV pipeline is numpy-heavy and largely
+        GIL-releasing; the measured single-core aug feed is ~17 img/s vs
+        the 364 img/s the m@640 train step consumes — BENCHMARKS.md).
+        Each sample draws from its own rng seeded by
+        (seed, epoch, step, slot), so the emitted batches are IDENTICAL
+        for any thread count — and for a resumed run."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
-        rng = np.random.default_rng(self.seed + epoch_index)
+        workers = cfg.feed_threads or min(os.cpu_count() or 1, 8)
+
+        def make(step: int, b: int) -> Tuple[np.ndarray, np.ndarray]:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch_index, step, b])
+            )
+            return self._make_sample(rng)
+
+        def assemble(samples) -> Dict[str, np.ndarray]:
+            images = np.zeros((cfg.batch_size, cfg.img_size, cfg.img_size, 3), np.float32)
+            labels = np.zeros((cfg.batch_size, cfg.max_boxes_per_image, 5), np.float32)
+            mask = np.zeros((cfg.batch_size, cfg.max_boxes_per_image), bool)
+            for b, (img, boxes) in enumerate(samples):
+                images[b] = img.astype(np.float32) / 255.0
+                n = min(len(boxes), cfg.max_boxes_per_image)
+                if n:
+                    labels[b, :n] = boxes[:n]
+                    mask[b, :n] = True
+            return {"images": images, "labels": labels, "label_mask": mask}
 
         def gen():
-            for _ in range(self.steps_per_epoch):
-                images = np.zeros((cfg.batch_size, cfg.img_size, cfg.img_size, 3), np.float32)
-                labels = np.zeros((cfg.batch_size, cfg.max_boxes_per_image, 5), np.float32)
-                mask = np.zeros((cfg.batch_size, cfg.max_boxes_per_image), bool)
-                for b in range(cfg.batch_size):
-                    img, boxes = self._make_sample(rng)
-                    images[b] = img.astype(np.float32) / 255.0
-                    n = min(len(boxes), cfg.max_boxes_per_image)
-                    if n:
-                        labels[b, :n] = boxes[:n]
-                        mask[b, :n] = True
-                yield {"images": images, "labels": labels, "label_mask": mask}
+            if workers > 1:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    for step in range(self.steps_per_epoch):
+                        samples = list(
+                            pool.map(make, [step] * cfg.batch_size, range(cfg.batch_size))
+                        )
+                        yield assemble(samples)
+            else:
+                for step in range(self.steps_per_epoch):
+                    yield assemble([make(step, b) for b in range(cfg.batch_size)])
 
         return prefetch(gen(), depth=2)

@@ -81,3 +81,36 @@ def test_load_sample_pixel_boxes(tmp_path):
     assert img.shape == (200, 100, 3)
     # normalized -> pixels of (w=100, h=200)
     assert boxes[0].tolist() == [1.0, 50.0, 100.0, 10.0, 40.0]
+
+
+def test_dataset_feed_threads_deterministic(tmp_path):
+    """Batches must be IDENTICAL for any feed_threads count (per-sample
+    deterministic seeding), so threading the host feed can never change a
+    training run."""
+    from PIL import Image
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)).save(
+            tmp_path / "images" / f"x{i}.jpg"
+        )
+        (tmp_path / "labels" / f"x{i}.txt").write_text("0 0.5 0.5 0.3 0.3\n")
+
+    def run(threads):
+        cfg = TrainConfig(
+            img_size=64, batch_size=3, max_boxes_per_image=8, feed_threads=threads
+        )
+        ds = DetectionDataset(
+            str(tmp_path / "images"), str(tmp_path / "labels"), cfg,
+            augment=True, seed=3,
+        )
+        return list(ds.epoch(0)) + list(ds.epoch(1))
+
+    seq = run(1)
+    par = run(4)
+    assert len(seq) == len(par) > 0
+    for a, b in zip(seq, par):
+        for k in ("images", "labels", "label_mask"):
+            np.testing.assert_array_equal(a[k], b[k])
