@@ -132,8 +132,17 @@ def main() -> None:
     ckpt = os.path.join(args.out, "ckpt")
     save_params(ckpt, state.ema, metadata={"variant": "n", "num_classes": 2})
 
+    # --- export to ultralytics .pt and serve from it (weights interop) ---
+    # Models trained here flow back into the reference ecosystem
+    # (models/export.py, torch-free writer); loading the export must serve
+    # identically to the checkpoint dir.
+    from aquaculture_tpu.cli.export import main as export_main
+
+    pt_path = os.path.join(args.out, "demo_export.pt")
+    export_main(["--ckpt", ckpt, "--out", pt_path, "--variant", "n", "--num-classes", "2"])
+
     # --- detect + geocode + areas (fused pipeline) ---
-    model2, params2 = load_model(ckpt, "n", 2)
+    model2, params2 = load_model(pt_path, "n", 2)
     dl = load_download_bboxes(os.path.join(args.out, "wanted_bboxes.csv"))
     paths = sorted(
         os.path.join(img_dir, f) for f in os.listdir(img_dir) if f.endswith(".jpeg")
