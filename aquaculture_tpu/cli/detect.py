@@ -92,6 +92,9 @@ def main(argv=None) -> None:
     ap.add_argument("--multi-label", action="store_true",
                     help="one detection per (box, class) above conf "
                          "(ultralytics val.py semantics; default argmax class)")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a TensorBoard/perfetto device trace of "
+                         "the serving loop into LOGDIR (utils.profiler)")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.source):
@@ -112,7 +115,15 @@ def main(argv=None) -> None:
         img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou,
         multi_label=args.multi_label, augment=args.augment,
     )
-    boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
+    if args.profile:
+        from aquaculture_tpu.utils.profiler import trace_region
+
+        with trace_region(args.profile):
+            boxes, conf, cls, specs, stats = detect_files(
+                paths, model, params, cfg, args.batch
+            )
+    else:
+        boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
 
     os.makedirs(args.out, exist_ok=True)
     per_image: dict = {}

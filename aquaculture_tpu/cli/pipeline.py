@@ -44,6 +44,9 @@ def main(argv=None) -> None:
                     help="host decode pool for the Python loader: 0 = auto "
                          "(cores, capped at 8), 1 = sequential (bounds host "
                          "RAM to one raster in flight)")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a TensorBoard/perfetto device trace of "
+                         "the pipeline into LOGDIR (utils.profiler)")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.source):
@@ -65,11 +68,20 @@ def main(argv=None) -> None:
     dl = load_download_bboxes(args.download_bboxes)
     land = gf.read_file(args.land) if args.land else None
 
-    det, stats = run_pipeline(
-        paths, model, params, dl, cfg, args.batch, land=land,
-        dedup=not args.no_dedup, overlap=args.overlap,
-        decode_threads=args.decode_threads,
-    )
+    from contextlib import nullcontext
+
+    if args.profile:
+        from aquaculture_tpu.utils.profiler import trace_region
+
+        region = trace_region(args.profile)
+    else:
+        region = nullcontext()
+    with region:
+        det, stats = run_pipeline(
+            paths, model, params, dl, cfg, args.batch, land=land,
+            dedup=not args.no_dedup, overlap=args.overlap,
+            decode_threads=args.decode_threads,
+        )
     det.to_file(args.out)
     log_info(
         "%d tiles -> %d detections at %.1f tiles/s -> %s",
