@@ -47,6 +47,12 @@ def main(argv=None) -> None:
                     help="elastic recovery: per-host progress manifests; a restarted run resumes")
     ap.add_argument("--checkpoint-every", type=int, default=1024,
                     help="tiles between progress checkpoints")
+    ap.add_argument("--overlap", type=int, default=0,
+                    help="overlap serving: tile overlap in px on large "
+                         "rasters; duplicates collapse by meter-space IoU "
+                         "after the global gather (the bulk-sweep "
+                         "recommendation, BENCHMARKS.md P6 study). "
+                         "0 = the reference's hard grid")
     args = ap.parse_args(argv)
 
     host, n_hosts = init_distributed(args.coordinator, args.num_processes, args.process_id)
@@ -83,7 +89,7 @@ def main(argv=None) -> None:
                      conf_threshold=args.conf),
         batch_size=args.batch, out_path=args.out,
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
-        store=store,
+        store=store, overlap=args.overlap,
     )
     log_info("done: %d local tiles at %.1f tiles/s", stats.tiles, stats.tiles_per_second)
 

@@ -226,9 +226,19 @@ def run_pod_pipeline(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1024,
     store=None,
+    overlap: int = 0,
+    overlap_iou: float = 0.5,
 ):
     """Config-5 runner: every host detects over its corpus shard; host 0
     assembles and writes the global detections GeoJSON.
+
+    overlap > 0 enables overlap serving on large rasters (the bulk-sweep
+    production recommendation, BENCHMARKS.md P6 study): tiles step by
+    (tile - overlap) px and the duplicate detections collapse via
+    meter-space cross-tile NMS AFTER the global gather — correct even
+    though overlap duplicates are intra-raster (and rasters never split
+    across hosts: sharding is per file), because the NMS runs on the
+    assembled global table every host holds.
 
     store: a data.store.BlobStore — when given, ``all_paths`` are blob KEYS
     and each host streams its contiguous key shard straight from the store
@@ -253,6 +263,11 @@ def run_pod_pipeline(
     from aquaculture_tpu.post.geocode import geocode_detections
 
     cfg = cfg or DetectConfig()
+    from aquaculture_tpu.config import IM_WIDTH
+
+    if overlap and not 0 < overlap < IM_WIDTH:
+        raise ValueError(f"overlap must be in (0, {IM_WIDTH}); got {overlap}")
+    stride = IM_WIDTH - overlap if overlap else 0
     host, n_hosts = jax.process_index(), jax.process_count()
     shard = shard_corpus(all_paths, n_hosts, host)
     log_info("host %d/%d: %d of %d tiles", host, n_hosts, len(shard), len(all_paths))
@@ -287,7 +302,8 @@ def run_pod_pipeline(
         for i in range(0, len(todo), checkpoint_every):
             chunk = todo[i : i + checkpoint_every]
             b, c, k, specs, st = detect_files(
-                chunk, model, params, cfg, batch_size, infer_fn=infer_fn, store=store
+                chunk, model, params, cfg, batch_size, infer_fn=infer_fn,
+                store=store, stride=stride,
             )
             stats.tiles += st.tiles
             stats.batches += st.batches
@@ -310,7 +326,7 @@ def run_pod_pipeline(
         specs = _rows_to_specs(spec_rows, spec_layers)
     else:
         boxes, conf, cls, specs, stats = detect_files(
-            shard, model, params, cfg, batch_size, store=store
+            shard, model, params, cfg, batch_size, store=store, stride=stride
         )
 
     # Encode specs as ids for the numeric gather, decode after.
@@ -366,6 +382,12 @@ def run_pod_pipeline(
         [global_specs[i] for i in tile_ids],
         download_bboxes,
     )
+    if overlap and len(det):
+        from aquaculture_tpu.post.dedup import nms_cross_tile
+
+        before = len(det)
+        det = nms_cross_tile(det, iou_thresh=overlap_iou)
+        log_info("cross-tile NMS: %d -> %d detections", before, len(det))
     if out_path and host == 0:
         det.to_file(out_path)
         log_info("host 0 wrote %d global detections -> %s", len(det), out_path)

@@ -391,3 +391,53 @@ def test_pod_train_elastic_recovery(tmp_path):
         fp, fpe = parse_fp(so)
         assert np.isclose(fp, ref_fp, rtol=1e-5), (fp, ref_fp)
         assert np.isclose(fpe, ref_fpe, rtol=1e-5), (fpe, ref_fpe)
+
+
+def test_run_pod_pipeline_overlap_matches_run_pipeline(tmp_path):
+    """Pod overlap serving (strided tiles + cross-tile NMS after the global
+    gather) must keep exactly the detections run_pipeline(overlap=...)
+    keeps on the same corpus — single-process equivalence of the
+    bulk-sweep recommendation."""
+    from PIL import Image
+
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.geo import polygon as _poly
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.parallel.pod import run_pod_pipeline
+    from aquaculture_tpu.pipeline import run_pipeline
+
+    rng = np.random.default_rng(3)
+    p = tmp_path / "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0.jpeg"
+    Image.fromarray(rng.integers(0, 255, (2048, 2048, 3), dtype=np.uint8)).save(p)
+    dl = gf.GeoFrame(
+        {"d": [0]}, geometry=[_poly.box(0, 0, 2400, 2400)], crs=3857
+    )
+    model, params = yolov5_init("n", num_classes=5, seed=0)
+    params = model.fuse(params)
+    cfg = DetectConfig(conf_threshold=1e-5)
+
+    pod_det, stats = run_pod_pipeline(
+        [str(p)], model, params, dl, cfg=cfg, batch_size=2, overlap=512
+    )
+    ref_det, _ = run_pipeline(
+        [str(p)], model, params, dl, cfg, batch_size=2,
+        dedup=False, overlap=512,
+    )
+    # run_pipeline additionally appends areas; compare the geocoded columns
+    cols = ["xmin_m", "ymin_m", "xmax_m", "ymax_m", "det_conf", "type", "year"]
+    assert len(pod_det) == len(ref_det) > 0
+    a = pod_det[cols].to_numpy()
+    b = ref_det[cols].to_numpy()
+    assert (a == b).all()
+    # and the strided pass really produced cross-tile duplicates to collapse
+    assert stats.tiles > 4  # 2048px at stride 512 -> 16 subtiles, not 4
+
+
+def test_run_pod_pipeline_rejects_bad_overlap(tmp_path):
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.parallel.pod import run_pod_pipeline
+
+    model, params = yolov5_init("n", num_classes=5, seed=0)
+    with pytest.raises(ValueError, match="overlap"):
+        run_pod_pipeline([], model, params, None, overlap=1024)
