@@ -15,9 +15,16 @@ def main() -> None:
     port = sys.argv[3]
     corpus_dir = sys.argv[4]
     out_path = sys.argv[5]
-    # optional 6th arg: checkpoint dir -> exercises the chunk-manifest
-    # elastic-recovery path under a real multi-process gather
-    checkpoint_dir = sys.argv[6] if len(sys.argv) > 6 else None
+    # optional trailing args: a checkpoint dir (chunk-manifest elastic
+    # recovery under a real multi-process gather) and/or "overlap=N"
+    # (strided tiles + cross-tile NMS after the global gather)
+    checkpoint_dir = None
+    overlap = 0
+    for extra in sys.argv[6:]:
+        if extra.startswith("overlap="):
+            overlap = int(extra[len("overlap="):])
+        else:
+            checkpoint_dir = extra
 
     import jax
 
@@ -66,6 +73,7 @@ def main() -> None:
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=1,
         store=store,
+        overlap=overlap,
     )
     streamed = store.get_count if store is not None else -1
     print(

@@ -441,3 +441,67 @@ def test_run_pod_pipeline_rejects_bad_overlap(tmp_path):
     model, params = yolov5_init("n", num_classes=5, seed=0)
     with pytest.raises(ValueError, match="overlap"):
         run_pod_pipeline([], model, params, None, overlap=1024)
+
+
+def test_run_pod_pipeline_two_processes_overlap(tmp_path):
+    """Overlap serving under a REAL 2-process gather: strided subtile
+    detections from both hosts meet in the global table, cross-tile NMS
+    runs after the gather, and the merged output equals a single-process
+    overlap run on the same corpus."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    from aquaculture_tpu import frame as gf
+
+    rng = np.random.default_rng(9)
+    corpus = tmp_path / "tiles"
+    corpus.mkdir()
+    for i in range(2):
+        p = corpus / f"ORTHOIMAGERY.ORTHOPHOTOS2014_{i}_0_0.jpeg"
+        Image.fromarray(
+            rng.integers(0, 255, (2048, 2048, 3), dtype=np.uint8)
+        ).save(p)
+
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(os.path.dirname(__file__), "pod_worker.py")
+
+    def launch(nproc, out):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(nproc), str(port),
+                 str(corpus), out, "overlap=512"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for pid in range(nproc)
+        ]
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (so, se) in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{so}\n{se[-2000:]}"
+            assert "OK" in so
+
+    ref_path = str(tmp_path / "single.geojson")
+    multi_path = str(tmp_path / "multi.geojson")
+    launch(1, ref_path)
+    launch(2, multi_path)
+
+    ref = gf.read_file(ref_path)
+    got = gf.read_file(multi_path)
+    assert len(got) == len(ref) > 0, (len(got), len(ref))
+
+    def key(frame):
+        rows = []
+        for conf, g in zip(frame["det_conf"], frame["geometry"]):
+            c = g.centroid
+            rows.append((round(float(conf), 6), round(c.x, 9), round(c.y, 9)))
+        return sorted(rows)
+
+    assert key(got) == key(ref)
