@@ -115,14 +115,15 @@ def main(argv=None) -> None:
         img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou,
         multi_label=args.multi_label, augment=args.augment,
     )
+    from contextlib import nullcontext
+
     if args.profile:
         from aquaculture_tpu.utils.profiler import trace_region
 
-        with trace_region(args.profile):
-            boxes, conf, cls, specs, stats = detect_files(
-                paths, model, params, cfg, args.batch
-            )
+        region = trace_region(args.profile)
     else:
+        region = nullcontext()
+    with region:
         boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
 
     os.makedirs(args.out, exist_ok=True)

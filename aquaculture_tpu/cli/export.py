@@ -18,8 +18,11 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", required=True, help="checkpoint directory (cli.train output)")
     ap.add_argument("--out", required=True, help=".pt output path")
-    ap.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
-    ap.add_argument("--num-classes", type=int, default=5)
+    ap.add_argument("--variant", default=None,
+                    choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"],
+                    help="default: the checkpoint's saved metadata, else m")
+    ap.add_argument("--num-classes", type=int, default=None,
+                    help="default: the checkpoint's saved metadata, else 5")
     args = ap.parse_args(argv)
 
     import jax
@@ -27,10 +30,17 @@ def main(argv=None) -> None:
 
     from aquaculture_tpu.models.export import export_ultralytics_pt
     from aquaculture_tpu.models.yolov5 import YoloV5
-    from aquaculture_tpu.utils.checkpoint import load_params
+    from aquaculture_tpu.utils.checkpoint import load_metadata, load_params
     from aquaculture_tpu.utils.logging import log_info
 
-    model = YoloV5(variant=args.variant, num_classes=args.num_classes)
+    # cli.train records variant/num_classes in the checkpoint metadata —
+    # exporting an n6 checkpoint under the wrong default variant would die
+    # on a layer-index mismatch, so the metadata wins over the defaults
+    meta = load_metadata(args.ckpt)
+    variant = args.variant or meta.get("variant", "m")
+    num_classes = args.num_classes or int(meta.get("num_classes", 5))
+
+    model = YoloV5(variant=variant, num_classes=num_classes)
     params = load_params(args.ckpt)
     # .pt stores f32 (half-precision checkpoints upcast losslessly)
     params = jax.tree_util.tree_map(
@@ -43,7 +53,7 @@ def main(argv=None) -> None:
     )
     sd = export_ultralytics_pt(model, params, args.out)
     log_info("exported %d tensors (yolov5%s, %d classes) -> %s",
-             len(sd), args.variant, args.num_classes, args.out)
+             len(sd), variant, num_classes, args.out)
 
 
 if __name__ == "__main__":

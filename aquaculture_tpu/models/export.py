@@ -21,12 +21,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from aquaculture_tpu.models.weights import (
-    _DETECT_INDEX,
-    _DETECT_INDEX_P6,
-    _LAYER_INDEX,
-    _LAYER_INDEX_P6,
-)
+from aquaculture_tpu.models.weights import family_layout
 
 # ---------------------------------------------------------------------------
 # param tree -> ultralytics state dict
@@ -38,6 +33,11 @@ def _oihw(w) -> np.ndarray:
 
 
 def _conv_to_torch(p: dict, prefix: str, sd: Dict[str, np.ndarray]) -> None:
+    if "wq" in p:
+        raise ValueError(
+            f"{prefix}: int8-quantized layer (wq layout) — ultralytics .pt "
+            "stores float weights; export the pre-quantization tree"
+        )
     w = np.asarray(p["w"])
     if w.ndim == 4 and w.shape[0] == 2:
         raise ValueError(
@@ -76,13 +76,17 @@ def state_dict_from_params(
     model.33 (P6). ``anchors`` defaults to the model's anchor table and is
     stored as the Detect ``anchors`` buffer in grid units (the layout
     weights.anchors_from_state_dict reads back)."""
-    if getattr(model, "is_p6", False):
-        layer_index, detect_index, sppf_name = _LAYER_INDEX_P6, _DETECT_INDEX_P6, "b11"
-    else:
-        layer_index, detect_index, sppf_name = _LAYER_INDEX, _DETECT_INDEX, "b9"
+    layer_index, detect_index, sppf_name = family_layout(model)
 
     b0 = params["b0"]
-    w0 = np.asarray(b0.get("w", np.zeros((6, 6, 3, 1))))
+    if "wq" in b0:
+        raise ValueError(
+            "this tree is int8-quantized (wq/wscale layout) — ultralytics "
+            ".pt stores float weights; export the pre-quantization tree"
+        )
+    if "w" not in b0:
+        raise ValueError(f"b0 has no conv weight (keys: {sorted(b0)})")
+    w0 = np.asarray(b0["w"])
     if w0.shape[0] != 6:
         raise ValueError(
             "b0 kernel is not k6 — this tree was fused with stem_s2d; "

@@ -47,6 +47,16 @@ _LAYER_INDEX_P6 = {
 _DETECT_INDEX_P6 = 33
 
 
+def family_layout(model) -> tuple:
+    """(layer_index, detect_index, sppf_name) for a model's family — the
+    single source of the ultralytics layer numbering, shared by import
+    (params_from_state_dict) and export (models/export.py) so the two
+    directions can never disagree."""
+    if getattr(model, "is_p6", False):
+        return _LAYER_INDEX_P6, _DETECT_INDEX_P6, "b11"
+    return _LAYER_INDEX, _DETECT_INDEX, "b9"
+
+
 def _conv_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> dict:
     w = sd[f"{prefix}.conv.weight"]
     out = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
@@ -93,15 +103,14 @@ def params_from_state_dict(model, state_dict: Dict[str, np.ndarray]) -> dict:
         sd[k] = np.asarray(v, dtype=np.float32)
 
     dp = model.depths()
+    layer_index, detect_index, sppf_name = family_layout(model)
     if getattr(model, "is_p6", False):
-        layer_index, detect_index, sppf_name = _LAYER_INDEX_P6, _DETECT_INDEX_P6, "b11"
         c3_depths = {
             "b2": dp["n3"], "b4": dp["n6"], "b6": dp["n9"], "b8": dp["n3"],
             "b10": dp["n3"], "n15": dp["n3"], "n19": dp["n3"], "n23": dp["n3"],
             "n26": dp["n3"], "n29": dp["n3"], "n32": dp["n3"],
         }
     else:
-        layer_index, detect_index, sppf_name = _LAYER_INDEX, _DETECT_INDEX, "b9"
         c3_depths = {
             "b2": dp["n3"], "b4": dp["n6"], "b6": dp["n9"], "b8": dp["n3"],
             "n13": dp["n3"], "n17": dp["n3"], "n20": dp["n3"], "n23": dp["n3"],

@@ -125,15 +125,19 @@ def _rows_to_specs(rows: np.ndarray, layers=None):
     ]
 
 
-def _corpus_fingerprint(all_paths: Sequence[str], n_hosts: int, cfg=None) -> str:
+def _corpus_fingerprint(
+    all_paths: Sequence[str], n_hosts: int, cfg=None, overlap: int = 0
+) -> str:
     """Identity of a resumable run: corpus list + host count + the
-    detection-relevant config. Without cfg in the hash, a resume with a
-    different conf threshold would silently merge detections produced
-    under different settings into one output."""
+    detection-relevant config + the tiling overlap. Without cfg/overlap in
+    the hash, a resume with a different conf threshold or a different
+    --overlap would silently merge detections produced under different
+    settings (mixed hard-grid and strided-grid tiles) into one output."""
     import hashlib
 
     h = hashlib.sha1()
     h.update(f"hosts={n_hosts}\n".encode())
+    h.update(f"overlap={overlap}\n".encode())
     if cfg is not None:
         h.update(repr(cfg).encode())
         h.update(b"\n")
@@ -276,7 +280,7 @@ def run_pod_pipeline(
         from aquaculture_tpu.pipeline import PipelineStats, make_infer_fn
 
         os.makedirs(checkpoint_dir, exist_ok=True)
-        fingerprint = _corpus_fingerprint(all_paths, n_hosts, cfg)
+        fingerprint = _corpus_fingerprint(all_paths, n_hosts, cfg, overlap=overlap)
         done, boxes0, conf0, cls0, spec_rows0, spec_layers0 = _load_progress(
             checkpoint_dir, host, fingerprint
         )

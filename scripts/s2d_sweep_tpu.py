@@ -117,7 +117,9 @@ def main() -> None:
         with open(RESULTS, "a") as f:
             f.write(json.dumps(r) + "\n")
         print(json.dumps(r), flush=True)
-        if "--one" in sys.argv:
+        # one jit program per run by default (CLAUDE.md tunnel time-box);
+        # the JSONL resume makes repeat invocations continue the sweep
+        if "--all" not in sys.argv:
             break
 
 

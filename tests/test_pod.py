@@ -505,3 +505,15 @@ def test_run_pod_pipeline_two_processes_overlap(tmp_path):
         return sorted(rows)
 
     assert key(got) == key(ref)
+
+
+def test_pod_fingerprint_includes_overlap(tmp_path):
+    """A resume under a different --overlap must be refused: mixed-grid
+    detections (and a skipped final cross-tile NMS) would silently merge."""
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.parallel.pod import _corpus_fingerprint
+
+    cfg = DetectConfig()
+    f0 = _corpus_fingerprint(["a", "b"], 2, cfg, overlap=0)
+    f512 = _corpus_fingerprint(["a", "b"], 2, cfg, overlap=512)
+    assert f0 != f512

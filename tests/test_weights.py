@@ -367,3 +367,30 @@ def test_export_cli(tmp_path):
     o1, _ = m1.apply(p1, x)
     o2, _ = m2.apply(p2, x)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+
+def test_export_rejects_quantized_trees():
+    from aquaculture_tpu.models.export import state_dict_from_params
+
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    fused = model.fuse(params, stem_s2d=False)
+    from aquaculture_tpu.models.quantize import quantize_model
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    qp = quantize_model(model, fused, x, skip=())
+    with pytest.raises(ValueError, match="quantized"):
+        state_dict_from_params(model, qp)
+
+
+def test_export_cli_defaults_from_metadata(tmp_path):
+    """aq-export picks variant/num_classes from the checkpoint metadata
+    (cli.train writes them), so a P6 checkpoint exports without flags."""
+    from aquaculture_tpu.cli.export import main as export_main
+
+    model, params = yolov5_init("n6", num_classes=3, seed=1)
+    ck = str(tmp_path / "ck")
+    save_params(ck, params, metadata={"variant": "n6", "num_classes": 3})
+    pt = str(tmp_path / "o.pt")
+    export_main(["--ckpt", ck, "--out", pt])
+    obj = torch.load(pt, map_location="cpu", weights_only=True)
+    assert "model.33.m.3.weight" in obj  # P6 detect index + 4th level
