@@ -10,8 +10,15 @@ opcode in the exact shape torch's unpickler rebuilds tensors from
 Why: the reference ecosystem consumes ``.pt`` weights everywhere
 (reference README.md:52,60,77 — train from yolov5m.pt, serve
 multilabel_farms_exp2.pt). Import already round-trips (models/weights.py);
-export closes the loop so a model trained HERE can flow back into any
+export closes the loop so a model trained HERE can flow back into
 ultralytics tooling. Validated against real torch.load in tests.
+
+Scope note: the file is a STATE-DICT checkpoint (``torch.load`` ->
+``{name: Tensor}``), the layout ``Model.load_state_dict`` and this
+framework's own loader consume. It is NOT the full object-pickled
+``{'model': Model}`` graph ultralytics' ``attempt_load`` rebuilds — that
+pickle embeds ultralytics' own class graph, which only their repo can
+construct faithfully.
 """
 
 from __future__ import annotations
