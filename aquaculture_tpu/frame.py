@@ -135,18 +135,22 @@ class GeoFrame(pd.DataFrame):
         # download boxes) is rectangles, so this skips the exact test.
         l_rect = np.asarray([isinstance(g, _poly.Polygon) and g.is_rectangle for g in lg])
         r_rect = np.asarray([isinstance(g, _poly.Polygon) and g.is_rectangle for g in rg])
+        l_ok = np.asarray([g is not None and not g.is_empty for g in lg])
+        r_ok = np.asarray([g is not None and not g.is_empty for g in rg])
         keep = np.zeros(len(li), dtype=bool)
-        for k in range(len(li)):
-            a, b = lg[li[k]], rg[ri[k]]
-            if a is None or b is None or a.is_empty or b.is_empty:
-                continue
-            if predicate == "intersects":
-                if l_rect[li[k]] and r_rect[ri[k]]:
-                    keep[k] = True
-                else:
-                    keep[k] = _poly.intersects(a, b)
-            else:  # within: approximate as all exterior vertices inside + intersects
-                keep[k] = _within(a, b)
+        valid = l_ok[li] & r_ok[ri] if len(li) else np.zeros(0, bool)
+        if predicate == "intersects":
+            # Rect x rect resolves fully vectorized (bounds overlap IS the
+            # predicate); only mixed/non-rect pairs pay the Python loop —
+            # at pod scale (millions of rectangle detections x boxes) this
+            # loop is empty.
+            both_rect = valid & l_rect[li] & r_rect[ri]
+            keep[both_rect] = True
+            for k in np.where(valid & ~both_rect)[0]:
+                keep[k] = _poly.intersects(lg[li[k]], rg[ri[k]])
+        else:  # within: exact via the boolean engine
+            for k in np.where(valid)[0]:
+                keep[k] = _within(lg[li[k]], rg[ri[k]])
         li, ri = li[keep], ri[keep]
 
         left_idx = self.index.to_numpy()
