@@ -115,15 +115,9 @@ def main(argv=None) -> None:
         img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou,
         multi_label=args.multi_label, augment=args.augment,
     )
-    from contextlib import nullcontext
+    from aquaculture_tpu.utils.profiler import maybe_trace
 
-    if args.profile:
-        from aquaculture_tpu.utils.profiler import trace_region
-
-        region = trace_region(args.profile)
-    else:
-        region = nullcontext()
-    with region:
+    with maybe_trace(args.profile):
         boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
 
     os.makedirs(args.out, exist_ok=True)

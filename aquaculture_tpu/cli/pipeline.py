@@ -68,15 +68,9 @@ def main(argv=None) -> None:
     dl = load_download_bboxes(args.download_bboxes)
     land = gf.read_file(args.land) if args.land else None
 
-    from contextlib import nullcontext
+    from aquaculture_tpu.utils.profiler import maybe_trace
 
-    if args.profile:
-        from aquaculture_tpu.utils.profiler import trace_region
-
-        region = trace_region(args.profile)
-    else:
-        region = nullcontext()
-    with region:
+    with maybe_trace(args.profile):
         det, stats = run_pipeline(
             paths, model, params, dl, cfg, args.batch, land=land,
             dedup=not args.no_dedup, overlap=args.overlap,

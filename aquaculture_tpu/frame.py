@@ -133,10 +133,12 @@ class GeoFrame(pd.DataFrame):
         # overlap (already established by the candidate filter) IS the
         # intersects predicate — most pipeline geometry (detections, tiles,
         # download boxes) is rectangles, so this skips the exact test.
-        l_rect = np.asarray([isinstance(g, _poly.Polygon) and g.is_rectangle for g in lg])
-        r_rect = np.asarray([isinstance(g, _poly.Polygon) and g.is_rectangle for g in rg])
-        l_ok = np.asarray([g is not None and not g.is_empty for g in lg])
-        r_ok = np.asarray([g is not None and not g.is_empty for g in rg])
+        # dtype=bool matters: on an empty frame np.asarray([]) defaults to
+        # float64 and the masked `&` below would raise.
+        l_rect = np.asarray([isinstance(g, _poly.Polygon) and g.is_rectangle for g in lg], bool)
+        r_rect = np.asarray([isinstance(g, _poly.Polygon) and g.is_rectangle for g in rg], bool)
+        l_ok = np.asarray([g is not None and not g.is_empty for g in lg], bool)
+        r_ok = np.asarray([g is not None and not g.is_empty for g in rg], bool)
         keep = np.zeros(len(li), dtype=bool)
         valid = l_ok[li] & r_ok[ri] if len(li) else np.zeros(0, bool)
         if predicate == "intersects":

@@ -381,10 +381,29 @@ class YoloV5:
                 fused[name] = L.tree_map_fuse(p)
         if stem_s2d and "w" in fused["b0"] and fused["b0"]["w"].shape[0] == 6:
             fused["b0"] = {**fused["b0"], "w": L.stem_weights_to_s2d(fused["b0"]["w"])}
+        eligible = (
+            {"b1", "b3", "b5", "b7", "b9", "n24", "n27", "n30"}
+            if self.is_p6
+            else {"b1", "b3", "b5", "b7", "n18", "n21"}
+        )
         for name in down_s2d:
-            p = fused.get(name)
-            if p is not None and "w" in p and p["w"].shape[0] == 3:
-                fused[name] = {**p, "w": L.down_weights_to_s2d(p["w"])}
+            # Fail loudly on a name that can't be rewritten: a typo, a
+            # P5 neck name passed to a P6 model, or a quantized tree
+            # would otherwise make down_s2d a silent no-op and mislabel
+            # any A/B measurement built on it.
+            if name not in eligible:
+                raise ValueError(
+                    f"down_s2d: {name!r} is not a stride-2 downsample conv of "
+                    f"this {'P6' if self.is_p6 else 'P5'} model; eligible: "
+                    f"{sorted(eligible)}"
+                )
+            p = fused[name]
+            if "w" not in p or p["w"].shape[0] != 3:
+                raise ValueError(
+                    f"down_s2d: layer {name!r} has no float k3 kernel "
+                    f"(keys={sorted(p)}); quantized/already-rewritten trees are ineligible"
+                )
+            fused[name] = {**p, "w": L.down_weights_to_s2d(p["w"])}
         return fused
 
     def num_params(self, params: dict) -> int:

@@ -26,6 +26,17 @@ def trace_region(logdir: str, create_perfetto_link: bool = False) -> Iterator[No
         jax.profiler.stop_trace()
 
 
+def maybe_trace(logdir: str | None):
+    """``trace_region(logdir)`` when logdir is set, else a no-op context.
+
+    The one-liner behind every CLI's ``--profile LOGDIR`` flag."""
+    if logdir:
+        return trace_region(logdir)
+    from contextlib import nullcontext
+
+    return nullcontext()
+
+
 @contextmanager
 def annotate(name: str) -> Iterator[None]:
     """Named host span visible in the trace viewer."""

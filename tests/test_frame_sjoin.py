@@ -172,3 +172,18 @@ def test_candidate_pairs_chunked_expansion_identical():
         frame._PAIR_CHUNK = old
     assert np.array_equal(ref[0], got[0])
     assert np.array_equal(ref[1], got[1])
+
+
+def test_sjoin_with_empty_frame():
+    # Regression (review r3c): the vectorized rectangle fast path built its
+    # bool masks via np.asarray([...]) which defaults to float64 on an empty
+    # frame; `valid & l_rect[li]` then raised TypeError. Empty operands must
+    # join to an empty result, both orders and both predicates.
+    L = gf.GeoFrame({"i": [0]}, geometry=[_poly.box(0, 0, 1, 1)], crs=3857)
+    E = gf.GeoFrame({"j": []}, geometry=[], crs=3857)
+    for predicate in ("intersects", "within"):
+        assert len(L.sjoin(E, predicate=predicate)) == 0
+        assert len(E.sjoin(L, predicate=predicate)) == 0
+        assert len(E.sjoin(E, predicate=predicate)) == 0
+    # how="left" keeps the unmatched left rows
+    assert len(L.sjoin(E, how="left")) == 1

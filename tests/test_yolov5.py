@@ -195,3 +195,18 @@ def test_down_s2d_reparametrization_exact():
             np.asarray(p_plain), np.asarray(p_s2d), atol=1e-3,
             err_msg=variant,
         )
+
+
+def test_down_s2d_rejects_ineligible_names():
+    """A typo'd name, a wrong-family neck name, or a quantized tree must
+    raise instead of silently no-opping (review r3c: a silent skip would
+    mislabel any A/B measurement built on the flag)."""
+    import pytest
+
+    model, params = yolov5_init("n", num_classes=3, seed=0)
+    with pytest.raises(ValueError, match="not a stride-2 downsample"):
+        model.fuse(params, down_s2d=("b2",))  # a C3 block, not a downsample
+    with pytest.raises(ValueError, match="not a stride-2 downsample"):
+        model.fuse(params, down_s2d=("n24",))  # P6-only name on a P5 model
+    with pytest.raises(ValueError, match="not a stride-2 downsample"):
+        model.fuse(params, down_s2d=("nope",))
