@@ -1,0 +1,108 @@
+"""Build / inspect / warm AOT serving artifacts (models/aot.py).
+
+The serving program (resize + forward + decode + NMS) exports once to a
+single StableHLO file; serving hosts load it without the model-building
+code and serve any checkpoint of the same variant/precision:
+
+    aq-aot export --weights ckpt/last --variant n --num-classes 2 \
+        --batch 128 --out serving.aqx
+    aq-aot describe --program serving.aqx
+    aq-aot warmup --program serving.aqx --weights ckpt/last   # seed XLA cache
+    aq-detect --aot serving.aqx --weights ckpt/last --source 'tiles/*.jpeg' ...
+
+Detection thresholds and shapes are compile-time constants of the
+artifact — set them at export time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("export", help="export the serving program to a file")
+    ex.add_argument("--weights", default=None, help=".pt or checkpoint directory (shapes/structure source; random init if omitted)")
+    ex.add_argument("--out", required=True, help="output .aqx path")
+    ex.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
+    ex.add_argument("--num-classes", type=int, default=5)
+    ex.add_argument("--batch", type=int, default=32)
+    ex.add_argument("--img", type=int, default=None,
+                    help="inference size (default: 640, or 1280 for *6 variants)")
+    ex.add_argument("--tile", type=int, default=None, help="input tile size (default config.IM_WIDTH)")
+    ex.add_argument("--conf", type=float, default=0.25)
+    ex.add_argument("--iou", type=float, default=0.45)
+    ex.add_argument("--multi-label", action="store_true")
+    ex.add_argument("--augment", action="store_true", help="bake TTA into the program")
+    ex.add_argument("--int8", action="store_true",
+                    help="export the int8 serving program (requires --calib)")
+    ex.add_argument("--calib", default=None,
+                    help="glob of calibration images for --int8")
+    ex.add_argument("--platforms", default=None,
+                    help="comma-separated lowering targets, e.g. 'tpu' or "
+                         "'cpu,tpu' (default: this process's backend)")
+
+    de = sub.add_parser("describe", help="print an artifact's metadata")
+    de.add_argument("--program", required=True)
+
+    wu = sub.add_parser("warmup", help="compile the artifact on this backend "
+                        "(seeds the persistent compilation cache)")
+    wu.add_argument("--program", required=True)
+    wu.add_argument("--weights", required=True)
+
+    args = ap.parse_args(argv)
+
+    from aquaculture_tpu.models import aot
+
+    if args.cmd == "describe":
+        print(json.dumps(aot.read_meta(args.program), indent=2, sort_keys=True))
+        return
+
+    from aquaculture_tpu.cli.detect import load_model
+    from aquaculture_tpu.utils.logging import log_info
+
+    if args.cmd == "warmup":
+        meta = aot.read_meta(args.program)
+        model, params = load_model(
+            args.weights, meta.get("variant") or "m", meta.get("num_classes") or 5
+        )
+        secs = aot.warmup(args.program, params)
+        log_info("compiled %s on this backend in %.1fs (cache seeded)", args.program, secs)
+        return
+
+    # export
+    from aquaculture_tpu.config import DetectConfig
+
+    img = args.img or (1280 if args.variant.endswith("6") else 640)
+    model, params = load_model(args.weights, args.variant, args.num_classes)
+    if args.int8:
+        import glob as _glob
+
+        if not args.calib:
+            raise SystemExit("--int8 export needs --calib (calibration image glob)")
+        from aquaculture_tpu.cli.detect import quantize_for_serving
+
+        paths = sorted(_glob.glob(args.calib))
+        params = quantize_for_serving(model, params, paths, img)
+    cfg = DetectConfig(
+        img_size=img, conf_threshold=args.conf, iou_threshold=args.iou,
+        multi_label=args.multi_label, augment=args.augment,
+    )
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    blob, meta = aot.export_serving(
+        model, params, cfg, batch_size=args.batch, tile=args.tile,
+        platforms=platforms,
+    )
+    aot.save_aot(args.out, blob, meta)
+    log_info(
+        "exported yolov5%s serving program (batch %d, img %d, platforms %s): "
+        "%d bytes -> %s",
+        args.variant, args.batch, img, meta["platforms"], len(blob), args.out,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,10 @@ def main(argv=None) -> None:
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a TensorBoard/perfetto device trace of "
                          "the serving loop into LOGDIR (utils.profiler)")
+    ap.add_argument("--aot", default=None, metavar="PROGRAM.aqx",
+                    help="serve from an AOT artifact (aq-aot export); "
+                         "variant/img/conf/iou/batch come from the artifact "
+                         "and the matching flags are ignored")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.source):
@@ -106,19 +110,43 @@ def main(argv=None) -> None:
     else:
         paths = sorted(glob.glob(args.source)) or [args.source]
 
-    if args.img is None:
-        args.img = 1280 if args.variant.endswith("6") else 640
-    model, params = load_model(args.weights, args.variant, args.num_classes)
-    if args.int8:
-        params = quantize_for_serving(model, params, paths, args.img)
-    cfg = DetectConfig(
-        img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou,
-        multi_label=args.multi_label, augment=args.augment,
-    )
+    infer_fn = None
+    if args.aot:
+        # The artifact IS the serving program: its compile-time constants
+        # (thresholds, shapes, variant) override the matching flags.
+        from aquaculture_tpu.models import aot
+
+        meta = aot.read_meta(args.aot)
+        args.variant = meta.get("variant") or args.variant
+        args.num_classes = meta.get("num_classes") or args.num_classes
+        args.batch = meta["batch_size"]
+        model, params = load_model(args.weights, args.variant, args.num_classes)
+        if args.int8:
+            params = quantize_for_serving(model, params, paths, meta["img_size"])
+        infer_fn, meta = aot.serving_fn(args.aot, params)
+        cfg = DetectConfig(
+            img_size=meta["img_size"], conf_threshold=meta["conf_threshold"],
+            iou_threshold=meta["iou_threshold"],
+            multi_label=meta["multi_label"], augment=meta["augment"],
+        )
+    else:
+        if args.img is None:
+            args.img = 1280 if args.variant.endswith("6") else 640
+        model, params = load_model(args.weights, args.variant, args.num_classes)
+        if args.int8:
+            params = quantize_for_serving(model, params, paths, args.img)
+        cfg = DetectConfig(
+            img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou,
+            multi_label=args.multi_label, augment=args.augment,
+        )
     from aquaculture_tpu.utils.profiler import maybe_trace
 
     with maybe_trace(args.profile):
-        boxes, conf, cls, specs, stats = detect_files(paths, model, params, cfg, args.batch)
+        boxes, conf, cls, specs, stats = detect_files(
+            paths, model, params, cfg, args.batch,
+            tile=meta["tile"] if args.aot else IM_WIDTH,
+            infer_fn=infer_fn,
+        )
 
     os.makedirs(args.out, exist_ok=True)
     per_image: dict = {}

@@ -1,0 +1,191 @@
+"""Ahead-of-time serving artifacts: the jitted detection program as a file.
+
+The reference deploys by shipping Python + torch + the ultralytics tree and
+re-importing all of it on every serving host. A TPU-native framework can do
+better: `jax.export` lowers the FULL serving program (resize + forward +
+decode + NMS + pixel-space mapping — exactly `pipeline.make_infer_fn`'s
+computation) to versioned StableHLO once, and the resulting artifact is a
+single file that any later process can load and call WITHOUT the model
+code, the tracer, or the Python-side config that built it. Weights stay
+runtime arguments, so one artifact serves every checkpoint of its variant.
+
+What the artifact does and does not buy:
+
+* DOES: removes trace+lower from cold start, freezes the serving math
+  against library drift (StableHLO is forward-compatible), and makes the
+  deployable unit (program file + checkpoint dir) auditable and shippable
+  without the framework installed.
+* DOES NOT: skip backend (XLA) compilation — that is the persistent
+  compilation cache's job (`warmup()` below seeds it, and the cache dir
+  can be rsync'd to a fleet alongside the artifact).
+
+Params travel as FLATTENED LEAVES: the artifact's entry point takes
+``(leaves, images)`` and rebuilds the tree from the treedef captured at
+export time. This sidesteps custom-pytree serialization entirely (the
+int8 pipeline's QTensor scales and any future container serialize for
+free) at the cost of a leaf-structure fingerprint check at load time.
+
+File format: ``AQX1`` magic + u32 JSON-header length + JSON metadata +
+the raw `jax.export` blob. One file, no directory layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import struct
+from typing import Any, Callable, Optional, Tuple
+
+_MAGIC = b"AQX1"
+
+
+def _leaf_fingerprint(params) -> dict:
+    """Structure fingerprint used to validate checkpoints against artifacts."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    spec = [(list(a.shape), str(a.dtype)) for a in leaves]
+    h = hashlib.sha256(
+        (str(treedef) + json.dumps(spec)).encode()
+    ).hexdigest()[:16]
+    return {"n_leaves": len(leaves), "spec_sha": h}
+
+
+def export_serving(
+    model,
+    params,
+    cfg=None,
+    batch_size: int = 32,
+    tile: Optional[int] = None,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> Tuple[bytes, dict]:
+    """Export the serving program for (model, cfg) to a StableHLO blob.
+
+    The exported computation is bit-identical to what `detect_files` jits
+    (it is built by the same `pipeline.make_infer_fn`, forced to the
+    single-device form — AOT artifacts target one chip per process, the
+    pod runner's deployment shape). Returns ``(blob, meta)``.
+
+    ``params`` supplies only shapes/dtypes/tree structure; the weights
+    themselves are NOT baked into the artifact.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from aquaculture_tpu.config import IM_WIDTH, DetectConfig
+    from aquaculture_tpu.pipeline import make_infer_fn
+
+    cfg = cfg or DetectConfig()
+    tile = tile or IM_WIDTH
+    # batch_size=1 disables the local-device batch sharding inside
+    # make_infer_fn (gcd(1, n_dev) == 1): the artifact must not embed this
+    # build host's device mesh.
+    infer = make_infer_fn(model, params, cfg, tile=tile, batch_size=1)
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+
+    def infer_flat(leaves, images_u8):
+        p = jax.tree_util.tree_unflatten(treedef, leaves)
+        return infer(p, images_u8)
+
+    leaf_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in leaves]
+    img_spec = jax.ShapeDtypeStruct((batch_size, tile, tile, 3), jnp.uint8)
+    plats = tuple(platforms) if platforms else (jax.default_backend(),)
+    exported = jax.export.export(jax.jit(infer_flat), platforms=list(plats))(
+        leaf_specs, img_spec
+    )
+    meta = {
+        "kind": "aquaculture_tpu.serving",
+        "variant": getattr(model, "variant", None),
+        "num_classes": getattr(model, "num_classes", None),
+        "batch_size": batch_size,
+        "tile": tile,
+        "img_size": cfg.img_size,
+        "conf_threshold": cfg.conf_threshold,
+        "iou_threshold": cfg.iou_threshold,
+        "max_detections": cfg.max_detections,
+        "multi_label": cfg.multi_label,
+        "augment": cfg.augment,
+        "platforms": list(plats),
+        "jax_version": jax.__version__,
+        "params": _leaf_fingerprint(params),
+    }
+    return exported.serialize(), meta
+
+
+def save_aot(path: str, blob: bytes, meta: dict) -> None:
+    """Write a single-file artifact: AQX1 | len(json) | json | blob."""
+    head = json.dumps(meta, sort_keys=True).encode()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(head)))
+        f.write(head)
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def read_meta(path: str) -> dict:
+    with open(path, "rb") as f:
+        if f.read(4) != _MAGIC:
+            raise ValueError(f"{path}: not an aquaculture_tpu AOT artifact")
+        (n,) = struct.unpack("<I", f.read(4))
+        return json.loads(f.read(n))
+
+
+def load_aot(path: str):
+    """Load an artifact -> (jax.export.Exported, meta)."""
+    import jax
+
+    with open(path, "rb") as f:
+        if f.read(4) != _MAGIC:
+            raise ValueError(f"{path}: not an aquaculture_tpu AOT artifact")
+        (n,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(n))
+        blob = f.read()
+    return jax.export.deserialize(bytearray(blob)), meta
+
+
+def serving_fn(path: str, params) -> Tuple[Callable[[Any, Any], Any], dict]:
+    """Artifact + checkpoint -> an `infer_fn` for `detect_files`.
+
+    Validates the checkpoint's leaf structure against the fingerprint the
+    artifact was exported with, then returns ``fn(params, images_u8)``
+    (the params argument is re-flattened per call, so callers can pass
+    updated weights of the same structure).
+    """
+    import jax
+
+    exported, meta = load_aot(path)
+    want, got = meta["params"], _leaf_fingerprint(params)
+    if want != got:
+        raise ValueError(
+            f"{path}: checkpoint tree does not match the artifact "
+            f"(artifact {want}, checkpoint {got}); re-export or load the "
+            f"matching variant/precision"
+        )
+    call = jax.jit(exported.call)
+
+    def fn(p, images_u8):
+        return call(jax.tree_util.tree_leaves(p), images_u8)
+
+    return fn, meta
+
+
+def warmup(path: str, params) -> float:
+    """Compile the artifact's program on this host's backend (seeding the
+    persistent compilation cache if one is configured). Returns seconds."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    fn, meta = serving_fn(path, params)
+    b, t = meta["batch_size"], meta["tile"]
+    x = jnp.asarray(np.zeros((b, t, t, 3), np.uint8))
+    t0 = time.perf_counter()
+    det, valid = fn(params, x)
+    jax.block_until_ready(det)
+    return time.perf_counter() - t0
