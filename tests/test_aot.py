@@ -52,6 +52,40 @@ def test_aot_roundtrip_bitwise_equals_live(nmodel, tmp_path):
     assert aot.warmup(path, params) > 0
 
 
+def test_aot_int8_program_roundtrip(nmodel, tmp_path):
+    """The int8 serving program exports too: QTensor params flatten to
+    plain leaves, so `aq-aot export --int8` artifacts serve bitwise-equal
+    to the live quantized path."""
+    import jax.numpy as jnp
+
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.models import aot
+    from aquaculture_tpu.models.quantize import quantize_model
+    from aquaculture_tpu.pipeline import make_infer_fn
+
+    model, params = nmodel
+    rng = np.random.default_rng(1)
+    calib = jnp.asarray(rng.random((2, 160, 160, 3), np.float32))
+    qparams = quantize_model(model, params, calib)
+
+    cfg = DetectConfig(img_size=160, conf_threshold=1e-5)
+    blob, meta = aot.export_serving(model, qparams, cfg, batch_size=2, tile=256)
+    path = str(tmp_path / "serving_int8.aqx")
+    aot.save_aot(path, blob, meta)
+
+    fn, _ = aot.serving_fn(path, qparams)
+    x = jnp.asarray(rng.integers(0, 255, (2, 256, 256, 3), np.uint8))
+    det_a, val_a = fn(qparams, x)
+    live = make_infer_fn(model, qparams, cfg, tile=256, batch_size=1)
+    det_l, val_l = live(qparams, x)
+    assert (np.asarray(det_a) == np.asarray(det_l)).all()
+    assert (np.asarray(val_a) == np.asarray(val_l)).all()
+
+    # a bf16 checkpoint must NOT load into the int8 artifact
+    with pytest.raises(ValueError, match="does not match the artifact"):
+        aot.serving_fn(path, params)
+
+
 def test_aot_checkpoint_structure_mismatch_raises(nmodel, tmp_path):
     from aquaculture_tpu.config import DetectConfig
     from aquaculture_tpu.models import aot
