@@ -52,6 +52,11 @@ def main(argv=None) -> None:
                         "(seeds the persistent compilation cache)")
     wu.add_argument("--program", required=True)
     wu.add_argument("--weights", required=True)
+    wu.add_argument("--int8", action="store_true",
+                    help="quantize the checkpoint first (int8 artifacts "
+                         "expect QTensor-structured params; needs --calib)")
+    wu.add_argument("--calib", default=None,
+                    help="glob of calibration images for --int8")
 
     args = ap.parse_args(argv)
 
@@ -69,7 +74,23 @@ def main(argv=None) -> None:
         model, params = load_model(
             args.weights, meta.get("variant") or "m", meta.get("num_classes") or 5
         )
-        secs = aot.warmup(args.program, params)
+        if meta.get("quantized") and not args.int8:
+            raise SystemExit(
+                f"{args.program} is an int8 artifact: pass --int8 --calib "
+                f"'imgs/*.jpeg' so the checkpoint is quantized to the "
+                f"structure it expects"
+            )
+        if args.int8:
+            import glob as _glob
+
+            from aquaculture_tpu.cli.detect import quantize_for_serving
+
+            if not args.calib:
+                raise SystemExit("--int8 warmup needs --calib (calibration image glob)")
+            params = quantize_for_serving(
+                model, params, sorted(_glob.glob(args.calib)), meta["img_size"]
+            )
+        secs = aot.warmup(args.program, params, anchors=model.anchor_table)
         log_info("compiled %s on this backend in %.1fs (cache seeded)", args.program, secs)
         return
 
@@ -91,7 +112,11 @@ def main(argv=None) -> None:
         img_size=img, conf_threshold=args.conf, iou_threshold=args.iou,
         multi_label=args.multi_label, augment=args.augment,
     )
-    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    platforms = (
+        tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+        if args.platforms
+        else None
+    )
     blob, meta = aot.export_serving(
         model, params, cfg, batch_size=args.batch, tile=args.tile,
         platforms=platforms,

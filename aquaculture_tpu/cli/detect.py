@@ -110,41 +110,57 @@ def main(argv=None) -> None:
     else:
         paths = sorted(glob.glob(args.source)) or [args.source]
 
-    infer_fn = None
+    infer_fn, exported, meta = None, None, None
     if args.aot:
         # The artifact IS the serving program: its compile-time constants
         # (thresholds, shapes, variant) override the matching flags.
         from aquaculture_tpu.models import aot
 
-        meta = aot.read_meta(args.aot)
+        exported, meta = aot.load_aot(args.aot)
         args.variant = meta.get("variant") or args.variant
         args.num_classes = meta.get("num_classes") or args.num_classes
         args.batch = meta["batch_size"]
-        model, params = load_model(args.weights, args.variant, args.num_classes)
-        if args.int8:
-            params = quantize_for_serving(model, params, paths, meta["img_size"])
-        infer_fn, meta = aot.serving_fn(args.aot, params)
+        img_size = meta["img_size"]
+        if meta.get("quantized") and not args.int8:
+            raise SystemExit(
+                f"{args.aot} is an int8 artifact: pass --int8 so the "
+                f"checkpoint is quantized to the structure it expects"
+            )
+    else:
+        img_size = args.img if args.img is not None else (
+            1280 if args.variant.endswith("6") else 640
+        )
+        args.img = img_size
+
+    model, params = load_model(args.weights, args.variant, args.num_classes)
+    if args.int8:
+        params = quantize_for_serving(model, params, paths, img_size)
+
+    if args.aot:
+        infer_fn = aot.serving_fn_loaded(
+            exported, meta, params, anchors=model.anchor_table, label=args.aot
+        )
         cfg = DetectConfig(
-            img_size=meta["img_size"], conf_threshold=meta["conf_threshold"],
+            img_size=img_size, conf_threshold=meta["conf_threshold"],
             iou_threshold=meta["iou_threshold"],
             multi_label=meta["multi_label"], augment=meta["augment"],
         )
     else:
-        if args.img is None:
-            args.img = 1280 if args.variant.endswith("6") else 640
-        model, params = load_model(args.weights, args.variant, args.num_classes)
-        if args.int8:
-            params = quantize_for_serving(model, params, paths, args.img)
         cfg = DetectConfig(
-            img_size=args.img, conf_threshold=args.conf, iou_threshold=args.iou,
+            img_size=img_size, conf_threshold=args.conf, iou_threshold=args.iou,
             multi_label=args.multi_label, augment=args.augment,
         )
+    # .txt rows are normalized to the TILE the boxes live in
+    # (reference contract: geocode_results.py:89-99 maps normalized
+    # coords through the tile's pixel size)
+    tile_w = meta["tile"] if args.aot else IM_WIDTH
+    tile_h = meta["tile"] if args.aot else IM_HEIGHT
     from aquaculture_tpu.utils.profiler import maybe_trace
 
     with maybe_trace(args.profile):
         boxes, conf, cls, specs, stats = detect_files(
             paths, model, params, cfg, args.batch,
-            tile=meta["tile"] if args.aot else IM_WIDTH,
+            tile=tile_w,
             infer_fn=infer_fn,
         )
 
@@ -155,10 +171,10 @@ def main(argv=None) -> None:
     for spec, rows in per_image.items():
         lines = []
         for k, b, c in rows:
-            cx = (b[0] + b[2]) / 2 / IM_WIDTH
-            cy = (b[1] + b[3]) / 2 / IM_HEIGHT
-            w = (b[2] - b[0]) / IM_WIDTH
-            h = (b[3] - b[1]) / IM_HEIGHT
+            cx = (b[0] + b[2]) / 2 / tile_w
+            cy = (b[1] + b[3]) / 2 / tile_h
+            w = (b[2] - b[0]) / tile_w
+            h = (b[3] - b[1]) / tile_h
             lines.append(f"{int(k)} {cx:.6f} {cy:.6f} {w:.6f} {h:.6f} {c:.6f}")
         name = encode_tile_name(spec, extension="txt")
         with open(os.path.join(args.out, name), "w") as f:

@@ -64,6 +64,9 @@ class DetectConfig:
                                     # lr-flip passes merged before NMS
     class_agnostic: bool = False
     dtype: str = "bfloat16"
+    nms_backend: str = "auto"       # ops/nms.batched_nms backend; 'auto:tpu'
+                                    # etc. pin the choice to a TARGET
+                                    # platform for cross-platform jax.export
 
 
 @dataclasses.dataclass(frozen=True)

@@ -68,8 +68,13 @@ def export_serving(
     pod runner's deployment shape). Returns ``(blob, meta)``.
 
     ``params`` supplies only shapes/dtypes/tree structure; the weights
-    themselves are NOT baked into the artifact.
+    themselves are NOT baked into the artifact. The model's ANCHOR TABLE
+    is a baked compile-time constant — it is recorded in meta and
+    re-checked at serve time (serving_fn), because a checkpoint trained
+    with different anchors would otherwise silently decode garbage.
     """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -78,6 +83,20 @@ def export_serving(
 
     cfg = cfg or DetectConfig()
     tile = tile or IM_WIDTH
+    plats = tuple(platforms) if platforms else (jax.default_backend(),)
+    # the tunneled single-chip backend registers as "axon" but lowers as tpu
+    plats = tuple("tpu" if p == "axon" else p for p in plats)
+    # The NMS backend is a trace-time choice: resolve it for the TARGET
+    # platform(s), never this build host's devices. A multi-platform
+    # artifact must take the portable XLA path (the Pallas kernel only
+    # lowers for TPU).
+    if cfg.nms_backend == "auto":
+        want = (
+            f"auto:{plats[0]}"
+            if len(plats) == 1
+            else ("auto:tpu" if all(p in ("tpu", "axon") for p in plats) else "xla")
+        )
+        cfg = dataclasses.replace(cfg, nms_backend=want)
     # batch_size=1 disables the local-device batch sharding inside
     # make_infer_fn (gcd(1, n_dev) == 1): the artifact must not embed this
     # build host's device mesh.
@@ -91,7 +110,6 @@ def export_serving(
 
     leaf_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in leaves]
     img_spec = jax.ShapeDtypeStruct((batch_size, tile, tile, 3), jnp.uint8)
-    plats = tuple(platforms) if platforms else (jax.default_backend(),)
     exported = jax.export.export(jax.jit(infer_flat), platforms=list(plats))(
         leaf_specs, img_spec
     )
@@ -107,6 +125,12 @@ def export_serving(
         "max_detections": cfg.max_detections,
         "multi_label": cfg.multi_label,
         "augment": cfg.augment,
+        "nms_backend": cfg.nms_backend,
+        "anchors": [
+            [[float(w), float(h)] for (w, h) in level]
+            for level in getattr(model, "anchor_table", ())
+        ],
+        "quantized": any(str(a.dtype) == "int8" for a in leaves),
         "platforms": list(plats),
         "jax_version": jax.__version__,
         "params": _leaf_fingerprint(params),
@@ -126,12 +150,25 @@ def save_aot(path: str, blob: bytes, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+def _read_header(f, path: str) -> dict:
+    if f.read(4) != _MAGIC:
+        raise ValueError(f"{path}: not an aquaculture_tpu AOT artifact")
+    raw = f.read(4)
+    if len(raw) != 4:
+        raise ValueError(f"{path}: truncated AOT artifact header")
+    (n,) = struct.unpack("<I", raw)
+    head = f.read(n)
+    if len(head) != n:
+        raise ValueError(f"{path}: truncated AOT artifact header")
+    try:
+        return json.loads(head)
+    except ValueError:
+        raise ValueError(f"{path}: corrupt AOT artifact metadata") from None
+
+
 def read_meta(path: str) -> dict:
     with open(path, "rb") as f:
-        if f.read(4) != _MAGIC:
-            raise ValueError(f"{path}: not an aquaculture_tpu AOT artifact")
-        (n,) = struct.unpack("<I", f.read(4))
-        return json.loads(f.read(n))
+        return _read_header(f, path)
 
 
 def load_aot(path: str):
@@ -139,41 +176,61 @@ def load_aot(path: str):
     import jax
 
     with open(path, "rb") as f:
-        if f.read(4) != _MAGIC:
-            raise ValueError(f"{path}: not an aquaculture_tpu AOT artifact")
-        (n,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(n))
+        meta = _read_header(f, path)
         blob = f.read()
     return jax.export.deserialize(bytearray(blob)), meta
 
 
-def serving_fn(path: str, params) -> Tuple[Callable[[Any, Any], Any], dict]:
-    """Artifact + checkpoint -> an `infer_fn` for `detect_files`.
+def serving_fn_loaded(
+    exported, meta: dict, params, anchors=None, label: str = "artifact"
+) -> Callable[[Any, Any], Any]:
+    """Already-loaded artifact + checkpoint -> an `infer_fn`.
 
     Validates the checkpoint's leaf structure against the fingerprint the
-    artifact was exported with, then returns ``fn(params, images_u8)``
-    (the params argument is re-flattened per call, so callers can pass
-    updated weights of the same structure).
+    artifact was exported with — and, when ``anchors`` (the serving
+    model's anchor table) is given, that it matches the table BAKED into
+    the exported decode: anchors are compile-time constants, and a
+    checkpoint whose training evolved different anchors would silently
+    decode every box wrong. Returns ``fn(params, images_u8)`` (params are
+    re-flattened per call, so callers can pass updated weights of the
+    same structure).
     """
     import jax
+    import numpy as np
 
-    exported, meta = load_aot(path)
     want, got = meta["params"], _leaf_fingerprint(params)
     if want != got:
         raise ValueError(
-            f"{path}: checkpoint tree does not match the artifact "
+            f"{label}: checkpoint tree does not match the artifact "
             f"(artifact {want}, checkpoint {got}); re-export or load the "
             f"matching variant/precision"
         )
+    baked = meta.get("anchors")
+    if anchors is not None and baked:
+        ours = [[[float(w), float(h)] for (w, h) in lvl] for lvl in anchors]
+        if len(ours) != len(baked) or not all(
+            np.allclose(a, b) for a, b in zip(ours, baked)
+        ):
+            raise ValueError(
+                f"{label}: anchor table mismatch — the artifact bakes "
+                f"{baked} but the checkpoint's model uses {ours}; "
+                f"re-export the artifact from this checkpoint"
+            )
     call = jax.jit(exported.call)
 
     def fn(p, images_u8):
         return call(jax.tree_util.tree_leaves(p), images_u8)
 
-    return fn, meta
+    return fn
 
 
-def warmup(path: str, params) -> float:
+def serving_fn(path: str, params, anchors=None) -> Tuple[Callable[[Any, Any], Any], dict]:
+    """Artifact file + checkpoint -> (`infer_fn` for `detect_files`, meta)."""
+    exported, meta = load_aot(path)
+    return serving_fn_loaded(exported, meta, params, anchors=anchors, label=path), meta
+
+
+def warmup(path: str, params, anchors=None) -> float:
     """Compile the artifact's program on this host's backend (seeding the
     persistent compilation cache if one is configured). Returns seconds."""
     import time
@@ -182,7 +239,7 @@ def warmup(path: str, params) -> float:
     import jax.numpy as jnp
     import numpy as np
 
-    fn, meta = serving_fn(path, params)
+    fn, meta = serving_fn(path, params, anchors=anchors)
     b, t = meta["batch_size"], meta["tile"]
     x = jnp.asarray(np.zeros((b, t, t, 3), np.uint8))
     t0 = time.perf_counter()

@@ -185,13 +185,14 @@ def _compact(boxes, cls_top, top_scores, keep, max_det):
     return det, out_scores > 0
 
 
-def _pallas_supported(k: int) -> bool:
-    try:
-        import jax as _jax
+def _pallas_supported(k: int, plat: str | None = None) -> bool:
+    if plat is None:
+        try:
+            import jax as _jax
 
-        plat = _jax.devices()[0].platform
-    except Exception:
-        return False
+            plat = _jax.devices()[0].platform
+        except Exception:
+            return False
     return plat in ("tpu", "axon") and k % 128 == 0
 
 
@@ -210,14 +211,20 @@ def batched_nms(
 
     backend: 'auto' uses the Pallas suppression kernel on TPU (batch-
     amortized, faster than the XLA scan at K=1024); 'xla' forces the
-    vmapped fori-loop path; 'pallas' forces the kernel.
+    vmapped fori-loop path; 'pallas' forces the kernel. 'auto:PLATFORM'
+    resolves the auto choice for a TARGET platform instead of probing
+    this process's devices — cross-platform lowering (jax.export with
+    platforms=) must not bake the build host's kernel choice.
     multi_label: one candidate per (box, class) above conf_thresh
     (ultralytics val.py semantics) instead of argmax-class.
     approx_topk: TPU-native approximate candidate selection (see
     _select_topk) — measured A/B before use; off by default.
     """
     k = min(pre_topk, preds.shape[1] if not multi_label else preds.shape[1] * (preds.shape[2] - 5))
-    use_pallas = backend == "pallas" or (backend == "auto" and _pallas_supported(k))
+    if backend.startswith("auto:"):
+        use_pallas = _pallas_supported(k, backend.split(":", 1)[1])
+    else:
+        use_pallas = backend == "pallas" or (backend == "auto" and _pallas_supported(k))
 
     prep = jax.vmap(
         lambda p: _prepare_candidates(p, conf_thresh, k, class_agnostic, multi_label,

@@ -95,6 +95,7 @@ def make_infer_fn(
             pre_topk=cfg.pre_nms_topk,
             class_agnostic=cfg.class_agnostic,
             multi_label=cfg.multi_label,
+            backend=cfg.nms_backend,
         )
         # letterboxed 640-space -> tile pixel space (square tiles: pure gain)
         boxes = det[:, :, :4] / gain

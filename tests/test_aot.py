@@ -70,6 +70,7 @@ def test_aot_int8_program_roundtrip(nmodel, tmp_path):
 
     cfg = DetectConfig(img_size=160, conf_threshold=1e-5)
     blob, meta = aot.export_serving(model, qparams, cfg, batch_size=2, tile=256)
+    assert meta["quantized"] is True  # detect.py/warmup use this to demand --int8
     path = str(tmp_path / "serving_int8.aqx")
     aot.save_aot(path, blob, meta)
 
@@ -108,6 +109,69 @@ def test_aot_checkpoint_structure_mismatch_raises(nmodel, tmp_path):
         f.write(b"nope")
     with pytest.raises(ValueError, match="not an aquaculture_tpu AOT artifact"):
         aot.read_meta(bad)
+
+    # truncated file (magic only) and corrupt metadata must raise
+    # ValueError, not struct.error / JSONDecodeError
+    trunc = str(tmp_path / "trunc.aqx")
+    with open(trunc, "wb") as f:
+        f.write(b"AQX1")
+    with pytest.raises(ValueError, match="truncated"):
+        aot.read_meta(trunc)
+    corrupt = str(tmp_path / "corrupt.aqx")
+    with open(corrupt, "wb") as f:
+        f.write(b"AQX1" + (7).to_bytes(4, "little") + b"not-js{")
+    with pytest.raises(ValueError, match="corrupt"):
+        aot.read_meta(corrupt)
+
+
+def test_aot_anchor_mismatch_raises(nmodel, tmp_path):
+    """Anchors are baked compile-time constants of the decode: serving a
+    checkpoint whose model evolved a different anchor table must fail
+    loudly, not silently mis-decode every box."""
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.models import aot
+    from aquaculture_tpu.models.yolov5 import DEFAULT_ANCHORS, YoloV5
+
+    model, params = nmodel
+    blob, meta = aot.export_serving(
+        model, params, DetectConfig(img_size=160), batch_size=2, tile=256
+    )
+    assert meta["anchors"]  # recorded
+    path = str(tmp_path / "serving.aqx")
+    aot.save_aot(path, blob, meta)
+
+    # same leaf structure, different anchors: fingerprint passes, anchor
+    # check must catch it
+    evolved = tuple(
+        tuple((w * 1.5, h * 0.75) for (w, h) in lvl) for lvl in DEFAULT_ANCHORS
+    )
+    other = YoloV5(variant="n", num_classes=2, anchors=evolved)
+    with pytest.raises(ValueError, match="anchor table mismatch"):
+        aot.serving_fn(path, params, anchors=other.anchor_table)
+
+    # matching anchors pass
+    fn, _ = aot.serving_fn(path, params, anchors=model.anchor_table)
+    assert fn is not None
+
+
+def test_aot_cross_platform_backend_choice(nmodel, tmp_path):
+    """The NMS backend is resolved for the TARGET platform, not this build
+    host: a tpu-target export bakes the Pallas kernel even from a CPU
+    host, and a multi-platform export takes the portable XLA path."""
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.models import aot
+
+    model, params = nmodel
+    cfg = DetectConfig(img_size=160)
+    _, meta_tpu = aot.export_serving(
+        model, params, cfg, batch_size=2, tile=256, platforms=("tpu",)
+    )
+    assert meta_tpu["nms_backend"] == "auto:tpu"
+    assert meta_tpu["platforms"] == ["tpu"]
+    _, meta_multi = aot.export_serving(
+        model, params, cfg, batch_size=2, tile=256, platforms=("cpu", "tpu")
+    )
+    assert meta_multi["nms_backend"] == "xla"
 
 
 def test_cli_detect_serves_from_artifact(tmp_path, monkeypatch):
