@@ -99,7 +99,7 @@ class GeoFrame(pd.DataFrame):
             out.crs = src
             return out
         fn = lambda x, y: _crs.transform(src, dst, x, y)
-        new_geoms = [g.transform(fn) if g is not None and not g.is_empty else g for g in self["geometry"]]
+        new_geoms = _batch_transform(list(self["geometry"]), fn)
         if inplace:
             self["geometry"] = new_geoms
             self.crs = dst
@@ -441,6 +441,72 @@ def _candidate_pairs(ab: np.ndarray, bb: np.ndarray):
     # row, keeping narrow-before-wide right order within a left row stable
     order = np.argsort(li, kind="stable")
     return li[order], ri[order]
+
+
+def _batch_transform(geoms: list, fn) -> list:
+    """Transform a geometry list, batching hole-free Polygons and Points
+    through ONE vectorized ``fn`` call each.
+
+    ``GeoFrame.to_crs`` used to call ``g.transform(fn)`` per row; profiling
+    the postprocessing budget (scripts/post_bench.py) showed that loop —
+    per-geometry transform calls plus ``Polygon.__init__`` re-validation —
+    taking 20 of 28 s at a 50k-detection corpus. The batch path transforms
+    all exterior rings in one call and re-validates orientation with a
+    vectorized cyclic shoelace (``np.add.reduceat`` over concatenated
+    rings), falling back to the exact per-geometry path for holes,
+    multi-geometries, empties, and rings that degenerate under ``fn``.
+    """
+    out = list(geoms)
+    poly_idx = [
+        i
+        for i, g in enumerate(geoms)
+        if type(g) is _poly.Polygon and not g.holes and len(g.exterior) >= 3
+    ]
+    done = set()
+    if len(poly_idx) >= 16:
+        lens = np.fromiter((len(geoms[i].exterior) for i in poly_idx), np.int64, len(poly_idx))
+        coords = np.concatenate([geoms[i].exterior for i in poly_idx])
+        tx, ty = fn(coords[:, 0], coords[:, 1])
+        pts = np.stack(
+            [np.asarray(tx, np.float64), np.asarray(ty, np.float64)], axis=1
+        )
+        offs = np.zeros(len(poly_idx), np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        x, y = pts[:, 0], pts[:, 1]
+        mx = np.repeat(np.add.reduceat(x, offs) / lens, lens)
+        my = np.repeat(np.add.reduceat(y, offs) / lens, lens)
+        xc, yc = x - mx, y - my
+        nxt = np.arange(1, len(x) + 1)
+        nxt[offs + lens - 1] = offs
+        cross = xc * yc[nxt] - xc[nxt] * yc
+        areas = 0.5 * np.add.reduceat(cross, offs)
+        # fn collapsing a ring's first/last vertex would need __init__'s
+        # duplicate strip — detect vectorized, handle via full validation
+        dup = (pts[offs] == pts[offs + lens - 1]).all(axis=1)
+        for k, i in enumerate(poly_idx):
+            ring = pts[offs[k]: offs[k] + lens[k]]
+            if dup[k]:
+                out[i] = _poly.Polygon(ring)
+            elif areas[k] < 0:
+                out[i] = _poly._polygon_from_ccw(ring[::-1].copy())
+            else:
+                out[i] = _poly._polygon_from_ccw(ring)
+        done.update(poly_idx)
+    pt_idx = [i for i, g in enumerate(geoms) if type(g) is _poly.Point]
+    if len(pt_idx) >= 16:
+        px = np.fromiter((geoms[i].x for i in pt_idx), np.float64, len(pt_idx))
+        py = np.fromiter((geoms[i].y for i in pt_idx), np.float64, len(pt_idx))
+        tx, ty = fn(px, py)
+        tx = np.asarray(tx, np.float64)
+        ty = np.asarray(ty, np.float64)
+        for k, i in enumerate(pt_idx):
+            out[i] = _poly.Point(tx[k], ty[k])
+        done.update(pt_idx)
+    for i, g in enumerate(geoms):
+        if i in done:
+            continue
+        out[i] = g.transform(fn) if g is not None and not g.is_empty else g
+    return out
 
 
 def _parse_crs(crs) -> int:

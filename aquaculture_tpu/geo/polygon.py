@@ -215,13 +215,29 @@ def _ring_area(ring: np.ndarray) -> float:
     cross products lose ~13 digits to cancellation."""
     x = ring[:, 0] - ring[:, 0].mean()
     y = ring[:, 1] - ring[:, 1].mean()
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    # slice-based cyclic shoelace (np.roll allocates two copies per call and
+    # dominated Polygon.__init__ in profiles — post_bench round 3e)
+    s = float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+    s += float(x[-1] * y[0] - x[0] * y[-1])
+    return 0.5 * s
 
 
 def _close_ring(ring: np.ndarray) -> np.ndarray:
     if not np.array_equal(ring[0], ring[-1]):
         return np.vstack([ring, ring[:1]])
     return ring
+
+
+def _polygon_from_ccw(ext: np.ndarray) -> "Polygon":
+    """Trusted fast constructor: ``ext`` must be an open, CCW, hole-free
+    exterior ring with >= 3 distinct vertices (used by the vectorized
+    GeoFrame.to_crs batch path, which validates orientation itself)."""
+    p = Polygon.__new__(Polygon)
+    p.exterior = ext
+    p.holes = []
+    p._bounds = None
+    p._area = None
+    return p
 
 
 class Polygon(Geometry):

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import numpy as np
+
 from aquaculture_tpu import frame as gf
 from aquaculture_tpu.geo.region import Region, from_geometry as _region_of, to_geometry as _region_to_geom
 
@@ -60,9 +62,41 @@ def deduplicate_gdf_with_bboxes(dedup_boxes: "gf.GeoFrame", gdf: "gf.GeoFrame") 
         for bi, g in zip(dedup_boxes["bbox_ind"], dedup_boxes["geometry"])
     }
 
+    # Vectorized fast path: a row whose geometry bbox lies inside ONE rect
+    # of its box's surviving region is unchanged by the clip (bbox ⊆ rect
+    # ⟹ geometry ⊆ region ⟹ intersection == geometry). In a real corpus
+    # most boxes survive dedup whole, so this skips the Region algebra for
+    # the vast majority of rows (measured 1.1k → >20k det/s,
+    # BENCH_POST.jsonl).
+    bnds = gdf.bounds_array()
+    binds = np.asarray([int(b) for b in gdf["bbox_ind"]], np.int64)
+    contained = np.zeros(len(gdf), bool)
+    order = np.argsort(binds, kind="stable")
+    uniq, starts = np.unique(binds[order], return_index=True)
+    for gi, bi in enumerate(uniq):
+        reg = region_by_ind.get(int(bi))
+        if reg is None or reg.is_empty:
+            continue
+        stop = starts[gi + 1] if gi + 1 < len(starts) else len(order)
+        rows = order[starts[gi]:stop]
+        b = bnds[rows]
+        r = reg.rects
+        inside = (
+            (b[:, None, 0] >= r[None, :, 0])
+            & (b[:, None, 1] >= r[None, :, 1])
+            & (b[:, None, 2] <= r[None, :, 2])
+            & (b[:, None, 3] <= r[None, :, 3])
+        ).any(axis=1)
+        contained[rows[inside]] = True
+
     keep_rows = []
     new_geoms = []
-    for idx, (bi, g) in enumerate(zip(gdf["bbox_ind"], gdf["geometry"])):
+    geoms = list(gdf["geometry"])
+    for idx, (bi, g) in enumerate(zip(binds, geoms)):
+        if contained[idx]:
+            keep_rows.append(idx)
+            new_geoms.append(g)
+            continue
         reg = region_by_ind.get(int(bi))
         if reg is None:
             continue
@@ -113,10 +147,25 @@ def nms_cross_tile(det: "gf.GeoFrame", iou_thresh: float = 0.5) -> "gf.GeoFrame"
     for idx in groups.values():
         idx = np.asarray(idx)
         order = idx[np.argsort(-conf[idx], kind="stable")]
+        # Exact grid-bucketed greedy NMS: with cell >= the group's largest
+        # box side, any pair with inter > 0 lands in min-corner cells that
+        # differ by <= 1 on each axis, so each candidate only checks kept
+        # boxes in its 3x3 cell neighborhood — near-linear instead of the
+        # all-pairs scan (measured 278 -> ~50k det/s at corpus scale,
+        # BENCH_POST.jsonl).
+        gb = boxes[order]
+        cell = float(max(np.max(gb[:, 2] - gb[:, 0]), np.max(gb[:, 3] - gb[:, 1]), 1e-9))
+        cx = np.floor(gb[:, 0] / cell).astype(np.int64)
+        cy = np.floor(gb[:, 1] / cell).astype(np.int64)
+        cells: dict = {}
         kept: list = []
-        for i in order:
-            if kept:
-                kb = boxes[kept]
+        for j, i in enumerate(order):
+            neigh: list = []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    neigh.extend(cells.get((cx[j] + dx, cy[j] + dy), ()))
+            if neigh:
+                kb = boxes[neigh]
                 lt = np.maximum(kb[:, :2], boxes[i, :2])
                 rb = np.minimum(kb[:, 2:], boxes[i, 2:])
                 wh = np.clip(rb - lt, 0, None)
@@ -127,6 +176,7 @@ def nms_cross_tile(det: "gf.GeoFrame", iou_thresh: float = 0.5) -> "gf.GeoFrame"
                 if (iou > iou_thresh).any():
                     continue
             kept.append(int(i))
+            cells.setdefault((int(cx[j]), int(cy[j])), []).append(int(i))
         keep_mask[kept] = True
 
     out = det.iloc[np.flatnonzero(keep_mask)].copy()

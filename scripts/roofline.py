@@ -1,0 +1,132 @@
+"""Tile-aware roofline for the serving conv stack (no TPU needed).
+
+Turns BENCHMARKS.md's "the remaining MFU gap is structural" claim into a
+per-layer, hardware-derived bound. For every conv in the FUSED m@640
+serving forward (captured by tracing `model.apply` under `jax.eval_shape`
+with `lax.conv_general_dilated` instrumented), compute:
+
+  useful FLOPs   2·M·K·N with M=B·Ho·Wo, K=kh·kw·Cin, N=Cout
+  padded FLOPs   same with K,N padded to the 128-lane MXU tile and M to
+                 the 8-row sublane (the implicit-GEMM model of XLA:TPU's
+                 conv emitter; v5e MXU is a 128×128 systolic array)
+  HBM bytes      bf16 input + weights + output once each (perfect-fusion
+                 assumption — elementwise epilogues ride along free)
+  bound time     max(padded FLOPs / 197 TF/s, bytes / 819 GB/s)
+
+The sum of bound times is the speed-of-light step time for this program
+shape on v5e — optimistic by construction (concat/upsample/SPPF traffic
+and the NMS stage are excluded). Comparing it with the measured conv
+time (BENCH_ABLATION.jsonl fwd_raw) yields "measured is X% of the
+tile-aware roofline", and the per-layer table shows exactly which layers
+own the padding waste (lane_eff = useful/padded).
+
+Usage: python scripts/roofline.py [variant] [img] [batch]   (default m 640 128)
+"""
+
+from __future__ import annotations
+
+import sys
+from math import ceil
+
+PEAK_FLOPS = 197e12   # v5e bf16
+HBM_BPS = 819e9       # v5e HBM bandwidth
+LANE = 128
+SUBLANE = 8
+
+
+def capture_convs(variant: str, img: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+
+    jax.config.update("jax_platforms", "cpu")
+    model, params = yolov5_init(variant, num_classes=5, seed=0)
+    params = model.fuse(params)
+
+    records = []
+    real_conv = lax.conv_general_dilated
+
+    def spy(lhs, rhs, window_strides, padding, *args, **kwargs):
+        out = real_conv(lhs, rhs, window_strides, padding, *args, **kwargs)
+        records.append(
+            dict(
+                in_shape=tuple(lhs.shape),
+                w_shape=tuple(rhs.shape),
+                out_shape=tuple(out.shape),
+                stride=tuple(window_strides),
+            )
+        )
+        return out
+
+    lax.conv_general_dilated = spy
+    try:
+        x = jnp.zeros((batch, img, img, 3), jnp.bfloat16)
+        jax.eval_shape(lambda p, im: model.apply(p, im)[0], params, x)
+    finally:
+        lax.conv_general_dilated = real_conv
+    return records
+
+
+def analyze(records, batch):
+    rows = []
+    for r in records:
+        b, hi, wi, cin = r["in_shape"]
+        kh, kw, _, cout = r["w_shape"]
+        _, ho, wo, _ = r["out_shape"]
+        m = b * ho * wo
+        k = kh * kw * cin
+        n = cout
+        useful = 2.0 * m * k * n
+        padded = 2.0 * ceil(m / SUBLANE) * SUBLANE * ceil(k / LANE) * LANE * ceil(n / LANE) * LANE
+        bytes_ = 2.0 * (b * hi * wi * cin + kh * kw * cin * cout + m * n)
+        t_mxu = padded / PEAK_FLOPS
+        t_hbm = bytes_ / HBM_BPS
+        rows.append(
+            dict(
+                shape=f"{hi}x{wi}x{cin}->{ho}x{wo}x{cout} k{kh}s{r['stride'][0]}",
+                useful=useful,
+                padded=padded,
+                bytes=bytes_,
+                t_bound=max(t_mxu, t_hbm),
+                bound="mxu" if t_mxu >= t_hbm else "hbm",
+                lane_eff=useful / padded,
+            )
+        )
+    tot_t = sum(r["t_bound"] for r in rows)
+    tot_useful = sum(r["useful"] for r in rows)
+    tot_padded = sum(r["padded"] for r in rows)
+    print(f"convs: {len(rows)}   batch {batch}")
+    print(f"useful FLOPs/img: {tot_useful / batch / 1e9:.2f} GF")
+    print(f"padded FLOPs/img: {tot_padded / batch / 1e9:.2f} GF  (lane efficiency {tot_useful / tot_padded:.1%})")
+    print(f"roofline step time: {tot_t * 1e3 / batch:.4f} ms/img "
+          f"(= {tot_useful / tot_t / PEAK_FLOPS:.1%} useful-MFU ceiling)")
+    mxu_t = sum(r["t_bound"] for r in rows if r["bound"] == "mxu")
+    print(f"MXU-bound share of time: {mxu_t / tot_t:.1%}   HBM-bound share: {1 - mxu_t / tot_t:.1%}")
+    print()
+    print("| layer (per-img shapes) | t_bound ms | bound | lane_eff | % of step |")
+    print("|---|---|---|---|---|")
+    agg = {}
+    for r in rows:
+        a = agg.setdefault(r["shape"], dict(t=0.0, n=0, **r))
+        a["t"] += r["t_bound"]
+        a["n"] += 1
+    for a in sorted(agg.values(), key=lambda a: -a["t"])[:15]:
+        print(
+            f"| {a['n']}x {a['shape']} | {a['t'] * 1e3 / batch:.4f} | {a['bound']} "
+            f"| {a['lane_eff']:.2f} | {100 * a['t'] / tot_t:.1f}% |"
+        )
+    return tot_t / batch, tot_useful / batch
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "m"
+    img = int(sys.argv[2]) if len(sys.argv) > 2 else 640
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    recs = capture_convs(variant, img, batch)
+    analyze(recs, batch)
+
+
+if __name__ == "__main__":
+    main()
