@@ -120,12 +120,60 @@ def analyze(records, batch):
     return tot_t / batch, tot_useful / batch
 
 
+def analyze_train(records, batch):
+    """Backward-pass ceiling: each conv's gradient is two more implicit
+    GEMMs with their own (worse) padding —
+      dX = dY ⊛ Wᵀ : M=B·Hi·Wi, K=k²·Cout (→128), N=Cin (→128)
+      dW = Xᵀ · dY : contraction M (→128), rows k²·Cin (→8), cols Cout (→128)
+    Strided convs are modeled at FLOP-equivalence (the dilated input-grad
+    conv has identical useful FLOPs). First-layer dX is skipped (no input
+    gradient needed). HBM: each GEMM reads its two operands and writes its
+    result once (perfect fusion)."""
+    t_tot = useful_tot = padded_tot = 0.0
+    for li, r in enumerate(records):
+        b, hi, wi, cin = r["in_shape"]
+        kh, kw, _, cout = r["w_shape"]
+        _, ho, wo, _ = r["out_shape"]
+        m = b * ho * wo
+        k = kh * kw * cin
+        n = cout
+        gemms = []
+        # forward
+        gemms.append((2.0 * m * k * n,
+                      2.0 * ceil(m / SUBLANE) * SUBLANE * ceil(k / LANE) * LANE * ceil(n / LANE) * LANE,
+                      2.0 * (b * hi * wi * cin + k * n + m * n)))
+        # dW
+        gemms.append((2.0 * m * k * n,
+                      2.0 * ceil(m / LANE) * LANE * ceil(k / SUBLANE) * SUBLANE * ceil(n / LANE) * LANE,
+                      2.0 * (b * hi * wi * cin + m * n + k * n)))
+        # dX (skip first conv)
+        if li > 0:
+            mi = b * hi * wi
+            k2 = kh * kw * cout
+            gemms.append((2.0 * m * k * n,
+                          2.0 * ceil(mi / SUBLANE) * SUBLANE * ceil(k2 / LANE) * LANE * ceil(cin / LANE) * LANE,
+                          2.0 * (m * n + k * n + b * hi * wi * cin)))
+        for useful, padded, bytes_ in gemms:
+            t_tot += max(padded / PEAK_FLOPS, bytes_ / HBM_BPS)
+            useful_tot += useful
+            padded_tot += padded
+    print(f"TRAIN (fwd+bwd convs only): useful {useful_tot / batch / 1e9:.2f} GF/img, "
+          f"padded {padded_tot / batch / 1e9:.2f} GF/img (lane eff {useful_tot / padded_tot:.1%})")
+    print(f"roofline step time {t_tot * 1e3 / batch:.4f} ms/img "
+          f"-> useful-MFU ceiling {useful_tot / t_tot / PEAK_FLOPS:.1%}")
+
+
 def main():
-    variant = sys.argv[1] if len(sys.argv) > 1 else "m"
-    img = int(sys.argv[2]) if len(sys.argv) > 2 else 640
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    train = "--train" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    variant = args[0] if args else "m"
+    img = int(args[1]) if len(args) > 1 else 640
+    batch = int(args[2]) if len(args) > 2 else 128
     recs = capture_convs(variant, img, batch)
-    analyze(recs, batch)
+    if train:
+        analyze_train(recs, batch)
+    else:
+        analyze(recs, batch)
 
 
 if __name__ == "__main__":
