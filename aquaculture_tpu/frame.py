@@ -490,7 +490,9 @@ def _batch_transform(geoms: list, fn) -> list:
             elif areas[k] < 0:
                 out[i] = _poly._polygon_from_ccw(ring[::-1].copy())
             else:
-                out[i] = _poly._polygon_from_ccw(ring)
+                # copy() so a surviving polygon doesn't keep the whole
+                # corpus-sized pts array alive through a slice view
+                out[i] = _poly._polygon_from_ccw(ring.copy())
         done.update(poly_idx)
     pt_idx = [i for i, g in enumerate(geoms) if type(g) is _poly.Point]
     if len(pt_idx) >= 16:

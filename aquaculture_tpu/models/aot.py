@@ -40,16 +40,30 @@ from typing import Any, Callable, Optional, Tuple
 _MAGIC = b"AQX1"
 
 
+def _path_key(entry) -> str:
+    # DictKey has .key, GetAttrKey has .name, SequenceKey has .idx; str() of
+    # the raw entry is the fallback for exotic containers.
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)
+
+
 def _leaf_fingerprint(params) -> dict:
-    """Structure fingerprint used to validate checkpoints against artifacts."""
+    """Structure fingerprint used to validate checkpoints against artifacts.
+
+    Hashes our own (path, shape, dtype) encoding rather than str(treedef):
+    PyTreeDef repr is not a stable serialization contract across jax
+    versions, and a repr change must not invalidate every artifact."""
     import jax
 
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    spec = [(list(a.shape), str(a.dtype)) for a in leaves]
-    h = hashlib.sha256(
-        (str(treedef) + json.dumps(spec)).encode()
-    ).hexdigest()[:16]
-    return {"n_leaves": len(leaves), "spec_sha": h}
+    paths_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    spec = [
+        ("/".join(_path_key(k) for k in path), list(a.shape), str(a.dtype))
+        for path, a in paths_leaves
+    ]
+    h = hashlib.sha256(json.dumps(spec).encode()).hexdigest()[:16]
+    return {"n_leaves": len(spec), "spec_sha": h}
 
 
 def export_serving(
@@ -209,7 +223,8 @@ def serving_fn_loaded(
     if anchors is not None and baked:
         ours = [[[float(w), float(h)] for (w, h) in lvl] for lvl in anchors]
         if len(ours) != len(baked) or not all(
-            np.allclose(a, b) for a, b in zip(ours, baked)
+            np.shape(a) == np.shape(b) and np.allclose(a, b)
+            for a, b in zip(ours, baked)
         ):
             raise ValueError(
                 f"{label}: anchor table mismatch — the artifact bakes "

@@ -137,7 +137,10 @@ def _corpus_fingerprint(
 
     h = hashlib.sha1()
     h.update(f"hosts={n_hosts}\n".encode())
-    h.update(f"overlap={overlap}\n".encode())
+    if overlap:
+        # Only strided runs carry the overlap term: hard-grid (overlap=0)
+        # manifests written before overlap existed stay resumable.
+        h.update(f"overlap={overlap}\n".encode())
     if cfg is not None:
         h.update(repr(cfg).encode())
         h.update(b"\n")
@@ -267,11 +270,9 @@ def run_pod_pipeline(
     from aquaculture_tpu.post.geocode import geocode_detections
 
     cfg = cfg or DetectConfig()
-    from aquaculture_tpu.config import IM_WIDTH
+    from aquaculture_tpu.pipeline import overlap_stride
 
-    if overlap and not 0 < overlap < IM_WIDTH:
-        raise ValueError(f"overlap must be in (0, {IM_WIDTH}); got {overlap}")
-    stride = IM_WIDTH - overlap if overlap else 0
+    stride = overlap_stride(overlap)
     host, n_hosts = jax.process_index(), jax.process_count()
     shard = shard_corpus(all_paths, n_hosts, host)
     log_info("host %d/%d: %d of %d tiles", host, n_hosts, len(shard), len(all_paths))

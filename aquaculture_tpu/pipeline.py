@@ -105,6 +105,17 @@ def make_infer_fn(
     return infer
 
 
+def overlap_stride(overlap: int, tile_px: int = IM_WIDTH) -> int:
+    """Validated tiling stride for overlap serving; 0 means hard grid.
+
+    Single source of the overlap contract for run_pipeline and the pod
+    runner: overlap >= tile would collapse the stride toward 1 px and emit
+    ~(W-tile)^2 tiles per raster — an OOM, not a configuration."""
+    if overlap and not 0 < overlap < tile_px:
+        raise ValueError(f"overlap must be in (0, {tile_px}); got {overlap}")
+    return tile_px - overlap if overlap else 0
+
+
 def detect_files(
     paths: Sequence[str],
     model: YoloV5,
@@ -262,12 +273,7 @@ def run_pipeline(
     """
     from aquaculture_tpu.post.dedup import nms_cross_tile
 
-    tile_px = IM_WIDTH
-    if overlap and not 0 < overlap < tile_px:
-        # overlap >= tile would collapse the stride toward 1 px and emit
-        # ~(W-tile)^2 tiles per raster — an OOM, not a configuration
-        raise ValueError(f"overlap must be in (0, {tile_px}); got {overlap}")
-    stride = tile_px - overlap if overlap else 0
+    stride = overlap_stride(overlap)
     boxes, conf, cls, specs, stats = detect_files(
         paths, model, params, cfg, batch_size, use_native=use_native, store=store,
         stride=stride, decode_threads=decode_threads,

@@ -153,6 +153,40 @@ def test_aot_anchor_mismatch_raises(nmodel, tmp_path):
     fn, _ = aot.serving_fn(path, params, anchors=model.anchor_table)
     assert fn is not None
 
+    # a DIFFERENT anchors-per-level count (ragged vs the baked table) must
+    # still produce the diagnostic, not a numpy broadcast ValueError
+    ragged = tuple(
+        tuple(lvl) + ((99.0, 99.0),) for lvl in DEFAULT_ANCHORS
+    )
+    with pytest.raises(ValueError, match="anchor table mismatch"):
+        aot.serving_fn(path, params, anchors=ragged)
+
+
+def test_leaf_fingerprint_hashes_paths_not_treedef_repr():
+    """The structure fingerprint is built from our own (path, shape, dtype)
+    encoding, not str(PyTreeDef) — jax's repr is not a stable contract, and
+    a jax upgrade must not invalidate every artifact/checkpoint pair."""
+    import numpy as np
+
+    from aquaculture_tpu.models.aot import _leaf_fingerprint
+
+    a = {"conv": {"kernel": np.zeros((3, 3, 1, 8), np.float32)},
+         "bn": {"scale": np.ones(8, np.float32)}}
+    same = {"bn": {"scale": np.zeros(8, np.float32)},
+            "conv": {"kernel": np.ones((3, 3, 1, 8), np.float32)}}
+    assert _leaf_fingerprint(a) == _leaf_fingerprint(same)  # values don't matter
+
+    renamed = {"conv2": a["conv"], "bn": a["bn"]}
+    assert _leaf_fingerprint(a) != _leaf_fingerprint(renamed)
+
+    reshaped = {"conv": {"kernel": np.zeros((1, 1, 1, 8), np.float32)},
+                "bn": a["bn"]}
+    assert _leaf_fingerprint(a) != _leaf_fingerprint(reshaped)
+
+    recast = {"conv": {"kernel": a["conv"]["kernel"].astype(np.float16)},
+              "bn": a["bn"]}
+    assert _leaf_fingerprint(a) != _leaf_fingerprint(recast)
+
 
 def test_aot_cross_platform_backend_choice(nmodel, tmp_path):
     """The NMS backend is resolved for the TARGET platform, not this build

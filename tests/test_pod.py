@@ -517,3 +517,23 @@ def test_pod_fingerprint_includes_overlap(tmp_path):
     f0 = _corpus_fingerprint(["a", "b"], 2, cfg, overlap=0)
     f512 = _corpus_fingerprint(["a", "b"], 2, cfg, overlap=512)
     assert f0 != f512
+
+
+def test_pod_fingerprint_overlap0_matches_pre_overlap_manifests():
+    """Hard-grid (overlap=0) runs hash identically to the pre-overlap
+    fingerprint scheme, so manifests checkpointed before overlap existed
+    stay resumable instead of being silently recomputed."""
+    import hashlib
+
+    from aquaculture_tpu.config import DetectConfig
+    from aquaculture_tpu.parallel.pod import _corpus_fingerprint
+
+    cfg = DetectConfig()
+    h = hashlib.sha1()
+    h.update(b"hosts=2\n")
+    h.update(repr(cfg).encode())
+    h.update(b"\n")
+    for p in ("a", "b"):
+        h.update(p.encode())
+        h.update(b"\n")
+    assert _corpus_fingerprint(["a", "b"], 2, cfg, overlap=0) == h.hexdigest()
