@@ -17,6 +17,7 @@ artifact — set them at export time.
 from __future__ import annotations
 
 import argparse
+from aquaculture_tpu.models.yolov5 import VARIANTS
 import json
 
 
@@ -27,7 +28,7 @@ def main(argv=None) -> None:
     ex = sub.add_parser("export", help="export the serving program to a file")
     ex.add_argument("--weights", default=None, help=".pt or checkpoint directory (shapes/structure source; random init if omitted)")
     ex.add_argument("--out", required=True, help="output .aqx path")
-    ex.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
+    ex.add_argument("--variant", default="m", choices=sorted(VARIANTS))
     ex.add_argument("--num-classes", type=int, default=5)
     ex.add_argument("--batch", type=int, default=32)
     ex.add_argument("--img", type=int, default=None,

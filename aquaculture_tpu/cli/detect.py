@@ -20,6 +20,7 @@ from aquaculture_tpu.data.filenames import encode_tile_name
 from aquaculture_tpu.models.yolov5 import YoloV5, yolov5_init
 from aquaculture_tpu.models.weights import load_pretrained
 from aquaculture_tpu.pipeline import detect_files
+from aquaculture_tpu.models.yolov5 import VARIANTS
 
 
 def quantize_for_serving(model, fused_params, sample_paths, img_size: int = 640,
@@ -78,7 +79,7 @@ def main(argv=None) -> None:
     ap.add_argument("--source", required=True, help="image file, directory, or glob")
     ap.add_argument("--weights", default=None, help=".pt or checkpoint directory")
     ap.add_argument("--out", required=True, help="directory for label .txt files")
-    ap.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
+    ap.add_argument("--variant", default="m", choices=sorted(VARIANTS))
     ap.add_argument("--num-classes", type=int, default=5)
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--iou", type=float, default=0.45)

@@ -12,6 +12,7 @@ trained HERE flow back into any ultralytics tooling via this export
 from __future__ import annotations
 
 import argparse
+from aquaculture_tpu.models.yolov5 import VARIANTS
 
 
 def main(argv=None) -> None:
@@ -19,7 +20,7 @@ def main(argv=None) -> None:
     ap.add_argument("--ckpt", required=True, help="checkpoint directory (cli.train output)")
     ap.add_argument("--out", required=True, help=".pt output path")
     ap.add_argument("--variant", default=None,
-                    choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"],
+                    choices=sorted(VARIANTS),
                     help="default: the checkpoint's saved metadata, else m")
     ap.add_argument("--num-classes", type=int, default=None,
                     help="default: the checkpoint's saved metadata, else 5")

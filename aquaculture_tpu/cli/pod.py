@@ -21,6 +21,7 @@ from aquaculture_tpu.cli.geocode import load_download_bboxes
 from aquaculture_tpu.config import DetectConfig
 from aquaculture_tpu.parallel.pod import init_distributed, run_pod_pipeline
 from aquaculture_tpu.utils.logging import log_info
+from aquaculture_tpu.models.yolov5 import VARIANTS
 
 
 def main(argv=None) -> None:
@@ -34,7 +35,7 @@ def main(argv=None) -> None:
     ap.add_argument("--download-bboxes", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--weights", default=None)
-    ap.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
+    ap.add_argument("--variant", default="m", choices=sorted(VARIANTS))
     ap.add_argument("--num-classes", type=int, default=5)
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--img", type=int, default=None,

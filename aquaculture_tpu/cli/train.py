@@ -22,6 +22,7 @@ from aquaculture_tpu.train.dataset import DetectionDataset
 from aquaculture_tpu.train.trainer import init_train_state, make_train_step
 from aquaculture_tpu.utils.checkpoint import load_params, save_params
 from aquaculture_tpu.utils.logging import log_info
+from aquaculture_tpu.models.yolov5 import VARIANTS
 
 
 def main(argv=None) -> None:
@@ -30,7 +31,7 @@ def main(argv=None) -> None:
     ap.add_argument("--labels", default=None, help="labels directory (default: sibling labels/)")
     ap.add_argument("--out", required=True, help="checkpoint output directory")
     ap.add_argument("--weights", default=None, help="warm-start .pt or checkpoint dir")
-    ap.add_argument("--variant", default="m", choices=[*"nsmlx", "n6", "s6", "m6", "l6", "x6"])
+    ap.add_argument("--variant", default="m", choices=sorted(VARIANTS))
     ap.add_argument("--num-classes", type=int, default=5)
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--batch", type=int, default=16)

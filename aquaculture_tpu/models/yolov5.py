@@ -42,6 +42,27 @@ VARIANTS: Dict[str, Tuple[float, float]] = {
     "m6": (0.67, 0.75),
     "l6": (1.00, 1.00),
     "x6": (1.33, 1.25),
+    # mt: TPU-lane-aligned m-class variant — m's depths, channel map from
+    # CHANNEL_OVERRIDES below (width multiple unused). See BENCHMARKS.md.
+    "mt": (0.67, 0.75),
+}
+
+# Explicit channel maps for TPU-lane-aligned variants. A listed variant
+# takes its c1..c5 (c6) widths from here instead of the width multiple;
+# depth still comes from VARIANTS. Found by scripts/lane_search.py against
+# the tile-aware roofline (scripts/roofline.py): channel counts chosen so
+# the implicit-GEMM K/N dims land on the 128-lane MXU tile instead of
+# padding (BENCHMARKS.md "lane-aligned variant"). No reference analogue:
+# the reference's variants are the public GPU-tuned table only.
+CHANNEL_OVERRIDES: Dict[str, Dict[str, int]] = {
+    # Searched over the m@640 serving roofline (useful FLOPs >= m,
+    # minimize tile-padded bound time): early HBM-bound stages shrink
+    # (alignment is irrelevant when bandwidth-bound), MXU-bound mid/late
+    # stages land exactly on the lane tile (256 = 2x128 with 128-wide C3
+    # hidden halves; 1024 = 8x128, hidden 512). Measured on v5e:
+    # 1,939.5 tiles/s vs 1,845 same-session m (+5.1%), 47.3% MFU, with
+    # useful FLOPs 48.8 vs 47.9 GF/img and 25.0M vs 20.9M params.
+    "mt": {"c1": 32, "c2": 64, "c3": 256, "c4": 256, "c5": 1024},
 }
 
 # Default COCO anchors per stride level (w, h) in pixels.
@@ -130,6 +151,7 @@ class YoloV5:
             # P6 backbone: ... 512 -> 768 -> 1024 (public yolov5-p6 yaml)
             ch["c5"] = _width(768, w)
             ch["c6"] = _width(1024, w)
+        ch.update(CHANNEL_OVERRIDES.get(self.variant, {}))
         return ch
 
     def depths(self) -> Dict[str, int]:

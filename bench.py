@@ -21,6 +21,8 @@ Variants (not used by the driver):
                                        # times NMS under realistic detection
                                        # density instead of random noise
   python bench.py --batch 256          # batch override (compile-cache assisted)
+  python bench.py --variant mt         # measure another variant (e.g. the
+                                       # TPU-lane-aligned mt; BENCHMARKS.md)
 """
 
 from __future__ import annotations
@@ -66,6 +68,9 @@ def main() -> None:
     int8 = INT8 or "--int8" in args
     if "--batch" in args:
         batch = int(args[args.index("--batch") + 1])
+    variant = "m"
+    if "--variant" in args:
+        variant = args[args.index("--variant") + 1]
     if "--trained" in args:
         i = args.index("--trained")
         trained_ckpt, trained_dir = args[i + 1], args[i + 2]
@@ -94,10 +99,10 @@ def main() -> None:
         cfg = DetectConfig(conf_threshold=0.05)
         metric = "yolov5n_640px_trained_infer_nms_tiles_per_sec_per_chip"
     else:
-        model, params = yolov5_init("m", num_classes=5, seed=0)
+        model, params = yolov5_init(variant, num_classes=5, seed=0)
         params = model.fuse(params)
         cfg = DetectConfig()
-        metric = "yolov5m_640px_infer_nms_tiles_per_sec_per_chip"
+        metric = f"yolov5{variant}_640px_infer_nms_tiles_per_sec_per_chip"
     def infer(params, images):
         preds, _ = model.apply(params, images.astype(jnp.bfloat16))
         return batched_nms(

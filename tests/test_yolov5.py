@@ -210,3 +210,39 @@ def test_down_s2d_rejects_ineligible_names():
         model.fuse(params, down_s2d=("n24",))  # P6-only name on a P5 model
     with pytest.raises(ValueError, match="not a stride-2 downsample"):
         model.fuse(params, down_s2d=("nope",))
+
+
+def test_mt_lane_aligned_variant():
+    """mt (TPU-lane-aligned channel map; scripts/lane_search.py) must build,
+    forward to the same head geometry as m, fuse exactly, and dominate m's
+    capacity proxies (params and useful FLOPs) — the accuracy-class claim
+    BENCHMARKS.md makes for it. No reference analogue: the reference only
+    ships the public GPU-tuned width table (its yolov5 submodule contract,
+    /root/reference/README.md:52)."""
+    from aquaculture_tpu.models.yolov5 import CHANNEL_OVERRIDES
+
+    assert "mt" in VARIANTS and "mt" in CHANNEL_OVERRIDES
+    model, params = yolov5_init("mt", num_classes=5, seed=0)
+    ch = model.channels()
+    assert ch == CHANNEL_OVERRIDES["mt"]
+    # MXU-bound stages land on the 128-lane tile (c3..c5 and their C3
+    # hidden halves); early HBM-bound stages are unconstrained.
+    for key in ("c3", "c4", "c5"):
+        assert ch[key] % 128 == 0, (key, ch[key])
+        assert (ch[key] // 2) % 128 == 0 or ch[key] % 256 == 0
+
+    m_model, m_params = yolov5_init("m", num_classes=5, seed=0)
+    assert model.num_params(params) > m_model.num_params(m_params)
+
+    x = jnp.zeros((1, 128, 128, 3))
+    n_rows = (16 * 16 + 8 * 8 + 4 * 4) * 3
+    preds = jax.jit(lambda p, t: model.apply(p, t)[0])(params, x)
+    assert preds.shape == (1, n_rows, 10)
+
+    # fuse (BN fold + stem s2d default) stays numerically faithful
+    xr = jax.random.uniform(jax.random.PRNGKey(0), (1, 128, 128, 3))
+    apply = jax.jit(lambda p, t: model.apply(p, t)[0])
+    np.testing.assert_allclose(
+        np.asarray(apply(params, xr)), np.asarray(apply(model.fuse(params), xr)),
+        rtol=2e-3, atol=2e-2,
+    )
