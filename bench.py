@@ -94,10 +94,14 @@ def main() -> None:
 
     if trained_ckpt:
         from aquaculture_tpu.cli.detect import load_model
+        from aquaculture_tpu.utils.checkpoint import load_metadata
 
-        model, params = load_model(trained_ckpt, "n", 2)  # load_model fuses
+        meta = load_metadata(trained_ckpt)
+        ckpt_variant = meta.get("variant", "n")
+        nc = int(meta.get("num_classes", 2))
+        model, params = load_model(trained_ckpt, ckpt_variant, nc)  # load_model fuses
         cfg = DetectConfig(conf_threshold=0.05)
-        metric = "yolov5n_640px_trained_infer_nms_tiles_per_sec_per_chip"
+        metric = f"yolov5{ckpt_variant}_640px_trained_infer_nms_tiles_per_sec_per_chip"
     else:
         model, params = yolov5_init(variant, num_classes=5, seed=0)
         params = model.fuse(params)

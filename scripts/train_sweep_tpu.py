@@ -7,7 +7,7 @@ tunnel makes each program a multi-minute compile; the persistent
 compilation cache makes re-runs cheap). Results append to
 BENCH_TRAIN.jsonl; configs already present are skipped.
 
-Run: python scripts/train_sweep_tpu.py [--one]
+Run: python scripts/train_sweep_tpu.py [--one] [--variant m]
 """
 
 from __future__ import annotations
@@ -50,13 +50,13 @@ def done_keys(include_errors: bool = True):
                     r = json.loads(line)
                     if not include_errors and "error" in r:
                         continue
-                    keys.add((r["batch"], r["remat"], r.get("dtype", "float32")))
+                    keys.add((r.get("variant", "m"), r["batch"], r["remat"], r.get("dtype", "float32")))
                 except Exception:
                     pass
     return keys
 
 
-def run_config(batch: int, remat: bool, dtype: str) -> dict:
+def run_config(batch: int, remat: bool, dtype: str, variant: str = "m") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -65,7 +65,7 @@ def run_config(batch: int, remat: bool, dtype: str) -> dict:
     from aquaculture_tpu.models.yolov5 import yolov5_init
     from aquaculture_tpu.train.trainer import init_train_state, make_train_step
 
-    model, params = yolov5_init("m", num_classes=5, seed=0)
+    model, params = yolov5_init(variant, num_classes=5, seed=0)
     cfg = TrainConfig(
         img_size=IMG, batch_size=batch, max_boxes_per_image=32, remat=remat,
         compute_dtype=dtype,
@@ -119,6 +119,7 @@ def run_config(batch: int, remat: bool, dtype: str) -> dict:
     img_s = batch / dt
     mfu = (flops / dt / PEAK_FLOPS) if flops else None
     return {
+        "variant": variant,
         "batch": batch,
         "remat": remat,
         "dtype": dtype,
@@ -139,8 +140,15 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    variant = "m"
+    if "--variant" in sys.argv:
+        variant = sys.argv[sys.argv.index("--variant") + 1]
+    configs = CONFIGS
+    if "--config" in sys.argv:
+        b, r, d = sys.argv[sys.argv.index("--config") + 1].split(",")
+        configs = [(int(b), r == "true", d)]
     done = done_keys(include_errors="--retry-errors" not in sys.argv)
-    todo = [c for c in CONFIGS if c not in done]
+    todo = [c for c in configs if (variant, *c) not in done]
     if not todo:
         print("all configs done")
         return
@@ -148,9 +156,9 @@ def main() -> None:
     for batch, remat, dtype in todo:
         print(f"running batch={batch} remat={remat} dtype={dtype} ...", flush=True)
         try:
-            r = run_config(batch, remat, dtype)
+            r = run_config(batch, remat, dtype, variant)
         except Exception as e:
-            r = {"batch": batch, "remat": remat, "dtype": dtype,
+            r = {"variant": variant, "batch": batch, "remat": remat, "dtype": dtype,
                  "error": f"{type(e).__name__}: {e}"[:300]}
         with open(RESULTS, "a") as f:
             f.write(json.dumps(r) + "\n")
