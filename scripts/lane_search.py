@@ -101,14 +101,28 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
+    base_variant = "m"
+    if "--base" in sys.argv:
+        base_variant = sys.argv[sys.argv.index("--base") + 1]
     t0 = time.time()
-    base = score(capture("m"))
-    print(f"[baseline m] t={base['t_ms']:.4f} ms/img  useful={base['useful_gf']:.2f} GF  "
+    base = score(capture(base_variant))
+    print(f"[baseline {base_variant}] t={base['t_ms']:.4f} ms/img  useful={base['useful_gf']:.2f} GF  "
           f"lane_eff={base['lane_eff']:.1%}  ceiling={base['ceiling']:.1%}  "
           f"params={base['params_m']:.1f}M   (capture {time.time()-t0:.1f}s)")
 
     targeted = "--targeted" in sys.argv
-    if targeted:
+    if base_variant == "n":
+        # n-class grid: n is (16,32,64,128,256); nearly every conv sits
+        # below the 128-lane tile (lane eff 22.4%, ceiling 19.1%).
+        grid = dict(
+            c1=[16, 32],
+            c2=[32, 64],
+            c3=[64, 128],
+            c4=[128, 256],
+            c5=[128, 256, 512],
+        )
+        targeted = False
+    elif targeted:
         # Hand-picked refinements around the coarse winners: keep the early
         # (HBM-bound) stages at or above m's widths, align the MXU-bound
         # mid/late stages to the 128-lane tile.
@@ -125,8 +139,7 @@ def main():
             (64, 128, 256, 384, 768),
         ]
         grid = None
-    fine = "--fine" in sys.argv
-    if fine:
+    elif "--fine" in sys.argv:
         grid = dict(
             c1=[32, 48, 64],
             c2=[64, 96, 128],
@@ -143,7 +156,7 @@ def main():
             c5=[512, 768, 1024],
         )
 
-    Y.VARIANTS["__search__"] = Y.VARIANTS["m"]
+    Y.VARIANTS["__search__"] = Y.VARIANTS[base_variant]
     rows = []
     if not targeted:
         combos = [c for c in product(*grid.values()) if
