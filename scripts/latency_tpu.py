@@ -69,7 +69,7 @@ def _tiles_dir(n, d):
     return paths
 
 
-def mode_latency(iters: int):
+def mode_latency(iters: int, variant: str = "m"):
     import jax
 
     from aquaculture_tpu import frame as gf
@@ -79,7 +79,7 @@ def mode_latency(iters: int):
     from aquaculture_tpu.pipeline import make_infer_fn
     from aquaculture_tpu.post.geocode import geocode_detections
 
-    model, params = _model()
+    model, params = _model(variant)
     cfg = DetectConfig(conf_threshold=0.25)
     infer = make_infer_fn(model, params, cfg, tile=1024, batch_size=1)
     dl = gf.GeoFrame(
@@ -123,6 +123,7 @@ def mode_latency(iters: int):
 
     _emit({
         "mode": "latency",
+        "variant": variant,
         "metric": "p50_tile_to_geojson_ms",
         "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
         "p90_ms": round(float(np.percentile(lat_ms, 90)), 1),
@@ -139,7 +140,7 @@ def mode_feed(n_tiles: int, batch: int):
     from aquaculture_tpu.data import native_loader
     from aquaculture_tpu.pipeline import detect_files, make_infer_fn
 
-    model, params = _model()
+    model, params = _model(variant)
     cfg = DetectConfig(conf_threshold=0.25)
     paths = _tiles_dir(n_tiles, "/tmp/aq_feed_tiles")
     infer = make_infer_fn(model, params, cfg, tile=1024, batch_size=batch)
@@ -183,11 +184,12 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--tiles", type=int, default=256)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--variant", default="m")
     args = ap.parse_args()
 
     _cache()
     if args.mode == "latency":
-        mode_latency(args.iters)
+        mode_latency(args.iters, args.variant)
     else:
         mode_feed(args.tiles, args.batch)
 
