@@ -37,7 +37,7 @@ LANE = 128
 SUBLANE = 8
 
 IMG = 640
-BATCH = 128
+BATCH = 128  # P6 bases switch to IMG=1280, BATCH=32 (the measured config)
 
 
 def capture(variant: str):
@@ -104,6 +104,11 @@ def main():
     base_variant = "m"
     if "--base" in sys.argv:
         base_variant = sys.argv[sys.argv.index("--base") + 1]
+    if base_variant.endswith("6"):
+        # 1280px serving at the measured batch-32 config, BEFORE the
+        # baseline capture.
+        global IMG, BATCH
+        IMG, BATCH = 1280, 32
     t0 = time.time()
     base = score(capture(base_variant))
     print(f"[baseline {base_variant}] t={base['t_ms']:.4f} ms/img  useful={base['useful_gf']:.2f} GF  "
@@ -111,7 +116,20 @@ def main():
           f"params={base['params_m']:.1f}M   (capture {time.time()-t0:.1f}s)")
 
     targeted = "--targeted" in sys.argv
-    if base_variant == "n":
+    if base_variant.endswith("6"):
+        # P6 grid (m6 is 48,96,192,384,576,768 — c5=576 pads 4.5x128).
+        # early stages fixed at the mt-established "small early" point —
+        # the P6 trace is ~35s/capture, so the grid stays tight
+        grid = dict(
+            c1=[32],
+            c2=[64],
+            c3=[192, 256],
+            c4=[256, 384],
+            c5=[512, 768],
+            c6=[768, 1024],
+        )
+        targeted = False
+    elif base_variant == "n":
         # n-class grid: n is (16,32,64,128,256); nearly every conv sits
         # below the 128-lane tile (lane eff 22.4%, ceiling 19.1%).
         grid = dict(
@@ -156,16 +174,20 @@ def main():
             c5=[512, 768, 1024],
         )
 
-    Y.VARIANTS["__search__"] = Y.VARIANTS[base_variant]
+    # the scratch variant's name must END in "6" for P6 bases (is_p6
+    # dispatches on the name suffix)
+    search = "__search_p6" if base_variant.endswith("6") else "__search__"
+    Y.VARIANTS[search] = Y.VARIANTS[base_variant]
     rows = []
     if not targeted:
         combos = [c for c in product(*grid.values()) if
-                  c[0] <= c[1] <= c[2] <= c[3] <= c[4] and c[0] < c[4]]
+                  all(a <= b for a, b in zip(c, c[1:])) and c[0] < c[-1]]
     print(f"{len(combos)} candidates")
-    for c1, c2, c3, c4, c5 in combos:
-        Y.CHANNEL_OVERRIDES["__search__"] = dict(c1=c1, c2=c2, c3=c3, c4=c4, c5=c5)
-        s = score(capture("__search__"))
-        s["ch"] = (c1, c2, c3, c4, c5)
+    for ch in combos:
+        Y.CHANNEL_OVERRIDES[search] = {
+            f"c{i + 1}": c for i, c in enumerate(ch)}
+        s = score(capture(search))
+        s["ch"] = tuple(ch)
         rows.append(s)
         print(f"  {s['ch']}: t={s['t_ms']:.4f}  useful={s['useful_gf']:.2f}  "
               f"eff={s['lane_eff']:.1%}  ceil={s['ceiling']:.1%}  params={s['params_m']:.1f}M",

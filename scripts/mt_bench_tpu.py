@@ -8,6 +8,10 @@ JSON line to BENCH_MT.jsonl.
     python scripts/mt_bench_tpu.py m                      # baseline
     python scripts/mt_bench_tpu.py 32,64,256,256,1024     # candidate A
     python scripts/mt_bench_tpu.py 48,96,256,256,1024     # candidate B
+    python scripts/mt_bench_tpu.py 32,64,256,256,768,768 --img 1280 --batch 32
+                                                          # P6 candidates:
+                                                          # a 6-channel spec
+                                                          # runs as P6
 """
 
 from __future__ import annotations
@@ -30,7 +34,12 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    global BATCH, IMG
     spec = sys.argv[1] if len(sys.argv) > 1 else "m"
+    if "--img" in sys.argv:
+        IMG = int(sys.argv[sys.argv.index("--img") + 1])
+    if "--batch" in sys.argv:
+        BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
 
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
@@ -45,10 +54,12 @@ def main():
 
     if "," in spec:
         ch = tuple(int(x) for x in spec.split(","))
-        Y.VARIANTS["__cand__"] = Y.VARIANTS["m"]
-        Y.CHANNEL_OVERRIDES["__cand__"] = dict(
-            c1=ch[0], c2=ch[1], c3=ch[2], c4=ch[3], c5=ch[4])
-        variant = "__cand__"
+        # a 6-channel spec is a P6 candidate (variant name must end in
+        # "6": is_p6 dispatches on the suffix)
+        variant = "__cand_p6" if len(ch) == 6 else "__cand__"
+        Y.VARIANTS[variant] = Y.VARIANTS["m6" if len(ch) == 6 else "m"]
+        Y.CHANNEL_OVERRIDES[variant] = {
+            f"c{i + 1}": c for i, c in enumerate(ch)}
     else:
         variant = spec
 
@@ -98,6 +109,7 @@ def main():
         "tiles_per_s": round(value, 1),
         "ms_per_img": round(1000.0 / value, 4),
         "batch": BATCH,
+        "img": IMG,
         "compile_s": round(t_compile, 1),
     }
     if flops:
