@@ -17,11 +17,13 @@ artifact — set them at export time.
 from __future__ import annotations
 
 import argparse
-from aquaculture_tpu.models.yolov5 import VARIANTS
 import json
 
 
 def main(argv=None) -> None:
+    # deferred: keep --help fast (jax loads with the models package)
+    from aquaculture_tpu.models.yolov5 import VARIANTS
+
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

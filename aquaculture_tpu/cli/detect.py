@@ -17,10 +17,9 @@ import numpy as np
 
 from aquaculture_tpu.config import IM_HEIGHT, IM_WIDTH, DetectConfig
 from aquaculture_tpu.data.filenames import encode_tile_name
-from aquaculture_tpu.models.yolov5 import YoloV5, yolov5_init
+from aquaculture_tpu.models.yolov5 import VARIANTS, YoloV5, yolov5_init
 from aquaculture_tpu.models.weights import load_pretrained
 from aquaculture_tpu.pipeline import detect_files
-from aquaculture_tpu.models.yolov5 import VARIANTS
 
 
 def quantize_for_serving(model, fused_params, sample_paths, img_size: int = 640,

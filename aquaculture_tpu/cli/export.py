@@ -12,10 +12,12 @@ trained HERE flow back into any ultralytics tooling via this export
 from __future__ import annotations
 
 import argparse
-from aquaculture_tpu.models.yolov5 import VARIANTS
 
 
 def main(argv=None) -> None:
+    # deferred: keep --help fast (jax loads with the models package)
+    from aquaculture_tpu.models.yolov5 import VARIANTS
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", required=True, help="checkpoint directory (cli.train output)")
     ap.add_argument("--out", required=True, help=".pt output path")

@@ -17,12 +17,11 @@ import numpy as np
 
 from aquaculture_tpu.config import TrainConfig
 from aquaculture_tpu.cli.detect import load_model
-from aquaculture_tpu.models.yolov5 import yolov5_init
+from aquaculture_tpu.models.yolov5 import VARIANTS, yolov5_init
 from aquaculture_tpu.train.dataset import DetectionDataset
 from aquaculture_tpu.train.trainer import init_train_state, make_train_step
 from aquaculture_tpu.utils.checkpoint import load_params, save_params
 from aquaculture_tpu.utils.logging import log_info
-from aquaculture_tpu.models.yolov5 import VARIANTS
 
 
 def main(argv=None) -> None:

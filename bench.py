@@ -96,7 +96,8 @@ def main() -> None:
         from aquaculture_tpu.cli.detect import load_model
         from aquaculture_tpu.utils.checkpoint import load_metadata
 
-        meta = load_metadata(trained_ckpt)
+        # .pt weights carry no sidecar metadata; only checkpoint DIRS do
+        meta = load_metadata(trained_ckpt) if os.path.isdir(trained_ckpt) else {}
         ckpt_variant = meta.get("variant", "n")
         nc = int(meta.get("num_classes", 2))
         model, params = load_model(trained_ckpt, ckpt_variant, nc)  # load_model fuses

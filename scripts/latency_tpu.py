@@ -133,7 +133,7 @@ def mode_latency(iters: int, variant: str = "m"):
     })
 
 
-def mode_feed(n_tiles: int, batch: int):
+def mode_feed(n_tiles: int, batch: int, variant: str = "m"):
     import jax
 
     from aquaculture_tpu.config import DetectConfig
@@ -191,7 +191,7 @@ def main():
     if args.mode == "latency":
         mode_latency(args.iters, args.variant)
     else:
-        mode_feed(args.tiles, args.batch)
+        mode_feed(args.tiles, args.batch, args.variant)
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ compilation cache makes re-runs cheap). Results append to
 BENCH_TRAIN.jsonl; configs already present are skipped.
 
 Run: python scripts/train_sweep_tpu.py [--one] [--variant m]
+     [--config BATCH,REMAT,DTYPE]   e.g. --config 128,false,bfloat16
 """
 
 from __future__ import annotations
@@ -146,7 +147,7 @@ def main() -> None:
     configs = CONFIGS
     if "--config" in sys.argv:
         b, r, d = sys.argv[sys.argv.index("--config") + 1].split(",")
-        configs = [(int(b), r == "true", d)]
+        configs = [(int(b), r.lower() in ("true", "1", "yes"), d)]
     done = done_keys(include_errors="--retry-errors" not in sys.argv)
     todo = [c for c in configs if (variant, *c) not in done]
     if not todo:

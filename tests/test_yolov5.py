@@ -225,11 +225,11 @@ def test_mt_lane_aligned_variant():
     model, params = yolov5_init("mt", num_classes=5, seed=0)
     ch = model.channels()
     assert ch == CHANNEL_OVERRIDES["mt"]
-    # MXU-bound stages land on the 128-lane tile (c3..c5 and their C3
-    # hidden halves); early HBM-bound stages are unconstrained.
+    # MXU-bound stages land on the 128-lane tile, INCLUDING their C3
+    # hidden halves (c/2 — so c must be a multiple of 256); early
+    # HBM-bound stages are unconstrained.
     for key in ("c3", "c4", "c5"):
-        assert ch[key] % 128 == 0, (key, ch[key])
-        assert (ch[key] // 2) % 128 == 0 or ch[key] % 256 == 0
+        assert ch[key] % 256 == 0, (key, ch[key])
 
     m_model, m_params = yolov5_init("m", num_classes=5, seed=0)
     assert model.num_params(params) > m_model.num_params(m_params)
