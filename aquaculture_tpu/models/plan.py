@@ -1,0 +1,123 @@
+"""Serving-plan recommender: the measured decision rules as an API.
+
+BENCHMARKS.md accumulated a set of *measured* serving decisions across
+rounds (batch knee, int8 split per variant, mt-vs-m workload split,
+P6-vs-tiled-overlap). This module encodes exactly those rules — nothing
+speculative — so deployment code can ask for a plan instead of
+re-reading benchmark tables. Every recommendation carries its
+provenance (the BENCHMARKS.md section it was measured in).
+
+The reference has no analogue: its serving configuration is a fixed CLI
+invocation (reference README.md:77). This exists because the TPU rebuild
+measured real trade-offs a deployer must pick between.
+
+    >>> from aquaculture_tpu.models.plan import recommend_serving
+    >>> plan = recommend_serving()                      # throughput serving
+    >>> plan.variant, plan.batch, plan.int8
+    ('mt', 128, False)
+    >>> recommend_serving(pt_interop=True).variant      # need .pt weights
+    'm'
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+from aquaculture_tpu.models.yolov5 import VARIANTS
+
+# Measured serving facts (BENCHMARKS.md), keyed by variant. Only variants
+# with on-chip measurements are listed; others inherit conservative
+# defaults (bf16, batch knee 128).
+_INT8_SAFE_WINS = {"m"}          # +4.8% with the localization-safe split
+_INT8_LOSES = {"n", "mt", "m6"}  # measured net losses (BENCHMARKS.md)
+_BATCH_KNEE = 128                # b32/64/128/192/256 sweep; 128 is the knee
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingPlan:
+    """A concrete, measurement-backed serving configuration."""
+
+    variant: str
+    batch: int
+    int8: bool
+    img_size: int
+    overlap_px: int          # 0 = hard tile grid
+    notes: Tuple[str, ...]   # provenance: why each choice, BENCHMARKS.md refs
+
+
+def recommend_serving(
+    img: int = 640,
+    latency_sensitive: bool = False,
+    pt_interop: bool = False,
+    boundary_accuracy: bool = False,
+    variant: str | None = None,
+) -> ServingPlan:
+    """Recommend a serving configuration from the measured trade-offs.
+
+    Args:
+      img: inference resolution (640 for the reference workload).
+      latency_sensitive: optimize single-tile p50 instead of batched
+        throughput (changes the variant pick AND the batch).
+      pt_interop: weights must round-trip with ultralytics ``.pt``
+        (rules out the framework-own mt channel map).
+      boundary_accuracy: detections near tile boundaries matter more
+        than throughput — picks overlap serving (the P6-vs-tiling study's
+        winner) rather than the P6 family.
+      variant: pin a variant explicitly; the plan then only fills in the
+        measured batch/int8 choices for it.
+    """
+    notes: List[str] = []
+
+    if variant is None:
+        if pt_interop or latency_sensitive:
+            variant = "m"
+            notes.append(
+                "variant=m: .pt interop and single-tile latency both pick m "
+                "(mt is +13% worse at batch 1 — BENCHMARKS 'mt latency'; "
+                "no ultralytics yaml/.pt exists for mt)")
+        else:
+            variant = "mt"
+            notes.append(
+                "variant=mt: lane-aligned map, +5.8% batched serving and "
+                "+10% training over m at >=m capacity (BENCHMARKS "
+                "'Lane-aligned variant')")
+    elif variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
+
+    batch = 1 if latency_sensitive else _BATCH_KNEE
+    notes.append(
+        "batch=1: single-tile latency path" if latency_sensitive else
+        "batch=128: measured knee — 192/256 are flat-to-slower at 2x the "
+        "latency (BENCHMARKS 'Inference')")
+
+    int8 = variant in _INT8_SAFE_WINS and not latency_sensitive
+    if int8:
+        notes.append(
+            "int8=True: localization-safe split, +4.8% at bf16-level mAP "
+            "on m (CI-bounded — BENCHMARKS 'int8 serving A/B')")
+    elif variant in _INT8_LOSES:
+        notes.append(
+            "int8=False: measured net loss on this variant (n: tiny tiles; "
+            "mt: no padding left to hide; m6: 4-level pool) — BENCHMARKS")
+    else:
+        notes.append(
+            "int8=False: unmeasured on this variant (or latency path) — "
+            "bf16 is the safe default")
+
+    overlap_px = 0
+    if boundary_accuracy:
+        overlap_px = 64
+        notes.append(
+            "overlap=64px: aug-train + overlap-serve tiling beat the P6 "
+            "family on boundary accuracy AND throughput (BENCHMARKS 'P6 "
+            "efficiency study'); cross-tile NMS merges the seams")
+
+    return ServingPlan(
+        variant=variant,
+        batch=batch,
+        int8=int8,
+        img_size=img,
+        overlap_px=overlap_px,
+        notes=tuple(notes),
+    )

@@ -246,3 +246,35 @@ def test_mt_lane_aligned_variant():
         np.asarray(apply(params, xr)), np.asarray(apply(model.fuse(params), xr)),
         rtol=2e-3, atol=2e-2,
     )
+
+
+def test_serving_plan_recommendations():
+    """plan.recommend_serving encodes ONLY the measured decision rules
+    (BENCHMARKS.md): mt for batched throughput, m for latency/.pt interop,
+    int8 only on m, batch knee 128, overlap for boundary accuracy."""
+    from aquaculture_tpu.models.plan import recommend_serving
+
+    p = recommend_serving()
+    assert (p.variant, p.batch, p.int8, p.overlap_px) == ("mt", 128, False, 0)
+
+    p = recommend_serving(pt_interop=True)
+    assert (p.variant, p.int8) == ("m", True)
+
+    p = recommend_serving(latency_sensitive=True)
+    assert (p.variant, p.batch, p.int8) == ("m", 1, False)
+
+    p = recommend_serving(boundary_accuracy=True)
+    assert p.overlap_px > 0 and p.variant == "mt"
+
+    p = recommend_serving(variant="n")
+    assert not p.int8  # measured net loss on n
+
+    p = recommend_serving(variant="m6", img=1280)
+    assert not p.int8 and p.img_size == 1280
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        recommend_serving(variant="zz")
+
+    # every choice carries provenance
+    assert all(isinstance(n, str) and n for n in p.notes)
