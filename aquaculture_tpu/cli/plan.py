@@ -1,0 +1,51 @@
+"""aq-plan: print the measured serving recommendation for a workload.
+
+The decision rules are the on-chip measurements in BENCHMARKS.md
+(models/plan.py); each printed choice carries its provenance. Example:
+
+    aq-plan                         # batched throughput serving
+    aq-plan --latency-sensitive     # single-tile p50 path
+    aq-plan --pt-interop --json     # machine-readable
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def main(argv=None) -> None:
+    from aquaculture_tpu.models.plan import recommend_serving
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--variant", default=None,
+                    help="pin a variant; default: recommend one")
+    ap.add_argument("--latency-sensitive", action="store_true",
+                    help="optimize single-tile p50, not batched throughput")
+    ap.add_argument("--pt-interop", action="store_true",
+                    help="weights must round-trip with ultralytics .pt")
+    ap.add_argument("--boundary-accuracy", action="store_true",
+                    help="tile-boundary detections matter most (overlap serving)")
+    ap.add_argument("--json", action="store_true", help="emit one JSON object")
+    args = ap.parse_args(argv)
+
+    plan = recommend_serving(
+        img=args.img,
+        latency_sensitive=args.latency_sensitive,
+        pt_interop=args.pt_interop,
+        boundary_accuracy=args.boundary_accuracy,
+        variant=args.variant,
+    )
+    if args.json:
+        print(json.dumps(dataclasses.asdict(plan)))
+        return
+    print(f"variant={plan.variant} batch={plan.batch} "
+          f"int8={plan.int8} img={plan.img_size} overlap_px={plan.overlap_px}")
+    for note in plan.notes:
+        print(f"  - {note}")
+
+
+if __name__ == "__main__":
+    main()

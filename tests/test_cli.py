@@ -141,3 +141,18 @@ def test_figures_cli(world, tmp_path):
     files = os.listdir(out_dir)
     assert "performance_across_confidence.pdf" in files
     assert any(f.startswith("facility_map_") for f in files)
+
+
+def test_plan_cli(capsys):
+    """aq-plan prints the measured recommendation; --json is parseable."""
+    import json as _json
+
+    from aquaculture_tpu.cli.plan import main as plan_main
+
+    plan_main(["--json"])
+    rec = _json.loads(capsys.readouterr().out.strip())
+    assert rec["variant"] == "mt" and rec["batch"] == 128 and not rec["int8"]
+
+    plan_main(["--pt-interop"])
+    out = capsys.readouterr().out
+    assert "variant=m " in out and "int8=True" in out
