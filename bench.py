@@ -1,4 +1,13 @@
-"""Headline benchmark: YOLOv5m 640px inference + fused NMS throughput.
+"""Headline benchmark: 640px inference + fused NMS throughput for the
+framework's RECOMMENDED bulk-serving configuration.
+
+The default config comes from models/plan.recommend_serving() — the
+measured decision rules (currently the lane-aligned `mt` variant, bf16,
+batch 128; BENCHMARKS.md "Lane-aligned variant family"). mt is the
+TPU-first headline: same-or-more capacity than YOLOv5m (48.8 vs 47.9
+useful GF/img) with the channel map searched against the 128-lane MXU
+tile roofline. `--variant m` reproduces the .pt-parity baseline rows
+from rounds 1-2.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 The reference publishes no throughput numbers (BASELINE.json published: {}),
@@ -21,8 +30,8 @@ Variants (not used by the driver):
                                        # times NMS under realistic detection
                                        # density instead of random noise
   python bench.py --batch 256          # batch override (compile-cache assisted)
-  python bench.py --variant mt         # measure another variant (e.g. the
-                                       # TPU-lane-aligned mt; BENCHMARKS.md)
+  python bench.py --variant m          # the .pt-parity baseline (rounds 1-2
+                                       # headline config; BENCHMARKS.md)
 """
 
 from __future__ import annotations
@@ -68,7 +77,12 @@ def main() -> None:
     int8 = INT8 or "--int8" in args
     if "--batch" in args:
         batch = int(args[args.index("--batch") + 1])
-    variant = "m"
+    # Default variant = the framework's measured bulk-serving recommendation
+    # (models/plan.py; currently mt). `--variant m` is the .pt-parity
+    # baseline measured in rounds 1-2.
+    from aquaculture_tpu.models.plan import recommend_serving
+
+    variant = recommend_serving().variant
     if "--variant" in args:
         variant = args[args.index("--variant") + 1]
     if "--trained" in args:

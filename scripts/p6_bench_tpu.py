@@ -1,14 +1,22 @@
-"""One-off P6 throughput datapoint: YOLOv5m6 at its native 1280px,
-infer + NMS, steady-state windows (same harness shape as bench.py).
-Appends to BENCH_P6.jsonl."""
+"""P6 throughput datapoint: YOLOv5m6 at its native 1280px, infer + NMS,
+steady-state windows (same harness shape as bench.py). Appends to
+BENCH_P6.jsonl.
+
+--batch sweeps the dispatch-amortization hypothesis from the round-3e
+roofline: m6@b32 runs at only 56% of its tile-model bound while m@640
+climbs 24->44% MFU purely from b32->b128 batch growth, so a larger P6
+batch should recover the same scheduling slack if HBM allows it.
+
+    python scripts/p6_bench_tpu.py [--batch 64]
+"""
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
 
-BATCH = 32
 IMG = 1280
 WARMUP = 3
 WINDOWS = 3
@@ -17,6 +25,10 @@ RESULTS = os.path.join(os.path.dirname(__file__), "..", "BENCH_P6.jsonl")
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+    BATCH = args.batch
     cache = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
     os.makedirs(cache, exist_ok=True)
     import jax
