@@ -54,6 +54,8 @@ def main():
 
     base_r = (12, 52)
     results_path = os.path.join(args.out, "results.jsonl")
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "..", "BENCH_TTA.jsonl")
     os.makedirs(args.out, exist_ok=True)
 
     if args.ckpt:
@@ -92,8 +94,9 @@ def main():
             rec = {"world_scale": mult, "config": name,
                    "map50": round(m["map50"], 4), "map50_95": round(m["map"], 4)}
             print(json.dumps(rec), flush=True)
-            with open(results_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            for path in (results_path, bench_path):
+                with open(path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
