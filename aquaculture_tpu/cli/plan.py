@@ -28,6 +28,9 @@ def main(argv=None) -> None:
                     help="weights must round-trip with ultralytics .pt")
     ap.add_argument("--boundary-accuracy", action="store_true",
                     help="tile-boundary detections matter most (overlap serving)")
+    ap.add_argument("--scale-shifted", action="store_true",
+                    help="object scales uncertain / beyond the trained range "
+                    "(turns on multi-scale TTA)")
     ap.add_argument("--json", action="store_true", help="emit one JSON object")
     args = ap.parse_args(argv)
 
@@ -36,13 +39,15 @@ def main(argv=None) -> None:
         latency_sensitive=args.latency_sensitive,
         pt_interop=args.pt_interop,
         boundary_accuracy=args.boundary_accuracy,
+        scale_shifted=args.scale_shifted,
         variant=args.variant,
     )
     if args.json:
         print(json.dumps(dataclasses.asdict(plan)))
         return
     print(f"variant={plan.variant} batch={plan.batch} "
-          f"int8={plan.int8} img={plan.img_size} overlap_px={plan.overlap_px}")
+          f"int8={plan.int8} img={plan.img_size} overlap_px={plan.overlap_px} "
+          f"tta={plan.tta}")
     for note in plan.notes:
         print(f"  - {note}")
 

@@ -43,6 +43,7 @@ class ServingPlan:
     int8: bool
     img_size: int
     overlap_px: int          # 0 = hard tile grid
+    tta: bool                # multi-scale test-time augmentation (--augment)
     notes: Tuple[str, ...]   # provenance: why each choice, BENCHMARKS.md refs
 
 
@@ -51,6 +52,7 @@ def recommend_serving(
     latency_sensitive: bool = False,
     pt_interop: bool = False,
     boundary_accuracy: bool = False,
+    scale_shifted: bool = False,
     variant: str | None = None,
 ) -> ServingPlan:
     """Recommend a serving configuration from the measured trade-offs.
@@ -64,6 +66,11 @@ def recommend_serving(
       boundary_accuracy: detections near tile boundaries matter more
         than throughput — picks overlap serving (the P6-vs-tiling study's
         winner) rather than the P6 family.
+      scale_shifted: the corpus's object scales are uncertain or exceed
+        the training distribution (e.g. imagery at a new ground
+        resolution) — turns on multi-scale TTA, which is a measured LOSS
+        in distribution but recovers large-object recall under scale
+        mismatch (BENCHMARKS 'TTA scale-shift study').
       variant: pin a variant explicitly; the plan then only fills in the
         measured batch/int8 choices for it.
     """
@@ -105,6 +112,20 @@ def recommend_serving(
             "int8=False: unmeasured on this variant (or latency path) — "
             "bf16 is the safe default")
 
+    tta = scale_shifted
+    if scale_shifted:
+        notes.append(
+            "tta=True: serving scales exceed the trained range — TTA's "
+            "down-scale passes recover large-object recall (+83% rel "
+            "mAP@.5 at 2x trained scale; costs 3x the forward FLOPs and "
+            "~0.02 mAP in-distribution — BENCHMARKS 'TTA scale-shift "
+            "study')")
+    else:
+        notes.append(
+            "tta=False: measured ~0.02 mAP@.5 LOSS in-distribution at 3x "
+            "the forward cost; only pays under scale mismatch (BENCHMARKS "
+            "'TTA scale-shift study')")
+
     overlap_px = 0
     if boundary_accuracy:
         overlap_px = 64
@@ -119,5 +140,6 @@ def recommend_serving(
         int8=int8,
         img_size=img,
         overlap_px=overlap_px,
+        tta=tta,
         notes=tuple(notes),
     )

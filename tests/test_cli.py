@@ -156,3 +156,10 @@ def test_plan_cli(capsys):
     plan_main(["--pt-interop"])
     out = capsys.readouterr().out
     assert "variant=m " in out and "int8=True" in out
+
+    # the measured TTA rule: off by default (in-distribution loss), on
+    # under scale mismatch (BENCHMARKS TTA scale-shift study)
+    assert rec["tta"] is False
+    plan_main(["--scale-shifted", "--json"])
+    rec2 = _json.loads(capsys.readouterr().out.strip())
+    assert rec2["tta"] is True
