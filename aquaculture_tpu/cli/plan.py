@@ -16,8 +16,6 @@ import json
 
 
 def main(argv=None) -> None:
-    from aquaculture_tpu.models.plan import recommend_serving
-
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--variant", default=None,
@@ -33,6 +31,9 @@ def main(argv=None) -> None:
                     "(turns on multi-scale TTA)")
     ap.add_argument("--json", action="store_true", help="emit one JSON object")
     args = ap.parse_args(argv)
+
+    # deferred: keep --help free of the jax import chain
+    from aquaculture_tpu.models.plan import recommend_serving
 
     plan = recommend_serving(
         img=args.img,

@@ -81,8 +81,8 @@ def recommend_serving(
             variant = "m"
             notes.append(
                 "variant=m: .pt interop and single-tile latency both pick m "
-                "(mt is +13% worse at batch 1 — BENCHMARKS 'mt latency'; "
-                "no ultralytics yaml/.pt exists for mt)")
+                "(mt is +13% worse at batch 1 — BENCHMARKS 'Tile -> geojson "
+                "latency'; no ultralytics yaml/.pt exists for mt)")
         else:
             variant = "mt"
             notes.append(
@@ -91,6 +91,18 @@ def recommend_serving(
                 "'Lane-aligned variant')")
     elif variant not in VARIANTS:
         raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
+    elif variant == "mt" and pt_interop:
+        # not a trade-off but an impossibility: no ultralytics yaml/.pt
+        # exists for the framework-own channel map
+        raise ValueError(
+            "variant='mt' cannot satisfy pt_interop: mt is framework-own "
+            "(no ultralytics .pt exists for its channel map) — pin 'm' "
+            "or drop the pin")
+    elif variant == "mt" and latency_sensitive:
+        notes.append(
+            "WARNING variant=mt pinned on the latency path: measured +13% "
+            "worse batch-1 device p50 than m (BENCHMARKS 'Tile -> geojson "
+            "latency', round 3f)")
 
     batch = 1 if latency_sensitive else _BATCH_KNEE
     notes.append(

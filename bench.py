@@ -199,12 +199,18 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE_IMG_PER_S, 3),
         # The reference publishes no throughput (BASELINE.json published: {});
         # the denominator is a literature anchor, not a measured baseline.
-        "baseline_kind": "literature_anchor_v100_140imgs",
+        "baseline_kind": "literature_anchor_v100_140imgs_yolov5m",
         "ms_per_batch": round(1000.0 * batch / value, 2),
         "batch": batch,
     }
     if flops:
         out["mfu_pct"] = round(100.0 * flops * (value / batch) / PEAK_FLOPS, 2)
+    if not trained_ckpt and variant != "m":
+        # the anchor model is YOLOv5m; flag cross-model ratios explicitly
+        out["baseline_note"] = (
+            f"anchor is YOLOv5m; measured variant is {variant}"
+            + (" (>=m capacity — BENCHMARKS 'Lane-aligned variant family')"
+               if variant == "mt" else ""))
     if trained_ckpt:
         out["detections_kept_per_batch"] = kept
     print(json.dumps(out))

@@ -60,8 +60,17 @@ def main():
 
     if args.ckpt:
         from aquaculture_tpu.eval.accuracy import load_checkpoint_f32
+        from aquaculture_tpu.utils.checkpoint import load_metadata
 
-        model, fused = load_checkpoint_f32(args.ckpt, "n", 2)
+        meta = load_metadata(args.ckpt) if os.path.isdir(args.ckpt) else {}
+        variant = meta.get("variant", "n")
+        nc = int(meta.get("num_classes", 2))
+        if "img_size" in meta and int(meta["img_size"]) != args.img:
+            raise SystemExit(
+                f"--ckpt was trained at img_size={meta['img_size']} but the "
+                f"study would serve at --img {args.img}; pass --img "
+                f"{meta['img_size']} (a silent mismatch scores garbage mAP)")
+        model, fused = load_checkpoint_f32(args.ckpt, variant, nc)
     else:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from aug_study import train_arm  # scripts/ sibling: the proven recipe

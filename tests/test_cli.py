@@ -163,3 +163,12 @@ def test_plan_cli(capsys):
     plan_main(["--scale-shifted", "--json"])
     rec2 = _json.loads(capsys.readouterr().out.strip())
     assert rec2["tta"] is True
+
+    # pinning mt while requiring .pt interop is an impossibility, not a
+    # trade-off: no ultralytics .pt exists for the framework-own map
+    import pytest
+
+    from aquaculture_tpu.models.plan import recommend_serving
+
+    with pytest.raises(ValueError, match="pt_interop"):
+        recommend_serving(variant="mt", pt_interop=True)
