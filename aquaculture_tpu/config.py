@@ -62,6 +62,13 @@ class DetectConfig:
     augment: bool = False           # test-time augmentation (ultralytics
                                     # detect.py --augment): multi-scale +
                                     # lr-flip passes merged before NMS
+    # TTA pass geometry (used only when augment=True). Defaults are the
+    # ultralytics transform; ratios >1 add UP-scale passes for corpora
+    # whose objects are smaller than the trained range (the symmetric
+    # case of the BENCHMARKS TTA scale-shift study — though serving at a
+    # larger img_size measured strictly better there).
+    tta_scales: tuple = (1.0, 0.83, 0.67)
+    tta_flips: tuple = (None, "lr", None)
     class_agnostic: bool = False
     dtype: str = "bfloat16"
     nms_backend: str = "auto"       # ops/nms.batched_nms backend; 'auto:tpu'

@@ -130,8 +130,11 @@ def recommend_serving(
             "tta=True: serving scales exceed the trained range — TTA's "
             "down-scale passes recover large-object recall (+83% rel "
             "mAP@.5 at 2x trained scale; costs 3x the forward FLOPs and "
-            "~0.02 mAP in-distribution — BENCHMARKS 'TTA scale-shift "
-            "study')")
+            "~0.02 mAP in-distribution). For a KNOWN resolution change, "
+            "re-serving at the matching --img measured better AND cheaper "
+            "than any TTA ensemble; point DetectConfig.tta_scales at the "
+            "mismatch direction for small objects (BENCHMARKS 'TTA "
+            "scale-shift study')")
     else:
         notes.append(
             "tta=False: measured ~0.02 mAP@.5 LOSS in-distribution at 3x "

@@ -84,7 +84,9 @@ def make_infer_fn(
         if cfg.augment:
             from aquaculture_tpu.ops.tta import tta_predict
 
-            preds = tta_predict(model, params, x)
+            preds = tta_predict(
+                model, params, x, scales=cfg.tta_scales, flips=cfg.tta_flips
+            )
         else:
             preds, _ = model.apply(params, x)
         det, valid = batched_nms(

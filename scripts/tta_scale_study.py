@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--scales", default="1.0,1.5,2.0",
                     help="val-world cage-scale multipliers vs the trained r(12,52)")
+    ap.add_argument("--configs", default="bf16,tta",
+                    help="comma list of serving configs per world: bf16, tta "
+                    "(ultralytics down-scale passes), tta_up (adds up-scale "
+                    "passes 1.33/1.67 — the small-object symmetric tool), "
+                    "bf16_2x / bf16_half (serve at 2x / half img_size — the "
+                    "single-pass alternatives for small / oversized objects)")
     args = ap.parse_args()
 
     import jax
@@ -91,16 +97,28 @@ def main():
 
     import glob
 
+    CONFIGS = {
+        "bf16": {},
+        "tta": {"augment": True},
+        "tta_up": {"augment": True, "tta_scales": (1.0, 1.33, 1.67),
+                   "tta_flips": (None, "lr", None)},
+        "bf16_2x": {"img_size": 2 * args.img},
+        # img_size must be a multiple of the stride pyramid (32): snap the
+        # half-resolution serve to the nearest valid size
+        "bf16_half": {"img_size": max(32, round(args.img / 64) * 32)},
+    }
     for mult in [float(s) for s in args.scales.split(",")]:
         r = (base_r[0] * mult, base_r[1] * mult)
         wdir = os.path.join(args.out, f"val_x{mult:g}")
         render_world(wdir, n_images=args.val_images, seed=777, r_range=r)
         paths = sorted(glob.glob(os.path.join(wdir, "images", "*.jpeg")))
-        for name, kw in (("bf16", {}), ("tta", {"augment": True})):
-            cfg = DetectConfig(img_size=args.img, conf_threshold=1e-3, **kw)
+        for name in args.configs.split(","):
+            kw = dict(img_size=args.img, conf_threshold=1e-3)
+            kw.update(CONFIGS[name])
+            cfg = DetectConfig(**kw)
             m = world_map(paths, os.path.join(wdir, "labels"), model, fused,
                           cfg, num_classes=2)
-            rec = {"world_scale": mult, "config": name,
+            rec = {"world_scale": mult, "config": name, "img": kw["img_size"],
                    "map50": round(m["map50"], 4), "map50_95": round(m["map"], 4)}
             print(json.dumps(rec), flush=True)
             for path in (results_path, bench_path):
