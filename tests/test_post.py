@@ -82,8 +82,10 @@ def test_geocode_detections_schema_and_crs():
     b = np.asarray([[0.0, 0.0, 1200.0, 1200.0]])
     xmin_m, ymax_m = p2m(np.r_[100.0], np.r_[100.0], np.r_[1024.0], np.r_[2048.0], b)
     east, north = _crs.transform(3857, 3035, xmin_m, ymax_m)
-    assert det["xmin_m"].iloc[0] == pytest.approx(float(north))  # swapped
-    assert det["ymax_m"].iloc[0] == pytest.approx(float(east))
+    east = float(np.asarray(east).reshape(()))
+    north = float(np.asarray(north).reshape(()))
+    assert det["xmin_m"].iloc[0] == pytest.approx(north)  # swapped
+    assert det["ymax_m"].iloc[0] == pytest.approx(east)
 
     # authority_order=False gives true (easting, northing)
     det2 = geocode_detections(
@@ -94,8 +96,8 @@ def test_geocode_detections_schema_and_crs():
         download_bboxes=dl,
         authority_order=False,
     )
-    assert det2["xmin_m"].iloc[0] == pytest.approx(float(east))
-    assert det2["ymax_m"].iloc[0] == pytest.approx(float(north))
+    assert det2["xmin_m"].iloc[0] == pytest.approx(east)
+    assert det2["ymax_m"].iloc[0] == pytest.approx(north)
 
 
 def test_geocode_empty():
