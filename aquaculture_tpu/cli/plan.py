@@ -29,11 +29,39 @@ def main(argv=None) -> None:
     ap.add_argument("--scale-shifted", action="store_true",
                     help="object scales uncertain / beyond the trained range "
                     "(turns on multi-scale TTA)")
+    ap.add_argument("--train", action="store_true",
+                    help="recommend a TRAINING configuration instead "
+                    "(variant/batch/dtype/remat/augment recipe/feed cores)")
+    ap.add_argument("--small-targets", action="store_true",
+                    help="(--train) objects are small relative to the image: "
+                    "moderate the affine scale jitter")
+    ap.add_argument("--memory-constrained", action="store_true",
+                    help="(--train) per-chip batch doesn't fit HBM: turn on "
+                    "remat instead of shrinking the batch")
     ap.add_argument("--json", action="store_true", help="emit one JSON object")
     args = ap.parse_args(argv)
 
     # deferred: keep --help free of the jax import chain
-    from aquaculture_tpu.models.plan import recommend_serving
+    from aquaculture_tpu.models.plan import recommend_serving, recommend_training
+
+    if args.train:
+        plan = recommend_training(
+            pt_interop=args.pt_interop,
+            small_targets=args.small_targets,
+            memory_constrained=args.memory_constrained,
+            variant=args.variant,
+        )
+        if args.json:
+            print(json.dumps(dataclasses.asdict(plan)))
+            return
+        print(f"variant={plan.variant} batch={plan.batch} "
+              f"dtype={plan.compute_dtype} remat={plan.remat} "
+              f"augment={plan.augment} mosaic={plan.mosaic} "
+              f"scale={plan.scale_jitter} budget_x={plan.budget_multiplier} "
+              f"feed_cores={plan.feed_cores}")
+        for note in plan.notes:
+            print(f"  - {note}")
+        return
 
     plan = recommend_serving(
         img=args.img,

@@ -17,6 +17,8 @@ measured real trade-offs a deployer must pick between.
     ('mt', 128, False)
     >>> recommend_serving(pt_interop=True).variant      # need .pt weights
     'm'
+    >>> recommend_training().variant, recommend_training().batch
+    ('mt', 128)
 """
 
 from __future__ import annotations
@@ -156,5 +158,118 @@ def recommend_serving(
         img_size=img,
         overlap_px=overlap_px,
         tta=tta,
+        notes=tuple(notes),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingPlan:
+    """A concrete, measurement-backed training configuration.
+
+    Field names match TrainConfig so a plan maps 1:1 onto it:
+    TrainConfig(batch_size=plan.batch, compute_dtype=plan.compute_dtype,
+    remat=plan.remat, scale=plan.scale_jitter, mosaic=plan.mosaic, ...).
+    """
+
+    variant: str
+    batch: int
+    compute_dtype: str
+    remat: bool
+    augment: bool
+    mosaic: float
+    scale_jitter: float
+    budget_multiplier: float  # step budget vs an equal-budget no-aug run
+    feed_cores: int           # host decode/aug cores needed at full step rate
+    notes: Tuple[str, ...]
+
+
+def recommend_training(
+    pt_interop: bool = False,
+    small_targets: bool = False,
+    memory_constrained: bool = False,
+    variant: str | None = None,
+) -> TrainingPlan:
+    """Recommend a training configuration from the measured trade-offs.
+
+    Args:
+      pt_interop: the trained weights must round-trip with ultralytics
+        ``.pt`` (rules out the framework-own mt channel map).
+      small_targets: the dataset's objects are small relative to the
+        image (the aug study's regime) — moderates the affine scale
+        jitter so mosaic+scale doesn't shrink targets below
+        detectability.
+      memory_constrained: the per-chip batch doesn't fit HBM — turns on
+        remat (a measured MEMORY lever: 18% slower wall-clock, bigger
+        batches), instead of silently shrinking the batch.
+      variant: pin a variant; the plan fills in the measured knobs.
+    """
+    notes: List[str] = []
+
+    if variant is None:
+        if pt_interop:
+            variant = "m"
+            notes.append(
+                "variant=m: .pt interop requires the public channel map "
+                "(no ultralytics yaml/.pt exists for mt)")
+        else:
+            variant = "mt"
+            notes.append(
+                "variant=mt: +10.0% img/s over m at >=m capacity (400.7 "
+                "img/s, 30.3% MFU — BENCHMARKS 'Training' mt row); the "
+                "training-MFU binder is architecture lane padding, and "
+                "the channel map is the lever that moves it")
+    elif variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
+    elif variant == "mt" and pt_interop:
+        raise ValueError(
+            "variant='mt' cannot satisfy pt_interop: mt is framework-own "
+            "(no ultralytics .pt exists for its channel map) — pin 'm' "
+            "or drop the pin")
+
+    notes.append(
+        "batch=128: best measured img/s (the 32/64/128 sweep is "
+        "monotonic; 192/256 blocked by the measurement tunnel, not HBM — "
+        "BENCHMARKS 'Training')")
+    notes.append(
+        "compute_dtype=bfloat16: 2.1x fp32 img/s, converges to the same "
+        "demo mAP with f32 master params/BN/loss (BENCHMARKS 'Training' "
+        "defaults note)")
+
+    remat = bool(memory_constrained)
+    notes.append(
+        "remat=True: a MEMORY lever — 18% slower wall-clock, buys bigger "
+        "per-chip batches (BENCHMARKS 'Training' remat row)"
+        if remat else
+        "remat=False: measured 18% slower wall-clock for no throughput "
+        "gain at batch 128 (BENCHMARKS 'Training' remat row)")
+
+    scale_jitter = 0.3 if small_targets else 0.5
+    notes.append(
+        "augment=True, mosaic=0.5: the recipe generalizes — 8x held-out "
+        "mAP@.5 over no-aug at 4x the step budget (BENCHMARKS "
+        "'Augmentation study'); budget_multiplier=4 vs a memorization run")
+    if small_targets:
+        notes.append(
+            "scale=0.3: the ultralytics default 0.5 shrinks small targets "
+            "below detectability under mosaic (the aug study's rev-1 "
+            "failure) — moderate the jitter for small-object datasets")
+
+    feed_cores = 22  # ceil(364 img/s step / 17.1 img/s/core aug feed)
+    notes.append(
+        "feed_cores~22: the augmented 640px feed produces 17.1 img/s/core "
+        "vs the 364 img/s step — thread the dataset feed "
+        "(TrainConfig.feed_threads; batches are thread-count-invariant) — "
+        "BENCHMARKS 'host feed'")
+
+    return TrainingPlan(
+        variant=variant,
+        batch=128,
+        compute_dtype="bfloat16",
+        remat=remat,
+        augment=True,
+        mosaic=0.5,
+        scale_jitter=scale_jitter,
+        budget_multiplier=4.0,
+        feed_cores=feed_cores,
         notes=tuple(notes),
     )

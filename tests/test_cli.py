@@ -172,3 +172,17 @@ def test_plan_cli(capsys):
 
     with pytest.raises(ValueError, match="pt_interop"):
         recommend_serving(variant="mt", pt_interop=True)
+
+    # the training plan: measured defaults, remat only under memory pressure
+    plan_main(["--train", "--json"])
+    tr = _json.loads(capsys.readouterr().out.strip())
+    assert tr["variant"] == "mt" and tr["batch"] == 128
+    assert tr["compute_dtype"] == "bfloat16" and tr["remat"] is False
+    plan_main(["--train", "--memory-constrained", "--small-targets", "--json"])
+    tr2 = _json.loads(capsys.readouterr().out.strip())
+    assert tr2["remat"] is True and tr2["scale_jitter"] == 0.3
+
+    from aquaculture_tpu.models.plan import recommend_training
+
+    with pytest.raises(ValueError, match="pt_interop"):
+        recommend_training(variant="mt", pt_interop=True)
