@@ -67,6 +67,31 @@ def test_aug_recipe_generalizes(tmp_path_factory, model_and_params):
     assert m >= 0.35, f"held-out mAP@.5 collapsed: {m:.3f}"
 
 
+def test_int8_safe_holds_out_of_distribution(tmp_path_factory):
+    """The --int8 default's accuracy bound, on a GENERALIZING checkpoint
+    and an unseen world (test_accuracy.py bounds it on the overfit
+    fixture's own training world). The localization-safe split must stay
+    within epsilon of bf16 where the model actually generalizes."""
+    from aquaculture_tpu.eval.accuracy import serving_accuracy_table
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from end_to_end_demo import render_world
+
+    out = str(tmp_path_factory.mktemp("int8world"))
+    img_dir, lab_dir = render_world(out, n_images=8, seed=999, r_range=(12, 52))
+    rows = {
+        r.name: r
+        for r in serving_accuracy_table(
+            img_dir, lab_dir, FIXTURE,
+            variant="n", num_classes=2, img_size=160,
+            configs=("bf16", "int8_safe"),
+        )
+    }
+    assert rows["bf16"].map50 >= 0.35
+    drift = abs(rows["int8_safe"].map50 - rows["bf16"].map50)
+    assert drift <= 0.08, f"int8_safe drifted {drift:.3f} mAP@.5 from bf16 held-out"
+
+
 def test_tta_pays_under_scale_shift(tmp_path_factory, model_and_params):
     """The measured rule behind recommend_serving(scale_shifted=True):
     at 2x the trained object scale, TTA's down-scale passes must beat the
