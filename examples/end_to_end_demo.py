@@ -32,10 +32,26 @@ def render_world(
     size: int = 1024,
     seed: int = 0,
     r_range: tuple = (18, 40),
+    clutter: float = 0.0,
+    rotate: bool = False,
+    contrast_jitter: float = 0.0,
 ):
     """Synthetic 'sea' tiles with bright circle/square cages + YOLO labels
     + a wanted_bboxes.csv grid. r_range widens the cage-scale distribution
-    (the augmentation study trains/validates on varied scales)."""
+    (the augmentation study trains/validates on varied scales).
+
+    Opt-in realism knobs (all default OFF — the committed accuracy
+    fixtures were trained on the default rendering and CI bounds depend
+    on it staying byte-identical):
+      clutter: expected count of non-cage hard negatives per tile — bright
+        wave streaks (thin lines) and boat-like filled rectangles that a
+        shape-only detector confuses with cages. No labels are emitted for
+        them: they must be LEARNED as negatives.
+      rotate: draw square cages at a random orientation (labels stay the
+        axis-aligned bounds of the drawn shape, like real annotations).
+      contrast_jitter: +-fraction applied per-tile to the cage outline
+        brightness (turbidity/lighting variation across tiles).
+    """
     from PIL import Image, ImageDraw
 
     rng = np.random.default_rng(seed)
@@ -49,6 +65,27 @@ def render_world(
         sea[..., 2] = np.clip(sea[..., 2].astype(int) + 40, 0, 255)  # blue-ish
         im = Image.fromarray(sea)
         draw = ImageDraw.Draw(im)
+        outline = 235
+        if contrast_jitter:
+            outline = int(np.clip(235 * (1 + rng.uniform(-contrast_jitter,
+                                                         contrast_jitter)),
+                                  110, 255))
+        if clutter:
+            for _ in range(rng.poisson(clutter)):
+                kind = rng.uniform()
+                x0, y0 = rng.uniform(20, size - 120, 2)
+                if kind < 0.6:  # wave streak: long thin bright line
+                    ang = rng.uniform(0, np.pi)
+                    ln = rng.uniform(120, 420)
+                    x1, y1 = x0 + ln * np.cos(ang), y0 + ln * np.sin(ang)
+                    c = int(rng.uniform(150, 220))
+                    draw.line((x0, y0, x1, y1), fill=(c, c, c),
+                              width=int(rng.integers(2, 5)))
+                else:  # boat-like filled rectangle (hard negative vs cages)
+                    w, h = rng.uniform(18, 60), rng.uniform(8, 22)
+                    c = int(rng.uniform(170, 235))
+                    draw.rectangle((x0, y0, x0 + w, y0 + h),
+                                   fill=(c, c, min(255, c + 10)))
         rows = []
         # cluster of cages in one spot per tile
         ccx, ccy = rng.uniform(200, size - 200, 2)
@@ -58,11 +95,24 @@ def render_world(
             r = rng.uniform(*r_range)
             cls = int(rng.integers(0, 2))  # 0 circle, 1 square
             bb = (cx - r, cy - r, cx + r, cy + r)
+            col = (outline, outline, max(0, outline - 5))
+            bcx, bcy, bw, bh = cx, cy, 2 * r, 2 * r
             if cls == 0:
-                draw.ellipse(bb, outline=(235, 235, 230), width=6)
+                draw.ellipse(bb, outline=col, width=6)
+            elif rotate:
+                theta = rng.uniform(0, np.pi / 2)
+                c_, s_ = np.cos(theta), np.sin(theta)
+                pts = [(cx + r * (c_ * dx - s_ * dy), cy + r * (s_ * dx + c_ * dy))
+                       for dx, dy in ((-1, -1), (1, -1), (1, 1), (-1, 1))]
+                pts.append(pts[0])
+                draw.line(pts, fill=col, width=6, joint="curve")
+                xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+                bcx, bcy = (min(xs) + max(xs)) / 2, (min(ys) + max(ys)) / 2
+                bw, bh = max(xs) - min(xs), max(ys) - min(ys)
             else:
-                draw.rectangle(bb, outline=(235, 235, 230), width=6)
-            rows.append(f"{cls} {cx/size:.6f} {cy/size:.6f} {2*r/size:.6f} {2*r/size:.6f}")
+                draw.rectangle(bb, outline=col, width=6)
+            rows.append(f"{cls} {bcx/size:.6f} {bcy/size:.6f} "
+                        f"{bw/size:.6f} {bh/size:.6f}")
         name = f"ORTHOIMAGERY.ORTHOPHOTOS2014_{i}_0_0"
         im.save(os.path.join(img_dir, name + ".jpeg"), quality=92)
         with open(os.path.join(lab_dir, name + ".txt"), "w") as f:

@@ -68,6 +68,12 @@ def main():
                     "6-26px at 160px, so +-50% can shrink targets below "
                     "detectability — 0.25-0.3 suits small worlds")
     ap.add_argument("--arms", default="noaug,aug")
+    ap.add_argument("--clutter", type=float, default=0.0,
+                    help="render_world realism: expected hard negatives/tile")
+    ap.add_argument("--rotate", action="store_true",
+                    help="render_world realism: rotated square cages")
+    ap.add_argument("--contrast-jitter", type=float, default=0.0,
+                    help="render_world realism: per-tile outline contrast +-frac")
     args = ap.parse_args()
 
     import jax
@@ -82,9 +88,12 @@ def main():
 
     train_dir = os.path.join(args.out, "train")
     val_dir = os.path.join(args.out, "val")
+    knobs = dict(clutter=args.clutter, rotate=args.rotate,
+                 contrast_jitter=args.contrast_jitter)
     t_img, t_lab = render_world(train_dir, n_images=args.train_images, seed=0,
-                                r_range=(12, 52))
-    render_world(val_dir, n_images=args.val_images, seed=777, r_range=(12, 52))
+                                r_range=(12, 52), **knobs)
+    render_world(val_dir, n_images=args.val_images, seed=777, r_range=(12, 52),
+                 **knobs)
 
     cfg = TrainConfig(img_size=args.img, batch_size=4, epochs=args.epochs,
                       mosaic=args.mosaic, scale=args.scale)
@@ -96,6 +105,7 @@ def main():
             "arm": arm,
             "epochs": args.epochs,
             "train_images": args.train_images,
+            **{k: v for k, v in knobs.items() if v},
             "final_loss": round(loss, 4),
             "train_map50": round(m_tr["map50"], 4),
             "val_map50": round(m_va["map50"], 4),
