@@ -65,7 +65,7 @@ def main():
     ap.add_argument("--mosaic", type=float, default=1.0)
     ap.add_argument("--scale", type=float, default=0.5,
                     help="affine scale jitter; the demo world's cages are "
-                    "6-26px at 160px, so +-50% can shrink targets below "
+                    "6-26px at 160px, so +-50%% can shrink targets below "
                     "detectability — 0.25-0.3 suits small worlds")
     ap.add_argument("--arms", default="noaug,aug")
     ap.add_argument("--clutter", type=float, default=0.0,
