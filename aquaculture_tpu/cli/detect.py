@@ -144,6 +144,13 @@ def main(argv=None) -> None:
             img_size=img_size, conf_threshold=meta["conf_threshold"],
             iou_threshold=meta["iou_threshold"],
             multi_label=meta["multi_label"], augment=meta["augment"],
+            # older artifacts predate the recorded pass geometry; their
+            # programs were exported with the stock transform
+            tta_scales=tuple(meta.get("tta_scales", (1.0, 0.83, 0.67))),
+            tta_flips=tuple(
+                None if f in (None, "none") else f
+                for f in meta.get("tta_flips", (None, "lr", None))
+            ),
         )
     else:
         cfg = DetectConfig(

@@ -17,7 +17,8 @@ import json
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--img", type=int, default=None,
+                    help="serving resolution (default 640; serving mode only)")
     ap.add_argument("--variant", default=None,
                     help="pin a variant; default: recommend one")
     ap.add_argument("--latency-sensitive", action="store_true",
@@ -40,6 +41,23 @@ def main(argv=None) -> None:
                     "remat instead of shrinking the batch")
     ap.add_argument("--json", action="store_true", help="emit one JSON object")
     args = ap.parse_args(argv)
+
+    # each mode ignores the other's knobs — refuse instead of printing a
+    # plan that silently dropped a stated constraint
+    if args.train:
+        bad = [f for f, on in (("--latency-sensitive", args.latency_sensitive),
+                               ("--boundary-accuracy", args.boundary_accuracy),
+                               ("--scale-shifted", args.scale_shifted),
+                               ("--img", args.img is not None)) if on]
+        if bad:
+            ap.error(f"{' '.join(bad)}: serving-only flag(s) have no effect "
+                     "with --train")
+    else:
+        bad = [f for f, on in (("--small-targets", args.small_targets),
+                               ("--memory-constrained", args.memory_constrained))
+               if on]
+        if bad:
+            ap.error(f"{' '.join(bad)}: training-only flag(s) need --train")
 
     # deferred: keep --help free of the jax import chain
     from aquaculture_tpu.models.plan import recommend_serving, recommend_training
@@ -64,7 +82,7 @@ def main(argv=None) -> None:
         return
 
     plan = recommend_serving(
-        img=args.img,
+        img=args.img if args.img is not None else 640,
         latency_sensitive=args.latency_sensitive,
         pt_interop=args.pt_interop,
         boundary_accuracy=args.boundary_accuracy,

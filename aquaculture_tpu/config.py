@@ -69,6 +69,16 @@ class DetectConfig:
     # larger img_size measured strictly better there).
     tta_scales: tuple = (1.0, 0.83, 0.67)
     tta_flips: tuple = (None, "lr", None)
+
+    def __post_init__(self):
+        # zip(scales, flips) would silently DROP passes on a length
+        # mismatch — a user adding a 4th scale would measure a 3-pass
+        # ensemble without knowing
+        if len(self.tta_scales) != len(self.tta_flips):
+            raise ValueError(
+                f"tta_scales ({len(self.tta_scales)}) and tta_flips "
+                f"({len(self.tta_flips)}) must have the same length — one "
+                "flip entry (None or 'lr') per scale pass")
     class_agnostic: bool = False
     dtype: str = "bfloat16"
     nms_backend: str = "auto"       # ops/nms.batched_nms backend; 'auto:tpu'

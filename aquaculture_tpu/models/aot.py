@@ -139,6 +139,11 @@ def export_serving(
         "max_detections": cfg.max_detections,
         "multi_label": cfg.multi_label,
         "augment": cfg.augment,
+        # the pass geometry is baked into the exported program; record it
+        # so the artifact stays auditable (and reconstructable) when a
+        # non-default TTA ensemble was exported
+        "tta_scales": list(cfg.tta_scales),
+        "tta_flips": list(cfg.tta_flips),
         "nms_backend": cfg.nms_backend,
         "anchors": [
             [[float(w), float(h)] for (w, h) in level]

@@ -11,7 +11,8 @@ The reference has no analogue: its serving configuration is a fixed CLI
 invocation (reference README.md:77). This exists because the TPU rebuild
 measured real trade-offs a deployer must pick between.
 
-    >>> from aquaculture_tpu.models.plan import recommend_serving
+    >>> from aquaculture_tpu.models.plan import (
+    ...     recommend_serving, recommend_training)
     >>> plan = recommend_serving()                      # throughput serving
     >>> plan.variant, plan.batch, plan.int8
     ('mt', 128, False)
@@ -24,6 +25,7 @@ measured real trade-offs a deployer must pick between.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import List, Tuple
 
 from aquaculture_tpu.models.yolov5 import VARIANTS
@@ -254,12 +256,16 @@ def recommend_training(
             "below detectability under mosaic (the aug study's rev-1 "
             "failure) — moderate the jitter for small-object datasets")
 
-    feed_cores = 22  # ceil(364 img/s step / 17.1 img/s/core aug feed)
+    # measured 640px b128 bf16 step rates (BENCHMARKS 'Training'); the
+    # aug feed produces 17.1 img/s/core, so the host must provision
+    # ceil(step/17.1) decode/aug cores or the step becomes feed-bound
+    step_rate = {"m": 364.4, "mt": 400.7}.get(variant, 364.4)
+    feed_cores = math.ceil(step_rate / 17.1)
     notes.append(
-        "feed_cores~22: the augmented 640px feed produces 17.1 img/s/core "
-        "vs the 364 img/s step — thread the dataset feed "
-        "(TrainConfig.feed_threads; batches are thread-count-invariant) — "
-        "BENCHMARKS 'host feed'")
+        f"feed_cores={feed_cores}: the augmented 640px feed produces 17.1 "
+        f"img/s/core vs this variant's {step_rate:g} img/s step — thread "
+        "the dataset feed (TrainConfig.feed_threads; batches are "
+        "thread-count-invariant) — BENCHMARKS 'host feed'")
 
     return TrainingPlan(
         variant=variant,

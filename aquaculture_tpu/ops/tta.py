@@ -48,6 +48,10 @@ def tta_predict(
 ) -> jnp.ndarray:
     """Augmented forward: (B, H, W, 3) in [0, 1] -> (B, sum N_l, 5+nc)
     decoded predictions in INPUT-pixel coordinates, ready for NMS."""
+    if len(scales) != len(flips):
+        raise ValueError(
+            f"scales ({len(scales)}) and flips ({len(flips)}) must have the "
+            "same length — zip would silently drop passes")
     gs = int(max(model.strides))
     w0 = float(x.shape[2])
     outs = []

@@ -106,9 +106,13 @@ def render_world(
                        for dx, dy in ((-1, -1), (1, -1), (1, 1), (-1, 1))]
                 pts.append(pts[0])
                 draw.line(pts, fill=col, width=6, joint="curve")
+                # line strokes are centered on the centerline (unlike
+                # rectangle/ellipse outlines, which paint inward), so the
+                # drawn pixels extend ~half the stroke beyond pts
                 xs, ys = [p[0] for p in pts], [p[1] for p in pts]
                 bcx, bcy = (min(xs) + max(xs)) / 2, (min(ys) + max(ys)) / 2
-                bw, bh = max(xs) - min(xs), max(ys) - min(ys)
+                bw = max(xs) - min(xs) + 6
+                bh = max(ys) - min(ys) + 6
             else:
                 draw.rectangle(bb, outline=col, width=6)
             rows.append(f"{cls} {bcx/size:.6f} {bcy/size:.6f} "

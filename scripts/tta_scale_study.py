@@ -64,6 +64,21 @@ def main():
                               "..", "BENCH_TTA.jsonl")
     os.makedirs(args.out, exist_ok=True)
 
+    CONFIGS = {
+        "bf16": {},
+        "tta": {"augment": True},
+        "tta_up": {"augment": True, "tta_scales": (1.0, 1.33, 1.67),
+                   "tta_flips": (None, "lr", None)},
+        "bf16_2x": {"img_size": 2 * args.img},
+        # img_size must be a multiple of the stride pyramid (32): snap the
+        # half-resolution serve to the nearest valid size
+        "bf16_half": {"img_size": max(32, round(args.img / 64) * 32)},
+    }
+    # validate BEFORE the (possibly hour-long) training block
+    for name in args.configs.split(","):
+        if name not in CONFIGS:
+            raise SystemExit(f"unknown config {name!r}; one of {sorted(CONFIGS)}")
+
     if args.ckpt:
         from aquaculture_tpu.eval.accuracy import load_checkpoint_f32
         from aquaculture_tpu.utils.checkpoint import load_metadata
@@ -97,16 +112,6 @@ def main():
 
     import glob
 
-    CONFIGS = {
-        "bf16": {},
-        "tta": {"augment": True},
-        "tta_up": {"augment": True, "tta_scales": (1.0, 1.33, 1.67),
-                   "tta_flips": (None, "lr", None)},
-        "bf16_2x": {"img_size": 2 * args.img},
-        # img_size must be a multiple of the stride pyramid (32): snap the
-        # half-resolution serve to the nearest valid size
-        "bf16_half": {"img_size": max(32, round(args.img / 64) * 32)},
-    }
     for mult in [float(s) for s in args.scales.split(",")]:
         r = (base_r[0] * mult, base_r[1] * mult)
         wdir = os.path.join(args.out, f"val_x{mult:g}")

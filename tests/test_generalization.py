@@ -49,6 +49,12 @@ def _world(tmp_path_factory, name, seed, r_range):
     return paths, lab_dir
 
 
+@pytest.fixture(scope="module")
+def heldout_world(tmp_path_factory):
+    """Unseen seed, trained scale range — shared by the held-out tests."""
+    return _world(tmp_path_factory, "heldout", seed=999, r_range=(12, 52))
+
+
 def _map50(paths, lab_dir, model, params, **cfg_kw):
     from aquaculture_tpu.config import DetectConfig
     from aquaculture_tpu.eval.accuracy import world_map
@@ -57,38 +63,33 @@ def _map50(paths, lab_dir, model, params, **cfg_kw):
     return world_map(paths, lab_dir, model, params, cfg, num_classes=2)["map50"]
 
 
-def test_aug_recipe_generalizes(tmp_path_factory, model_and_params):
+def test_aug_recipe_generalizes(heldout_world, model_and_params):
     """Held-out world (unseen seed, trained scale range): the aug recipe
     must keep most of its measured 0.62 mAP@.5 (vs the no-aug fixture's
     ~0.02 here — the 8x gap from BENCH_AUG.jsonl)."""
     model, params = model_and_params
-    paths, lab_dir = _world(tmp_path_factory, "heldout", seed=999, r_range=(12, 52))
+    paths, lab_dir = heldout_world
     m = _map50(paths, lab_dir, model, params)
     assert m >= 0.35, f"held-out mAP@.5 collapsed: {m:.3f}"
 
 
-def test_int8_safe_holds_out_of_distribution(tmp_path_factory):
+def test_int8_safe_holds_out_of_distribution(heldout_world, model_and_params):
     """The --int8 default's accuracy bound, on a GENERALIZING checkpoint
     and an unseen world (test_accuracy.py bounds it on the overfit
     fixture's own training world). The localization-safe split must stay
     within epsilon of bf16 where the model actually generalizes."""
-    from aquaculture_tpu.eval.accuracy import serving_accuracy_table
+    from aquaculture_tpu.cli.detect import quantize_for_serving
+    from aquaculture_tpu.models.quantize import serving_int8_safe_skip
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
-    from end_to_end_demo import render_world
-
-    out = str(tmp_path_factory.mktemp("int8world"))
-    img_dir, lab_dir = render_world(out, n_images=8, seed=999, r_range=(12, 52))
-    rows = {
-        r.name: r
-        for r in serving_accuracy_table(
-            img_dir, lab_dir, FIXTURE,
-            variant="n", num_classes=2, img_size=160,
-            configs=("bf16", "int8_safe"),
-        )
-    }
-    assert rows["bf16"].map50 >= 0.35
-    drift = abs(rows["int8_safe"].map50 - rows["bf16"].map50)
+    model, params = model_and_params
+    paths, lab_dir = heldout_world
+    bf16 = _map50(paths, lab_dir, model, params)
+    qparams = quantize_for_serving(
+        model, params, list(paths), 160, skip=serving_int8_safe_skip("n")
+    )
+    int8 = _map50(paths, lab_dir, model, qparams)
+    assert bf16 >= 0.35
+    drift = abs(int8 - bf16)
     assert drift <= 0.08, f"int8_safe drifted {drift:.3f} mAP@.5 from bf16 held-out"
 
 
