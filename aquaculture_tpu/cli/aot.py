@@ -30,8 +30,10 @@ def main(argv=None) -> None:
     ex = sub.add_parser("export", help="export the serving program to a file")
     ex.add_argument("--weights", default=None, help=".pt or checkpoint directory (shapes/structure source; random init if omitted)")
     ex.add_argument("--out", required=True, help="output .aqx path")
-    ex.add_argument("--variant", default="m", choices=sorted(VARIANTS))
-    ex.add_argument("--num-classes", type=int, default=5)
+    ex.add_argument("--variant", default=None, choices=sorted(VARIANTS),
+                    help="default: the checkpoint's saved metadata, else m")
+    ex.add_argument("--num-classes", type=int, default=None,
+                    help="default: the checkpoint's saved metadata, else 5")
     ex.add_argument("--batch", type=int, default=32)
     ex.add_argument("--img", type=int, default=None,
                     help="inference size (default: 640, or 1280 for *6 variants)")
@@ -100,8 +102,27 @@ def main(argv=None) -> None:
     # export
     from aquaculture_tpu.config import DetectConfig
 
-    img = args.img or (1280 if args.variant.endswith("6") else 640)
-    model, params = load_model(args.weights, args.variant, args.num_classes)
+    # A checkpoint dir records its variant/num_classes (cli.train metadata);
+    # exporting under the wrong default variant dies on a layer/shape
+    # mismatch, so the saved metadata wins over the fallback defaults —
+    # same resolution order as cli/export.py.
+    ckpt_meta: dict = {}
+    if args.weights and not args.weights.endswith(".pt"):
+        from aquaculture_tpu.utils.checkpoint import load_metadata
+
+        try:
+            ckpt_meta = load_metadata(args.weights)
+        except (FileNotFoundError, NotADirectoryError):
+            ckpt_meta = {}
+    variant = args.variant or ckpt_meta.get("variant") or "m"
+    num_classes = args.num_classes or int(ckpt_meta.get("num_classes") or 5)
+    if ckpt_meta.get("variant") and args.variant and args.variant != ckpt_meta["variant"]:
+        raise SystemExit(
+            f"--variant {args.variant} contradicts the checkpoint's saved "
+            f"variant {ckpt_meta['variant']!r} ({args.weights})"
+        )
+    img = args.img or (1280 if variant.endswith("6") else 640)
+    model, params = load_model(args.weights, variant, num_classes)
     if args.int8:
         import glob as _glob
 
@@ -128,7 +149,7 @@ def main(argv=None) -> None:
     log_info(
         "exported yolov5%s serving program (batch %d, img %d, platforms %s): "
         "%d bytes -> %s",
-        args.variant, args.batch, img, meta["platforms"], len(blob), args.out,
+        variant, args.batch, img, meta["platforms"], len(blob), args.out,
     )
 
 

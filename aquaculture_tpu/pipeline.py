@@ -288,11 +288,20 @@ def run_pipeline(
     # geocode_detections returns CRS 4326 and every step below preserves it
     # (nms_cross_tile copies det.crs; deduplicate_gdf_with_bboxes round-trips
     # through to_crs(src_crs); drop/cage_areas copy the frame)
-    if len(det) and overlap:
-        det = nms_cross_tile(det, iou_thresh=overlap_iou)
     if len(det) and dedup:
         dd = deduplicate_download_boxes(download_bboxes)
         det = deduplicate_gdf_with_bboxes(dd, det)
+    # Cross-tile NMS runs AFTER region dedup, not before: adjacent download
+    # boxes share borders, so a border cage appears under two bbox_inds. If
+    # NMS ran first and kept the higher-confidence copy from box B, region
+    # dedup could then drop it (B's surviving region excludes the border
+    # strip) while A's copy — the one that would have survived — was already
+    # NMS-suppressed, losing the detection entirely. After dedup, intra-
+    # raster overlap duplicates (same bbox_ind, clipped identically) and the
+    # single surviving cross-box copy both collapse correctly. NMS compares
+    # the xmin_m.. meter columns, which the geometry clip leaves untouched.
+    if len(det) and overlap:
+        det = nms_cross_tile(det, iou_thresh=overlap_iou)
     if len(det) and "bbox_ind" in det.columns:
         det = det.drop(columns=["bbox_ind"])
     if len(det):

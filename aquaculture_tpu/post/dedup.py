@@ -147,23 +147,36 @@ def nms_cross_tile(det: "gf.GeoFrame", iou_thresh: float = 0.5) -> "gf.GeoFrame"
     for idx in groups.values():
         idx = np.asarray(idx)
         order = idx[np.argsort(-conf[idx], kind="stable")]
-        # Exact grid-bucketed greedy NMS: with cell >= the group's largest
-        # box side, any pair with inter > 0 lands in min-corner cells that
+        # Exact grid-bucketed greedy NMS: with cell >= a box's side, any
+        # intersecting pair of such boxes lands in min-corner cells that
         # differ by <= 1 on each axis, so each candidate only checks kept
         # boxes in its 3x3 cell neighborhood — near-linear instead of the
         # all-pairs scan (measured 278 -> ~50k det/s at corpus scale,
-        # BENCH_POST.jsonl).
+        # BENCH_POST.jsonl). The cell is the group's 95th-percentile side,
+        # not the max: one outlier-large box would otherwise inflate the
+        # cell until every box shares a handful of cells and the bucketing
+        # degenerates back to O(n^2). Boxes wider than the cell are "big":
+        # they compare all-pairs against every kept box, and every normal
+        # candidate also checks the kept big boxes — exact, and cheap as
+        # long as big boxes are the rare tail (mirrors frame's
+        # _candidate_pairs wide-box split).
         gb = boxes[order]
-        cell = float(max(np.max(gb[:, 2] - gb[:, 0]), np.max(gb[:, 3] - gb[:, 1]), 1e-9))
+        sides = np.maximum(gb[:, 2] - gb[:, 0], gb[:, 3] - gb[:, 1])
+        cell = float(max(np.percentile(sides, 95.0), 1e-9))
+        big = sides > cell
         cx = np.floor(gb[:, 0] / cell).astype(np.int64)
         cy = np.floor(gb[:, 1] / cell).astype(np.int64)
         cells: dict = {}
         kept: list = []
+        kept_big: list = []
         for j, i in enumerate(order):
-            neigh: list = []
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    neigh.extend(cells.get((cx[j] + dx, cy[j] + dy), ()))
+            if big[j]:
+                neigh = kept  # big candidate: all-pairs vs every kept box
+            else:
+                neigh = list(kept_big)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        neigh.extend(cells.get((cx[j] + dx, cy[j] + dy), ()))
             if neigh:
                 kb = boxes[neigh]
                 lt = np.maximum(kb[:, :2], boxes[i, :2])
@@ -176,7 +189,10 @@ def nms_cross_tile(det: "gf.GeoFrame", iou_thresh: float = 0.5) -> "gf.GeoFrame"
                 if (iou > iou_thresh).any():
                     continue
             kept.append(int(i))
-            cells.setdefault((int(cx[j]), int(cy[j])), []).append(int(i))
+            if big[j]:
+                kept_big.append(int(i))
+            else:
+                cells.setdefault((int(cx[j]), int(cy[j])), []).append(int(i))
         keep_mask[kept] = True
 
     out = det.iloc[np.flatnonzero(keep_mask)].copy()

@@ -159,7 +159,7 @@ def main() -> None:
         images = jnp.asarray(rng.random((batch, IMG, IMG, 3), dtype=np.float32))
 
     if int8:
-        from aquaculture_tpu.models.quantize import SERVING_INT8_SAFE_SKIP, quantize_model
+        from aquaculture_tpu.models.quantize import quantize_model, serving_int8_safe_skip
 
         # Calibrate activation scales on the SAME distribution the run
         # infers on: real tiles in --trained mode (noise-calibrated scales
@@ -167,7 +167,12 @@ def main() -> None:
         # localization-safe split (early layers + head-feeding neck C3s
         # bf16) is the measured-fastest AND accuracy-neutral int8 config.
         calib = images[:2]
-        params = quantize_model(model, params, calib, skip=SERVING_INT8_SAFE_SKIP)
+        # variant-aware split: P6 variants feed the head from n26/n29/n32,
+        # not n17/n20/n23 — hardcoding the P5 list would silently quantize
+        # the head-feeding C3s on a P6 run
+        params = quantize_model(
+            model, params, calib, skip=serving_int8_safe_skip(model.variant)
+        )
         metric = metric.replace("infer_nms", "int8_infer_nms")
 
     images = jax.device_put(images)
