@@ -92,6 +92,12 @@ def main(argv=None) -> None:
     ap.add_argument("--multi-label", action="store_true",
                     help="one detection per (box, class) above conf "
                          "(ultralytics val.py semantics; default argmax class)")
+    ap.add_argument("--decode-scale", action="store_true",
+                    help="decode-at-scale: host decodes JPEG tiles straight "
+                         "to img px in the DCT domain (~3x cheaper decode, "
+                         "2.6x less host->device traffic for 640 from 1024; "
+                         "requires 8*img %% tile == 0; mAP delta measured in "
+                         "BENCHMARKS.md)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a TensorBoard/perfetto device trace of "
                          "the serving loop into LOGDIR (utils.profiler)")
@@ -169,6 +175,7 @@ def main(argv=None) -> None:
             paths, model, params, cfg, args.batch,
             tile=tile_w,
             infer_fn=infer_fn,
+            decode_scale=args.decode_scale,
         )
 
     os.makedirs(args.out, exist_ok=True)

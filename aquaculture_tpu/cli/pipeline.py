@@ -45,6 +45,9 @@ def main(argv=None) -> None:
                     help="host decode pool for the Python loader: 0 = auto "
                          "(cores, capped at 8), 1 = sequential (bounds host "
                          "RAM to one raster in flight)")
+    ap.add_argument("--decode-scale", action="store_true",
+                    help="decode-at-scale: host decodes JPEG tiles straight "
+                         "to img px in the DCT domain (see cli.detect)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a TensorBoard/perfetto device trace of "
                          "the pipeline into LOGDIR (utils.profiler)")
@@ -75,7 +78,7 @@ def main(argv=None) -> None:
         det, stats = run_pipeline(
             paths, model, params, dl, cfg, args.batch, land=land,
             dedup=not args.no_dedup, overlap=args.overlap,
-            decode_threads=args.decode_threads,
+            decode_threads=args.decode_threads, decode_scale=args.decode_scale,
         )
     det.to_file(args.out)
     log_info(

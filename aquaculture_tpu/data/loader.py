@@ -38,7 +38,7 @@ class TileBatch:
 
 def iter_tiles_from_files(
     paths: Sequence[str], tile: int = IM_WIDTH, decode_threads: int = 0,
-    stride: int = 0,
+    stride: int = 0, out_tile: int = 0,
 ) -> Iterator[Tuple[np.ndarray, TileSpec]]:
     """Yield (tile_array, spec) over whole pre-tiled images or large rasters.
 
@@ -59,7 +59,7 @@ def iter_tiles_from_files(
     else:
         images = ((read_image(p), p) for p in paths)
     for arr, path in images:
-        yield from _emit_tiles(arr, decode_tile_name(path), tile, stride)
+        yield from _emit_tiles(arr, decode_tile_name(path), tile, stride, out_tile)
 
 
 def _window_map(fn, items: Sequence, workers: int):
@@ -91,12 +91,43 @@ def _window_map(fn, items: Sequence, workers: int):
 
 
 def _emit_tiles(
-    arr: np.ndarray, base: TileSpec, tile: int, stride: int
+    arr: np.ndarray, base: TileSpec, tile: int, stride: int, out_tile: int = 0
 ) -> Iterator[Tuple[np.ndarray, TileSpec]]:
     """Split one decoded raster into (tile, spec) pairs: a <=tile-px image is
     one tile (offsets from its name); larger rasters split into the offset
     grid with offsets ADDED to the name's base offsets. The single copy of
-    this math keeps file- and store-corpus batches pixel-identical."""
+    this math keeps file- and store-corpus batches pixel-identical.
+
+    out_tile > 0 (decode-at-scale fallback twin of the native loader): the
+    raster downscales ONCE to out_tile/tile before slicing in scaled space;
+    offsets stay in SOURCE pixels. Scaled dims use libjpeg's
+    ceil(d*N/8) rounding so Python- and native-loader batches match shape.
+    Incompatible with stride (overlap serving slices in source space)."""
+    if out_tile:
+        if stride and stride != tile:
+            raise ValueError("decode-at-scale does not support overlap serving")
+        from PIL import Image
+
+        n = 8 * out_tile // tile
+        sh = (arr.shape[0] * n + 7) // 8
+        sw = (arr.shape[1] * n + 7) // 8
+        if (sh, sw) != arr.shape[:2]:
+            arr = np.asarray(
+                Image.fromarray(arr).resize((sw, sh), Image.BILINEAR)
+            )
+        if sh <= out_tile and sw <= out_tile:
+            yield arr, base
+            return
+        tiles, offs = split_image(arr, out_tile, stride=0)
+        for t, (dx, dy) in zip(tiles, offs):
+            yield t, TileSpec(
+                year=base.year,
+                bbox_ind=base.bbox_ind,
+                x_offset=base.x_offset + dx * tile // out_tile,
+                y_offset=base.y_offset + dy * tile // out_tile,
+                layer=base.layer,
+            )
+        return
     if arr.shape[0] <= tile and arr.shape[1] <= tile:
         yield arr, base
         return
@@ -176,14 +207,20 @@ def tile_batches(
     prefetch_depth: int = 2,
     stride: int = 0,
     decode_threads: int = 0,
+    out_tile: int = 0,
 ) -> Iterator[TileBatch]:
     """paths -> prefetched fixed-shape TileBatches (the full input pipeline).
     stride < tile overlaps tiles of large rasters (overlap serving).
     decode_threads: 0 = auto (cores capped at 8), 1 = sequential decode
-    (bounds host RAM to one raster at a time)."""
+    (bounds host RAM to one raster at a time).
+    out_tile > 0 = decode-at-scale: batches come out (B, out_tile, ...) with
+    offsets in source pixels (see _emit_tiles / native_loader)."""
     it = batch_tiles(
-        iter_tiles_from_files(paths, tile, decode_threads=decode_threads, stride=stride),
-        batch_size, tile,
+        iter_tiles_from_files(
+            paths, tile, decode_threads=decode_threads, stride=stride,
+            out_tile=out_tile,
+        ),
+        batch_size, out_tile or tile,
     )
     return prefetch(it, prefetch_depth)
 
@@ -199,6 +236,7 @@ def iter_tiles_from_store(
     tile: int = IM_WIDTH,
     fetch_threads: int = 4,
     stride: int = 0,
+    out_tile: int = 0,
 ) -> Iterator[Tuple[np.ndarray, TileSpec]]:
     """Yield (tile_array, spec) streaming blob bytes from a BlobStore.
 
@@ -215,7 +253,7 @@ def iter_tiles_from_store(
         return
     for data, key in _window_map(store.get, keys, fetch_threads):
         arr = read_image_bytes(data)
-        yield from _emit_tiles(arr, decode_tile_name(key), tile, stride)
+        yield from _emit_tiles(arr, decode_tile_name(key), tile, stride, out_tile)
 
 
 def tile_batches_from_store(
@@ -226,11 +264,14 @@ def tile_batches_from_store(
     prefetch_depth: int = 2,
     fetch_threads: int = 4,
     stride: int = 0,
+    out_tile: int = 0,
 ) -> Iterator[TileBatch]:
     """(store, keys) -> prefetched fixed-shape TileBatches: the streaming
     twin of tile_batches."""
     it = batch_tiles(
-        iter_tiles_from_store(store, keys, tile, fetch_threads, stride=stride),
-        batch_size, tile,
+        iter_tiles_from_store(
+            store, keys, tile, fetch_threads, stride=stride, out_tile=out_tile
+        ),
+        batch_size, out_tile or tile,
     )
     return prefetch(it, prefetch_depth)

@@ -63,9 +63,36 @@ def load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.aq_loader_destroy.restype = None
         lib.aq_loader_destroy.argtypes = [ctypes.c_void_p]
+        # decode-at-scale entry points (absent in a stale libaquatile.so —
+        # callers fall back to full decode)
+        if hasattr(lib, "aq_loader_create2"):
+            lib.aq_loader_create2.restype = ctypes.c_void_p
+            lib.aq_loader_create2.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+        if hasattr(lib, "aq_decode_image_scaled"):
+            lib.aq_decode_image_scaled.restype = ctypes.c_int
+            lib.aq_decode_image_scaled.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
         _lib = lib
         break
     return _lib
+
+
+def supports_scaled() -> bool:
+    lib = load_library()
+    return lib is not None and hasattr(lib, "aq_loader_create2")
 
 
 def available() -> bool:
@@ -103,23 +130,70 @@ def decode_image(path: str, max_side: int = 8192) -> Optional[np.ndarray]:
     return buf[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()
 
 
+def decode_image_scaled(path: str, target: int, max_side: int = 8192) -> Optional[np.ndarray]:
+    """Native decode with DCT-domain downscale: the JPEG decodes at the
+    largest N/8 scale whose max side stays >= target (never upsamples;
+    non-JPEG decodes full). None on failure or if the library is stale."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "aq_decode_image_scaled"):
+        return None
+    cap = max_side * max_side * 3
+    buf = np.empty(cap, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.aq_decode_image_scaled(
+        path.encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        ctypes.byref(w),
+        ctypes.byref(h),
+        target,
+    )
+    if rc != 0:
+        return None
+    return buf[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()
+
+
 def native_tile_batches(
     paths: Sequence[str],
     batch_size: int = 32,
     tile: int = IM_WIDTH,
     n_threads: int = 0,
     queue_depth: int = 64,
+    out_tile: int = 0,
 ) -> Iterator[TileBatch]:
     """Threaded native decode -> fixed-shape TileBatches (same contract as
-    aquaculture_tpu.data.loader.tile_batches)."""
+    aquaculture_tpu.data.loader.tile_batches).
+
+    out_tile > 0 enables decode-at-scale: rasters decode at out_tile/tile
+    scale (JPEGs in the DCT domain via libjpeg scale_num/denom — ~1/3 the
+    decode time at 5/8; TIFFs decode full + bilinear), the grid slices in
+    scaled space, and batches come out (B, out_tile, out_tile, 3) while
+    TileSpec offsets stay in SOURCE pixels. Requires 8*out_tile % tile == 0
+    (e.g. 640 from 1024-px tiles = 5/8)."""
     lib = load_library()
     assert lib is not None, "libaquatile.so not built (make -C native)"
+    if out_tile:
+        if not hasattr(lib, "aq_loader_create2"):
+            raise RuntimeError(
+                "libaquatile.so predates decode-at-scale; rebuild (make -C native)"
+            )
+        if out_tile >= tile or (8 * out_tile) % tile != 0:
+            raise ValueError(
+                f"out_tile must be a proper N/8 fraction of tile; got {out_tile}/{tile}"
+            )
     paths = list(paths)
     base_specs = [decode_tile_name(p) for p in paths]
 
     arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-    handle = lib.aq_loader_create(arr, len(paths), tile, n_threads, queue_depth)
-    images = np.zeros((batch_size, tile, tile, 3), np.uint8)
+    if out_tile:
+        handle = lib.aq_loader_create2(
+            arr, len(paths), tile, out_tile, n_threads, queue_depth
+        )
+    else:
+        handle = lib.aq_loader_create(arr, len(paths), tile, n_threads, queue_depth)
+    eff = out_tile or tile
+    images = np.zeros((batch_size, eff, eff, 3), np.uint8)
     pidx = np.zeros(batch_size, np.int32)
     xoff = np.zeros(batch_size, np.int32)
     yoff = np.zeros(batch_size, np.int32)

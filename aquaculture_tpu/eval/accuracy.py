@@ -49,12 +49,20 @@ def detections_by_image(
     params,
     cfg: DetectConfig,
     batch_size: int = 8,
+    decode_scale: bool = False,
+    use_native: bool = False,
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Run the serving pipeline and group detections by tile stem."""
+    """Run the serving pipeline and group detections by tile stem.
+
+    decode_scale: host decodes at img/tile scale (pipeline.detect_files) —
+    lets the harness bound the mAP delta of decode-at-scale serving.
+    use_native=True routes through libaquatile (the production DCT-domain
+    decode when decode_scale is on; default False keeps CI loader-free)."""
     from aquaculture_tpu.pipeline import detect_files
 
     boxes, conf, cls, specs, _ = detect_files(
-        paths, model, params, cfg, batch_size=batch_size, use_native=False
+        paths, model, params, cfg, batch_size=batch_size, use_native=use_native,
+        decode_scale=decode_scale,
     )
     per: Dict[str, List[int]] = {}
     for i, sp in enumerate(specs):
@@ -76,13 +84,16 @@ def world_map(
     num_classes: int = 2,
     batch_size: int = 8,
     tile: int = 1024,
+    decode_scale: bool = False,
 ) -> Dict[str, float]:
     """mAP of one serving configuration over a rendered world.
 
     tile: the world's image size in px — YOLO labels are normalized, so GT
     boxes scale by it; a mismatch silently zeroes every IoU match."""
     gts = load_world_ground_truths(lab_dir, tile=tile)
-    dets = detections_by_image(paths, model, params, cfg, batch_size)
+    dets = detections_by_image(
+        paths, model, params, cfg, batch_size, decode_scale=decode_scale
+    )
     # A detection stem with no GT entry would silently vanish from the
     # evaluation (its false positives never counted -> inflated precision).
     # That happens when an image has no labels/*.txt, or when a raster

@@ -13,7 +13,16 @@ from typing import List
 
 import numpy as np
 
-from aquaculture_tpu.geo.polygon import EMPTY, Empty, Geometry, MultiPolygon, Point, Polygon
+from aquaculture_tpu.geo.polygon import (
+    EMPTY,
+    Empty,
+    Geometry,
+    LineString,
+    MultiLineString,
+    MultiPolygon,
+    Point,
+    Polygon,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -34,6 +43,13 @@ def to_wkt(g: Geometry) -> str:
         return "GEOMETRYCOLLECTION EMPTY"
     if isinstance(g, Point):
         return f"POINT ({g.x} {g.y})"
+    if isinstance(g, LineString):
+        return "LINESTRING (" + ", ".join(f"{p[0]} {p[1]}" for p in g.coords) + ")"
+    if isinstance(g, MultiLineString):
+        parts = [
+            "(" + ", ".join(f"{p[0]} {p[1]}" for p in l.coords) + ")" for l in g.geoms
+        ]
+        return "MULTILINESTRING (" + ", ".join(parts) + ")"
     if isinstance(g, Polygon):
         if g.is_empty:
             return "POLYGON EMPTY"
@@ -83,6 +99,10 @@ def from_wkt(wkt: str) -> Geometry:
     if upper.startswith("POINT"):
         ring = _parse_ring_text(body)
         return Point(ring[0, 0], ring[0, 1])
+    if upper.startswith("MULTILINESTRING"):
+        return MultiLineString([_parse_ring_text(t) for t in _split_top_level(body)])
+    if upper.startswith("LINESTRING"):
+        return LineString(_parse_ring_text(body))
     if upper.startswith("MULTIPOLYGON"):
         polys = []
         for poly_text in _split_top_level(body):
@@ -109,6 +129,13 @@ def geometry_to_geojson(g: Geometry) -> dict | None:
         return None
     if isinstance(g, Point):
         return {"type": "Point", "coordinates": [g.x, g.y]}
+    if isinstance(g, LineString):
+        return {"type": "LineString", "coordinates": g.coords.tolist()}
+    if isinstance(g, MultiLineString):
+        return {
+            "type": "MultiLineString",
+            "coordinates": [l.coords.tolist() for l in g.geoms],
+        }
     if isinstance(g, Polygon):
         coords = [np.vstack([g.exterior, g.exterior[:1]]).tolist()]
         for h in g.holes:
@@ -132,6 +159,10 @@ def geometry_from_geojson(obj: dict | None) -> Geometry:
     c = obj["coordinates"]
     if t == "Point":
         return Point(c[0], c[1])
+    if t == "LineString":
+        return LineString(c)
+    if t == "MultiLineString":
+        return MultiLineString(c)
     if t == "Polygon":
         if not c:
             return Polygon()

@@ -78,9 +78,12 @@ def make_infer_fn(
     @functools.partial(jax.jit, **shardings)
     def infer(params, images_u8):
         x = images_u8.astype(dtype) / 255.0
-        x = jax.image.resize(
-            x, (images_u8.shape[0], cfg.img_size, cfg.img_size, 3), method="bilinear"
-        )
+        # decode-at-scale batches arrive already at img_size (the host
+        # decoded at img/tile scale); shape is static, so this folds away
+        if images_u8.shape[1] != cfg.img_size or images_u8.shape[2] != cfg.img_size:
+            x = jax.image.resize(
+                x, (images_u8.shape[0], cfg.img_size, cfg.img_size, 3), method="bilinear"
+            )
         if cfg.augment:
             from aquaculture_tpu.ops.tta import tta_predict
 
@@ -130,8 +133,17 @@ def detect_files(
     store=None,
     stride: int = 0,
     decode_threads: int = 0,
+    decode_scale: bool = False,
 ):
     """Run inference over image files or object-store blobs.
+
+    decode_scale: decode rasters at img_size/tile scale on the host (JPEGs
+    in the DCT domain — ~3x cheaper for 640 from 1024) and ship img_size
+    tiles to the device, skipping the on-device resize and cutting the
+    host->device transfer (8*img_size must divide by tile; measured-mAP
+    gated — see BENCHMARKS.md decode-at-scale study). Geocoding is
+    unchanged: tile offsets stay in source pixels. Incompatible with
+    overlap serving (stride).
 
     decode_threads (Python file loader only): 0 = auto thread pool (cores
     capped at 8; holds up to 2x threads decoded rasters in flight), 1 =
@@ -157,8 +169,21 @@ def detect_files(
 
     from aquaculture_tpu.data import native_loader
 
+    out_tile = 0
+    if decode_scale:
+        if stride:
+            raise ValueError("decode_scale is incompatible with overlap serving")
+        if cfg.img_size >= tile or (8 * cfg.img_size) % tile != 0:
+            raise ValueError(
+                f"decode_scale needs img_size a proper N/8 fraction of the "
+                f"tile; got {cfg.img_size}/{tile}"
+            )
+        out_tile = cfg.img_size
+
     if use_native is None:
         use_native = store is None and native_loader.available()
+        if out_tile and use_native and not native_loader.supports_scaled():
+            use_native = False  # stale .so: the Python loader scales too
     if use_native and not all(p.lower().endswith(_NATIVE_EXTS) for p in paths):
         # the native decoder speaks JPEG/TIFF only; its decode-failure skip
         # would SILENTLY drop e.g. a PNG corpus — use the Python loader
@@ -211,14 +236,17 @@ def detect_files(
         from aquaculture_tpu.data.loader import tile_batches_from_store
 
         batches = tile_batches_from_store(
-            store, paths, batch_size=batch_size, tile=tile, stride=stride
+            store, paths, batch_size=batch_size, tile=tile, stride=stride,
+            out_tile=out_tile,
         )
     elif use_native:
-        batches = native_loader.native_tile_batches(paths, batch_size=batch_size, tile=tile)
+        batches = native_loader.native_tile_batches(
+            paths, batch_size=batch_size, tile=tile, out_tile=out_tile
+        )
     else:
         batches = tile_batches(
             paths, batch_size=batch_size, tile=tile, stride=stride,
-            decode_threads=decode_threads,
+            decode_threads=decode_threads, out_tile=out_tile,
         )
     # Double-buffered: dispatch batch N+1 before harvesting batch N so the
     # device-to-host transfer and python postprocess overlap device compute
@@ -259,6 +287,7 @@ def run_pipeline(
     overlap: int = 0,
     overlap_iou: float = 0.5,
     decode_threads: int = 0,
+    decode_scale: bool = False,
 ):
     """Full slice: files -> geocoded + area-annotated (ocean) detections.
 
@@ -278,7 +307,7 @@ def run_pipeline(
     stride = overlap_stride(overlap)
     boxes, conf, cls, specs, stats = detect_files(
         paths, model, params, cfg, batch_size, use_native=use_native, store=store,
-        stride=stride, decode_threads=decode_threads,
+        stride=stride, decode_threads=decode_threads, decode_scale=decode_scale,
     )
     det = geocode_detections(boxes, conf, cls, specs, download_bboxes)
     if len(det):

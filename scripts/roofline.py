@@ -128,8 +128,13 @@ def analyze_train(records, batch):
     Strided convs are modeled at FLOP-equivalence (the dilated input-grad
     conv has identical useful FLOPs). First-layer dX is skipped (no input
     gradient needed). HBM: each GEMM reads its two operands and writes its
-    result once (perfect fusion)."""
+    result once (perfect fusion).
+
+    Prints a per-layer table split by pass (fwd / dW / dX) so the on-chip
+    probe (scripts/train_backward_probe_tpu.py) can compare each isolated
+    backward kernel against its own tile bound (VERDICT r3 next #3)."""
     t_tot = useful_tot = padded_tot = 0.0
+    rows = []
     for li, r in enumerate(records):
         b, hi, wi, cin = r["in_shape"]
         kh, kw, _, cout = r["w_shape"]
@@ -137,30 +142,61 @@ def analyze_train(records, batch):
         m = b * ho * wo
         k = kh * kw * cin
         n = cout
+        shape = f"{hi}x{wi}x{cin}->{ho}x{wo}x{cout} k{kh}s{r['stride'][0]}"
         gemms = []
         # forward
-        gemms.append((2.0 * m * k * n,
+        gemms.append(("fwd", 2.0 * m * k * n,
                       2.0 * ceil(m / SUBLANE) * SUBLANE * ceil(k / LANE) * LANE * ceil(n / LANE) * LANE,
                       2.0 * (b * hi * wi * cin + k * n + m * n)))
         # dW
-        gemms.append((2.0 * m * k * n,
+        gemms.append(("dW", 2.0 * m * k * n,
                       2.0 * ceil(m / LANE) * LANE * ceil(k / SUBLANE) * SUBLANE * ceil(n / LANE) * LANE,
                       2.0 * (b * hi * wi * cin + m * n + k * n)))
         # dX (skip first conv)
         if li > 0:
             mi = b * hi * wi
             k2 = kh * kw * cout
-            gemms.append((2.0 * m * k * n,
+            gemms.append(("dX", 2.0 * m * k * n,
                           2.0 * ceil(mi / SUBLANE) * SUBLANE * ceil(k2 / LANE) * LANE * ceil(cin / LANE) * LANE,
                           2.0 * (m * n + k * n + b * hi * wi * cin)))
-        for useful, padded, bytes_ in gemms:
-            t_tot += max(padded / PEAK_FLOPS, bytes_ / HBM_BPS)
+        for which, useful, padded, bytes_ in gemms:
+            t = max(padded / PEAK_FLOPS, bytes_ / HBM_BPS)
+            t_tot += t
             useful_tot += useful
             padded_tot += padded
+            rows.append(dict(
+                shape=shape, which=which, t_bound=t, useful=useful,
+                padded=padded,
+                bound="mxu" if padded / PEAK_FLOPS >= bytes_ / HBM_BPS else "hbm",
+            ))
     print(f"TRAIN (fwd+bwd convs only): useful {useful_tot / batch / 1e9:.2f} GF/img, "
           f"padded {padded_tot / batch / 1e9:.2f} GF/img (lane eff {useful_tot / padded_tot:.1%})")
     print(f"roofline step time {t_tot * 1e3 / batch:.4f} ms/img "
           f"-> useful-MFU ceiling {useful_tot / t_tot / PEAK_FLOPS:.1%}")
+    for which in ("fwd", "dW", "dX"):
+        sub = [r for r in rows if r["which"] == which]
+        st = sum(r["t_bound"] for r in sub)
+        su = sum(r["useful"] for r in sub)
+        sp = sum(r["padded"] for r in sub)
+        print(f"  {which}: {st * 1e3 / batch:.4f} ms/img ({100 * st / t_tot:.1f}% of bound, "
+              f"lane eff {su / sp:.1%})")
+    print()
+    print("| pass | layer (per-img shapes) | t_bound ms | bound | lane_eff | % of step |")
+    print("|---|---|---|---|---|---|")
+    agg = {}
+    for r in rows:
+        key = (r["which"], r["shape"])
+        a = agg.setdefault(key, dict(t=0.0, useful=0.0, padded=0.0, n=0, **r))
+        a["t"] += r["t_bound"]
+        a["useful_s"] = a.get("useful_s", 0.0) + r["useful"]
+        a["padded_s"] = a.get("padded_s", 0.0) + r["padded"]
+        a["n"] += 1
+    for a in sorted(agg.values(), key=lambda a: -a["t"])[:20]:
+        print(
+            f"| {a['which']} | {a['n']}x {a['shape']} | {a['t'] * 1e3 / batch:.4f} "
+            f"| {a['bound']} | {a['useful_s'] / a['padded_s']:.2f} "
+            f"| {100 * a['t'] / t_tot:.1f}% |"
+        )
 
 
 def main():

@@ -55,9 +55,12 @@ def main() -> None:
         assert store.get_count == 0
     else:
         paths = sorted(glob.glob(corpus_dir + "/*.jpeg"))
+    # one download box per corpus tile (bbox_ind i must resolve) — sized
+    # from the corpus so uneven shards (e.g. 6 tiles / 4 hosts) geocode
+    n_boxes = max(4, len(paths))
     dl = gf.GeoFrame(
-        {"d": list(range(4))},
-        geometry=[_poly.box(1200 * i, 0, 1200 * (i + 1), 1200) for i in range(4)],
+        {"d": list(range(n_boxes))},
+        geometry=[_poly.box(1200 * i, 0, 1200 * (i + 1), 1200) for i in range(n_boxes)],
         crs=3857,
     )
     model, params = yolov5_init("n", num_classes=5, seed=0)

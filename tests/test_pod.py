@@ -154,6 +154,7 @@ def test_run_pod_pipeline_checkpoint_resume(tmp_path, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_run_pod_pipeline_two_processes(tmp_path):
     """VERDICT r1 missing #3: execute the process_count>1 branches of
     pod.py (padded detection all-gather + global spec-table offsets) with
@@ -223,6 +224,7 @@ def test_run_pod_pipeline_two_processes(tmp_path):
     assert key(got) == key(ref)
 
 
+@pytest.mark.slow
 def test_run_pod_pipeline_two_processes_store_streaming(tmp_path):
     """VERDICT r2 missing #1: the 2-process pod gather with the corpus
     living ONLY in an object store — each worker renders the same seeded
@@ -284,6 +286,7 @@ def test_run_pod_pipeline_two_processes_store_streaming(tmp_path):
     assert key(got) == key(ref)
 
 
+@pytest.mark.slow
 def test_pod_train_two_processes():
     """Multi-process DP *training*: 2 jax.distributed processes (2 local CPU
     devices each) train 3 sharded steps on a 4-device global mesh, each host
@@ -327,6 +330,7 @@ def test_pod_train_two_processes():
         assert np.isclose(fp, ref_fp, rtol=1e-5), (fp, ref_fp)
 
 
+@pytest.mark.slow
 def test_pod_train_elastic_recovery(tmp_path):
     """VERDICT r2 next #7: kill one of 2 DP-training processes mid-run,
     restart the job, resume from the utils/checkpoint.py TrainState, and
@@ -443,6 +447,7 @@ def test_run_pod_pipeline_rejects_bad_overlap(tmp_path):
         run_pod_pipeline([], model, params, None, overlap=1024)
 
 
+@pytest.mark.slow
 def test_run_pod_pipeline_two_processes_overlap(tmp_path):
     """Overlap serving under a REAL 2-process gather: strided subtile
     detections from both hosts meet in the global table, cross-tile NMS

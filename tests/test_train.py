@@ -92,6 +92,7 @@ def test_loss_no_labels_only_obj():
     assert float(m["obj"]) > 0
 
 
+@pytest.mark.slow
 def test_overfit_single_batch_loss_decreases():
     model, params = yolov5_init("n", num_classes=2, seed=0)
     cfg = TrainConfig(epochs=50, lr0=0.01, warmup_epochs=0.0)
@@ -162,6 +163,7 @@ def test_ema_ramp():
     assert float(e2["w"][0]) == pytest.approx(0.5, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev():
     from aquaculture_tpu.parallel.mesh import make_mesh, shard_batch
     from aquaculture_tpu.parallel.sharded import sharded_train_step
@@ -184,6 +186,7 @@ def test_sharded_train_step_8dev():
     assert int(jax.device_get(new_state.step)) == 1
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_plain():
     model, params = yolov5_init("n", num_classes=2, seed=0)
     rng = np.random.default_rng(3)

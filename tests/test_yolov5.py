@@ -115,6 +115,7 @@ def test_upsample2x():
     np.testing.assert_array_equal(np.asarray(y[0, :2, :2, 0]), np.asarray(x[0, 0, 0, 0]) * np.ones((2, 2)))
 
 
+@pytest.mark.slow
 def test_variants_all_build():
     x = jnp.zeros((1, 64, 64, 3))
     n = (8 * 8 + 4 * 4 + 2 * 2) * 3
@@ -140,6 +141,7 @@ def test_stem_s2d_reparametrization_exact():
     np.testing.assert_allclose(np.asarray(p_plain), np.asarray(p_s2d), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_p6_family_forward_decode_and_train_step():
     """P6 variants (extra stride-64 level, 4-level PANet; public
     yolov5-p6 yaml): decode emits sum((S/s)^2*3) rows over strides
