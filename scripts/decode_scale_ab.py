@@ -46,11 +46,14 @@ def main():
     ap.add_argument("--images", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="/tmp/aq_decode_ab")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the tunneled TPU (default forces CPU — "
+                         "probing the axon backend hangs during an outage)")
     args = ap.parse_args()
 
     import jax
 
-    if jax.default_backend() not in ("tpu",):
+    if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, os.path.join(ROOT, "examples"))

@@ -42,11 +42,15 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="resume from <out>/ckpt (EMA-only warm start: "
                          "params <- saved EMA, optimizer fresh)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the tunneled TPU (default forces CPU — "
+                         "during a tunnel outage even probing the axon "
+                         "backend hangs, see CLAUDE.md)")
     args = ap.parse_args()
 
     import jax
 
-    if jax.default_backend() not in ("tpu",):
+    if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
