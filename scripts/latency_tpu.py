@@ -175,14 +175,14 @@ def mode_latency_device(variant: str = "m", k: int = 32):
         def body(i, acc):
             img_i = img_u8 ^ jnp.asarray(i % 2, jnp.uint8)  # defeat hoisting
             det, valid = serve_once(p, img_i)
-            return acc + det.sum() + valid.sum().astype(det.dtype)
+            return acc + det.sum().astype(jnp.float32) + valid.sum().astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, dtype))
+        return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, jnp.float32))
 
     @jax.jit
     def single(p, img_u8):
         det, valid = serve_once(p, img_u8)
-        return det.sum() + valid.sum().astype(det.dtype)
+        return det.sum().astype(jnp.float32) + valid.sum().astype(jnp.float32)
 
     rng = np.random.default_rng(0)
     tile_u8 = rng.integers(0, 255, (1, 1024, 1024, 3), dtype=np.uint8)
