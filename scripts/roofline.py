@@ -186,10 +186,13 @@ def analyze_train(records, batch):
     agg = {}
     for r in rows:
         key = (r["which"], r["shape"])
-        a = agg.setdefault(key, dict(t=0.0, useful=0.0, padded=0.0, n=0, **r))
+        a = agg.setdefault(key, dict(
+            t=0.0, useful_s=0.0, padded_s=0.0, n=0,
+            which=r["which"], shape=r["shape"], bound=r["bound"],
+        ))
         a["t"] += r["t_bound"]
-        a["useful_s"] = a.get("useful_s", 0.0) + r["useful"]
-        a["padded_s"] = a.get("padded_s", 0.0) + r["padded"]
+        a["useful_s"] += r["useful"]
+        a["padded_s"] += r["padded"]
         a["n"] += 1
     for a in sorted(agg.values(), key=lambda a: -a["t"])[:20]:
         print(
