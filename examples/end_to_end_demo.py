@@ -144,7 +144,7 @@ def main() -> None:
 
     import jax
 
-    if jax.default_backend() not in ("tpu",):
+    if os.environ.get("AQ_TPU") != "1":  # probing axon HANGS during a tunnel outage (CLAUDE.md); AQ_TPU=1 opts into the chip
         jax.config.update("jax_platforms", "cpu")
 
     from aquaculture_tpu.cli.detect import load_model

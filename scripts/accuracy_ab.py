@@ -23,11 +23,14 @@ def main():
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--configs", default=None, help="comma list (default: all)")
     ap.add_argument("--out", default=None, help="append JSONL here too")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the tunneled TPU (default forces CPU — "
+                         "probing the axon backend hangs during an outage)")
     args = ap.parse_args()
 
     import jax
 
-    if jax.default_backend() not in ("tpu",):
+    if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
     from aquaculture_tpu.eval.accuracy import SERVING_CONFIGS, serving_accuracy_table
@@ -47,6 +50,9 @@ def main():
     for r in rows:
         rec = {
             "config": r.name,
+            # VERDICT r3 #2: bounds must name the config they protect
+            "variant": args.variant,
+            "img": args.img,
             "map50": round(r.map50, 4),
             "map50_95": round(r.map, 4),
             "d_map50_vs_bf16": round(r.map50 - base.map50, 4),

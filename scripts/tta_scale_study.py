@@ -48,7 +48,7 @@ def main():
 
     import jax
 
-    if jax.default_backend() not in ("tpu",):
+    if os.environ.get("AQ_TPU") != "1":  # probing axon HANGS during a tunnel outage (CLAUDE.md); AQ_TPU=1 opts into the chip
         jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
