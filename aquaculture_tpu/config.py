@@ -135,3 +135,10 @@ class TrainConfig:
     # serving path so train and serve share a numeric domain. "float32"
     # restores full-precision training.
     compute_dtype: str = "bfloat16"
+    # Record the phase-decomposed dX vjp for strided convs
+    # (models/phase_grad.py): the dX pass carries 44% of the training
+    # roofline bound at 46% lane efficiency (docs/SCALING.md round 4);
+    # the phase rewrite gives the worst kernels full 128-lane GEMMs.
+    # Opt-in until the on-chip A/B lands (same gating discipline as
+    # down_s2d — BENCHMARKS.md).
+    phase_grad_dx: bool = False

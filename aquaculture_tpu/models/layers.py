@@ -90,6 +90,31 @@ def conv_init(rng: np.random.Generator, cin: int, cout: int, k: int) -> dict:
     }
 
 
+_PHASE_GRAD_DX = False
+
+
+class phase_grad_ctx:
+    """Trace-time switch: strided convs inside the block record the
+    phase-decomposed input-gradient vjp (models/phase_grad.py) instead of
+    XLA's dilated transpose. Wrap the loss/forward TRACE (the trainer does
+    this from ``TrainConfig.phase_grad_dx``); inference traces are
+    unaffected either way (no dX is ever computed)."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = bool(enabled)
+
+    def __enter__(self):
+        global _PHASE_GRAD_DX
+        self._prev = _PHASE_GRAD_DX
+        _PHASE_GRAD_DX = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _PHASE_GRAD_DX
+        _PHASE_GRAD_DX = self._prev
+        return False
+
+
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding=None) -> jnp.ndarray:
     """NHWC conv in the input dtype.
 
@@ -102,6 +127,12 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding=None) -> jnp
     if padding is None:
         p = k // 2
         padding = [(p, p), (p, p)]
+    if _PHASE_GRAD_DX and stride > 1:
+        from aquaculture_tpu.models import phase_grad
+
+        pad = tuple((int(lo), int(hi)) for lo, hi in padding)
+        if phase_grad.phase_dx_supported(k, stride, pad):
+            return phase_grad.conv2d_phase(x, w, stride, pad)
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

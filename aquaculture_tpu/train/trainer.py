@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from aquaculture_tpu.config import TrainConfig
+from aquaculture_tpu.models import layers
 from aquaculture_tpu.models.yolov5 import YoloV5
 from aquaculture_tpu.train.ema import ema_update
 from aquaculture_tpu.train.loss import yolo_loss
@@ -76,7 +77,11 @@ def make_train_step(
         # dtype (layers use w.astype(x.dtype)); params stay f32 masters and
         # the cast's transpose returns f32 grads. Head output and loss are
         # f32 (models/yolov5.py features -> astype(float32) in the head).
-        feats, new_params = forward(params, batch["images"].astype(compute_dtype))
+        # phase_grad_ctx is a TRACE-time switch: under it the strided convs
+        # record the phase-decomposed dX vjp (models/phase_grad.py) that
+        # the training roofline motivates (docs/SCALING.md round 4).
+        with layers.phase_grad_ctx(cfg.phase_grad_dx):
+            feats, new_params = forward(params, batch["images"].astype(compute_dtype))
         loss, metrics = yolo_loss(
             feats,
             batch["labels"],
