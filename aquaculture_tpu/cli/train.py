@@ -41,9 +41,14 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh", default=None,
                     help="shard the train step over local devices, e.g. '8' (data) or '4x2' (data x model)")
     ap.add_argument("--remat", action="store_true", help="rematerialize backbone activations")
+    ap.add_argument("--phase-grad-dx", action="store_true",
+                    help="phase-decomposed input gradients for the strided "
+                         "convs (models/phase_grad.py; exact, opt-in until "
+                         "the on-chip A/B lands — docs/SCALING.md)")
     args = ap.parse_args(argv)
 
-    cfg = TrainConfig(img_size=args.img, batch_size=args.batch, epochs=args.epochs, remat=args.remat)
+    cfg = TrainConfig(img_size=args.img, batch_size=args.batch, epochs=args.epochs, remat=args.remat,
+                      phase_grad_dx=args.phase_grad_dx)
     ds = DetectionDataset(args.images, args.labels, cfg, augment=not args.no_augment, seed=args.seed)
     log_info("%d images, %d steps/epoch", len(ds), ds.steps_per_epoch)
 
