@@ -120,7 +120,7 @@ def analyze(records, batch):
     return tot_t / batch, tot_useful / batch
 
 
-def analyze_train(records, batch):
+def analyze_train(records, batch, phase_dx: bool = False):
     """Backward-pass ceiling: each conv's gradient is two more implicit
     GEMMs with their own (worse) padding —
       dX = dY ⊛ Wᵀ : M=B·Hi·Wi, K=k²·Cout (→128), N=Cin (→128)
@@ -154,11 +154,22 @@ def analyze_train(records, batch):
                       2.0 * (b * hi * wi * cin + m * n + k * n)))
         # dX (skip first conv)
         if li > 0:
-            mi = b * hi * wi
-            k2 = kh * kw * cout
-            gemms.append(("dX", 2.0 * m * k * n,
-                          2.0 * ceil(mi / SUBLANE) * SUBLANE * ceil(k2 / LANE) * LANE * ceil(cin / LANE) * LANE,
-                          2.0 * (m * n + k * n + b * hi * wi * cin)))
+            s = r["stride"][0]
+            if phase_dx and s == 2:
+                # models/phase_grad.py: ONE stride-1 conv over dY with
+                # ceil(k/2)² taps and s²·Cin output lanes — M shrinks to
+                # dY space (no dilation zeros), N fills the lane tile.
+                kq = (ceil(kh / 2)) * (ceil(kw / 2)) * cout
+                nq = s * s * cin
+                gemms.append(("dX", 2.0 * m * k * n,
+                              2.0 * ceil(m / SUBLANE) * SUBLANE * ceil(kq / LANE) * LANE * ceil(nq / LANE) * LANE,
+                              2.0 * (m * n + kq * nq + b * hi * wi * cin)))
+            else:
+                mi = b * hi * wi
+                k2 = kh * kw * cout
+                gemms.append(("dX", 2.0 * m * k * n,
+                              2.0 * ceil(mi / SUBLANE) * SUBLANE * ceil(k2 / LANE) * LANE * ceil(cin / LANE) * LANE,
+                              2.0 * (m * n + k * n + b * hi * wi * cin)))
         for which, useful, padded, bytes_ in gemms:
             t = max(padded / PEAK_FLOPS, bytes_ / HBM_BPS)
             t_tot += t
@@ -169,7 +180,8 @@ def analyze_train(records, batch):
                 padded=padded,
                 bound="mxu" if padded / PEAK_FLOPS >= bytes_ / HBM_BPS else "hbm",
             ))
-    print(f"TRAIN (fwd+bwd convs only): useful {useful_tot / batch / 1e9:.2f} GF/img, "
+    tag = " [phase-dX]" if phase_dx else ""
+    print(f"TRAIN{tag} (fwd+bwd convs only): useful {useful_tot / batch / 1e9:.2f} GF/img, "
           f"padded {padded_tot / batch / 1e9:.2f} GF/img (lane eff {useful_tot / padded_tot:.1%})")
     print(f"roofline step time {t_tot * 1e3 / batch:.4f} ms/img "
           f"-> useful-MFU ceiling {useful_tot / t_tot / PEAK_FLOPS:.1%}")
@@ -204,13 +216,14 @@ def analyze_train(records, batch):
 
 def main():
     train = "--train" in sys.argv
+    phase_dx = "--phase-dx" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = args[0] if args else "m"
     img = int(args[1]) if len(args) > 1 else 640
     batch = int(args[2]) if len(args) > 2 else 128
     recs = capture_convs(variant, img, batch)
     if train:
-        analyze_train(recs, batch)
+        analyze_train(recs, batch, phase_dx=phase_dx)
     else:
         analyze(recs, batch)
 
