@@ -62,7 +62,7 @@ def _phase_plan_1d(k: int, s: int, pad_lo: int):
         m_r = max(0, (k - rho + s - 1) // s)
         delta = (r + pad_lo - rho) // s
         plans.append((rho, m_r, delta))
-    conv_pad_lo = max(m_r - 1 - delta for (_, m_r, delta) in plans)
+    conv_pad_lo = max(0, max(m_r - 1 - delta for (_, m_r, delta) in plans))
     m_ext = max(
         max(m_r for (_, m_r, _) in plans),
         conv_pad_lo + max(delta for (_, _, delta) in plans) + 1,

@@ -28,6 +28,8 @@ def _grads(fn, x, w):
         (3, 3, 16, 9, 11),      # odd spatial: phase slice path
         (6, 3, 32, 20, 20),     # the stem (k6s2, pad 2)
         (6, 8, 24, 13, 17),     # stem geometry, odd spatial
+        (4, 8, 16, 12, 12),     # even k, robustness (not in the family)
+        (5, 8, 16, 12, 14),     # odd k>3, robustness
     ],
 )
 def test_phase_dx_matches_autodiff(k, ci, co, h, w):
