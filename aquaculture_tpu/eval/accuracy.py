@@ -20,6 +20,7 @@ import numpy as np
 
 from aquaculture_tpu.config import DetectConfig
 from aquaculture_tpu.eval.map import evaluate_map
+from aquaculture_tpu.utils.logging import log_info
 
 
 def load_world_ground_truths(
@@ -214,4 +215,8 @@ def serving_accuracy_table(
         cfg = DetectConfig(**cfg_kw)
         m = world_map(paths, lab_dir, model, p, cfg, num_classes, batch_size, tile=tile)
         rows.append(ServingConfigResult(name=name, map50=m["map50"], map=m["map"]))
+        # multi-hour CPU tables (mt@640) need per-config progress
+        log_info(
+            f"accuracy[{name}]: mAP@.5 {m['map50']:.4f}  mAP@.5:.95 {m['map']:.4f}"
+        )
     return rows
