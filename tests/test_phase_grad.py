@@ -96,6 +96,40 @@ def test_conv2d_dispatch_under_ctx():
 
 
 @pytest.mark.slow
+def test_sharded_train_step_composes_with_phase_grad():
+    """The phase-dX custom vjp must compose with the (data, model) mesh
+    sharding the driver's dryrun exercises — a batch-sharded conv over dY
+    is still just a conv, but the custom_vjp boundary has to trace under
+    shard_map/pjit without requiring replication."""
+    import numpy as np
+
+    from aquaculture_tpu.config import TrainConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.parallel.mesh import make_mesh
+    from aquaculture_tpu.parallel.sharded import sharded_train_step
+    from aquaculture_tpu.train.trainer import init_train_state
+
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    cfg = TrainConfig(
+        img_size=64, batch_size=8, epochs=1,
+        phase_grad_dx=True, compute_dtype="float32",
+    )
+    mesh = make_mesh(4, 2)
+    state = init_train_state(model, params)
+    step, sh_state = sharded_train_step(
+        model, cfg, mesh, steps_per_epoch=2, state=state
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.random((8, 64, 64, 3), np.float32)),
+        "labels": jnp.asarray(rng.random((8, 120, 5), np.float32) * 16),
+        "label_mask": jnp.asarray(np.arange(120)[None] < 2).repeat(8, 0),
+    }
+    sh_state, m = step(sh_state, batch)
+    assert np.isfinite(float(m["total"]))
+
+
+@pytest.mark.slow
 def test_train_step_grads_match_with_phase_grad():
     """Full train step on the n variant: parameter grads with
     phase_grad_dx on/off agree to f32 tolerance (f32 compute so the only
