@@ -75,6 +75,62 @@ def test_multi_label_not_catastrophic(table):
     assert d >= -0.05, (table["multi_label"], table["bf16"])
 
 
+def _mt640_rows():
+    """Committed production-config confirmation rows (VERDICT r3 #2).
+
+    The live fixture above is n@160 because an mt@640 checkpoint is 96 MB
+    (too large to commit); the transfer argument is CI-enforced instead:
+    the SAME bounds the n@160 fixture is measured against must hold in
+    the committed mt@640 measurement rows (BENCH_ACCURACY.jsonl, tagged
+    ckpt=prod_mt640_e215 — scripts/train_prod_ckpt.py +
+    scripts/accuracy_ab.py --variant mt --img 640). A re-measurement that
+    violates the bounds fails CI exactly like a live regression would.
+    """
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_ACCURACY.jsonl")
+    rows = {}
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            if (
+                r.get("variant") == "mt"
+                and r.get("img") == 640
+                and r.get("ckpt") == "prod_mt640_e215"
+            ):
+                rows[r["config"]] = r
+    return rows
+
+
+def test_mt640_confirmation_rows_present():
+    rows = _mt640_rows()
+    for cfg in ("f32", "bf16", "int8_mixed", "int8_safe", "tta", "multi_label"):
+        assert cfg in rows, f"missing mt@640 confirmation row for {cfg!r}"
+    # the production-config checkpoint must actually detect (overfit
+    # regime, its own world): far above the n160 fixture's 0.5 floor
+    assert rows["bf16"]["map50"] >= 0.9, rows["bf16"]
+
+
+def test_mt640_int8_bounds_transfer():
+    """The int8 bounds asserted live on n@160 hold in the mt@640
+    measurement: the safe split within 0.05 mAP@.5 AND 0.03 mAP@.5:.95
+    of bf16; the tight-IoU split motivation (mixed loses localization)
+    must also be visible at the production config."""
+    rows = _mt640_rows()
+    bf16, safe, mixed = rows["bf16"], rows["int8_safe"], rows["int8_mixed"]
+    assert abs(safe["map50"] - bf16["map50"]) <= 0.05, (safe, bf16)
+    assert abs(safe["map50_95"] - bf16["map50_95"]) <= 0.03, (safe, bf16)
+    # and the safe split must beat plain mixed at tight IoU — the reason
+    # it exists (measured: 0.7325 vs 0.6826 here; 0.03 margin floor)
+    assert safe["map50_95"] >= mixed["map50_95"] + 0.03, (safe, mixed)
+
+
+def test_mt640_multi_label_not_catastrophic():
+    rows = _mt640_rows()
+    d = rows["multi_label"]["map50"] - rows["bf16"]["map50"]
+    assert d >= -0.05, rows["multi_label"]
+
+
 def test_world_map_rejects_unmatched_detection_stems(monkeypatch, tmp_path):
     # A detection stem with no GT label file must raise, not silently
     # vanish from the evaluation (review r3: unlabeled images or >tile
