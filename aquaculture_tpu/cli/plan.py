@@ -94,7 +94,7 @@ def main(argv=None) -> None:
         return
     print(f"variant={plan.variant} batch={plan.batch} "
           f"int8={plan.int8} img={plan.img_size} overlap_px={plan.overlap_px} "
-          f"tta={plan.tta}")
+          f"tta={plan.tta} decode_scale={plan.decode_scale}")
     for note in plan.notes:
         print(f"  - {note}")
 

@@ -28,6 +28,7 @@ import dataclasses
 import math
 from typing import List, Tuple
 
+from aquaculture_tpu.config import IM_WIDTH
 from aquaculture_tpu.models.yolov5 import VARIANTS
 
 # Measured serving facts (BENCHMARKS.md), keyed by variant. Only variants
@@ -48,6 +49,7 @@ class ServingPlan:
     img_size: int
     overlap_px: int          # 0 = hard tile grid
     tta: bool                # multi-scale test-time augmentation (--augment)
+    decode_scale: bool       # DCT-domain host decode at img_size (--decode-scale)
     notes: Tuple[str, ...]   # provenance: why each choice, BENCHMARKS.md refs
 
 
@@ -153,6 +155,25 @@ def recommend_serving(
             "family on boundary accuracy AND throughput (BENCHMARKS 'P6 "
             "efficiency study'); cross-tile NMS merges the seams")
 
+    # decode-at-scale: mAP-gated on the production config (round 4) —
+    # mt@640 from 1024px tiles, DCT 5/8 decode scored +0.007 mAP@.5 /
+    # +0.001 mAP@.5:.95 vs full-decode+device-resize, at 2.56x less
+    # host->device traffic and parity-or-better decode throughput.
+    # Requires img a proper N/8 fraction of the 1024px tile; the overlap
+    # path slices at source resolution so it stays full-decode.
+    decode_scale = (
+        overlap_px == 0 and img < IM_WIDTH and (8 * img) % IM_WIDTH == 0
+    )
+    if decode_scale:
+        notes.append(
+            "decode_scale=True: DCT-domain 640-from-1024 decode measured "
+            "mAP-neutral (+0.007 mAP@.5 on the mt@640 gate) with 2.56x "
+            "less host->device traffic (BENCHMARKS 'Decode-at-scale')")
+    else:
+        notes.append(
+            "decode_scale=False: needs img = N/8 of the tile and the hard "
+            "grid (overlap slices at source resolution)")
+
     return ServingPlan(
         variant=variant,
         batch=batch,
@@ -160,6 +181,7 @@ def recommend_serving(
         img_size=img,
         overlap_px=overlap_px,
         tta=tta,
+        decode_scale=decode_scale,
         notes=tuple(notes),
     )
 

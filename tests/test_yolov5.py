@@ -258,6 +258,8 @@ def test_serving_plan_recommendations():
 
     p = recommend_serving()
     assert (p.variant, p.batch, p.int8, p.overlap_px) == ("mt", 128, False, 0)
+    # decode-at-scale: mAP-gated on the mt@640 production config (r4)
+    assert p.decode_scale
 
     p = recommend_serving(pt_interop=True)
     assert (p.variant, p.int8) == ("m", True)
@@ -267,6 +269,10 @@ def test_serving_plan_recommendations():
 
     p = recommend_serving(boundary_accuracy=True)
     assert p.overlap_px > 0 and p.variant == "mt"
+    assert not p.decode_scale  # overlap slices at source resolution
+
+    p = recommend_serving(variant="m6", img=1280)
+    assert not p.decode_scale  # 1280 is not a sub-tile fraction
 
     p = recommend_serving(variant="n")
     assert not p.int8  # measured net loss on n
