@@ -578,9 +578,17 @@ def intersects(a: Geometry, b: Geometry) -> bool:
         return any(intersects(p, b) for p in a.geoms)
     if isinstance(b, MultiPolygon):
         return any(intersects(a, p) for p in b.geoms)
-    # Polygon vs Polygon
-    if _rings_intersect(a.exterior, b.exterior):
-        return True
+    # Polygon vs Polygon — hole-aware: HOLE rings are boundary too, and a
+    # ring of b crossing only a hole ring of a (e.g. a box straddling a
+    # lake edge) is an intersection the exterior-only test misses. With
+    # every ring pair checked, no crossings means each polygon lies
+    # entirely within ONE face of the other's arrangement, so the single
+    # vertex-containment probe below is sound (contains_point is
+    # hole-aware).
+    for ra in (a.exterior, *a.holes):
+        for rb in (b.exterior, *b.holes):
+            if _rings_intersect(ra, rb):
+                return True
     if a.contains_point(*b.exterior[0]) or b.contains_point(*a.exterior[0]):
         return True
     return False

@@ -67,6 +67,55 @@ def rasterize_geometry(geom, bounds, width: int, height: int) -> np.ndarray:
     return mask
 
 
+def rasterize_edges(geom, bounds, width: int, height: int) -> np.ndarray:
+    """Cells any ring edge (exterior or hole) passes through — conservative.
+
+    Samples every edge at half-cell spacing and marks each sample's 3x3
+    cell neighborhood, so the returned mask is a SUPERSET of the cells the
+    boundary truly crosses. The guarantee the hybrid land filter needs is
+    one-directional: a cell NOT marked here is crossed by no edge, hence
+    uniformly inside or outside the geometry — center-sampled
+    rasterize_geometry is exact on it.
+    """
+    mask = np.zeros((height, width), dtype=bool)
+    if geom is None or geom.is_empty:
+        return mask
+    minx, miny, maxx, maxy = bounds
+    if maxx <= minx or maxy <= miny:
+        return mask
+    px_w = (maxx - minx) / width
+    px_h = (maxy - miny) / height
+    step = 0.5 * min(px_w, px_h)
+    polys = geom.geoms if isinstance(geom, _poly.MultiPolygon) else [geom]
+    rings = []
+    for p in polys:
+        rings.append(np.asarray(p.exterior, np.float64))
+        rings.extend(np.asarray(h, np.float64) for h in p.holes)
+    for ring in rings:
+        if len(ring) < 2:
+            continue
+        p0 = ring
+        p1 = np.roll(ring, -1, axis=0)
+        seg = p1 - p0
+        lens = np.hypot(seg[:, 0], seg[:, 1])
+        n = np.maximum(1, np.ceil(lens / step)).astype(np.int64)
+        # t = j / n_i for j in 0..n_i per edge, flattened
+        reps = n + 1
+        edge_ix = np.repeat(np.arange(len(n)), reps)
+        j = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
+        t = j / n[edge_ix]
+        pts = p0[edge_ix] + t[:, None] * seg[edge_ix]
+        col = np.floor((pts[:, 0] - minx) / px_w).astype(np.int64)
+        row = np.floor((maxy - pts[:, 1]) / px_h).astype(np.int64)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                r = row + dr
+                c = col + dc
+                ok = (r >= 0) & (r < height) & (c >= 0) & (c < width)
+                mask[r[ok], c[ok]] = True
+    return mask
+
+
 def _trace_boundary(mask: np.ndarray) -> List[np.ndarray]:
     """Trace outer boundaries of connected true-regions of a pixel mask.
 

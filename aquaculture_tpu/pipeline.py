@@ -336,5 +336,15 @@ def run_pipeline(
     if len(det):
         det = cage_areas(det)
     if land is not None and len(det):
-        det = remove_land_detections(det, land)
+        # hybrid = row-for-row the exact sjoin result (boundary-masked
+        # three-way split; post/landmask.py), ~10x faster at corpus scale.
+        # Small batches skip the mask build: the exact path wins under
+        # ~2k rows because the rasterization is a fixed ~1 s cost.
+        if len(det) >= 2000:
+            from aquaculture_tpu.post.landmask import (
+                remove_land_detections_hybrid)
+
+            det = remove_land_detections_hybrid(det, land)
+        else:
+            det = remove_land_detections(det, land)
     return det, stats

@@ -17,7 +17,7 @@ from typing import Optional
 import numpy as np
 
 from aquaculture_tpu import frame as gf
-from aquaculture_tpu.geo.rasterize import rasterize_geometry
+from aquaculture_tpu.geo.rasterize import rasterize_edges, rasterize_geometry
 
 
 @dataclasses.dataclass
@@ -25,6 +25,10 @@ class LandMask:
     mask: np.ndarray  # (H, W) bool, row 0 = north
     bounds: tuple     # (minx, miny, maxx, maxy) in `crs`
     crs: int
+    # cells any land-polygon EDGE passes through (conservative superset;
+    # geo.rasterize.rasterize_edges). Cells NOT in it are uniformly
+    # land/water, which is what makes the hybrid filter exact.
+    boundary: Optional[np.ndarray] = None
 
     def contains(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Vectorized point-on-land lookup (points outside bounds: False)."""
@@ -41,6 +45,60 @@ class LandMask:
         out = np.where(inside, self.mask[rr, cc], False)
         return out
 
+    def box_status(self, boxes: np.ndarray) -> np.ndarray:
+        """Classify axis-aligned boxes (N, 4 = minx,miny,maxx,maxy):
+        0 = certainly water, 1 = certainly touches land, 2 = boundary
+        (needs an exact test). Requires ``boundary`` (build_land_mask
+        with_boundary=True)."""
+        if self.boundary is None:
+            raise ValueError("box_status needs a boundary mask "
+                             "(build_land_mask(..., with_boundary=True))")
+        b = np.asarray(boxes, np.float64).reshape(-1, 4)
+        minx, miny, maxx, maxy = self.bounds
+        h, w = self.mask.shape
+        pw = (maxx - minx) / w
+        ph = (maxy - miny) / h
+        c0 = np.floor((b[:, 0] - minx) / pw).astype(np.int64)
+        c1 = np.floor((b[:, 2] - minx) / pw).astype(np.int64)
+        r0 = np.floor((maxy - b[:, 3]) / ph).astype(np.int64)
+        r1 = np.floor((maxy - b[:, 1]) / ph).astype(np.int64)
+        overlaps = (c1 >= 0) & (c0 < w) & (r1 >= 0) & (r0 < h)
+        out = np.zeros(len(b), np.int8)  # off-grid boxes: water
+        todo = np.nonzero(overlaps)[0]
+        if not len(todo):
+            return out
+        c0t = np.clip(c0[todo], 0, w - 1)
+        c1t = np.clip(c1[todo], 0, w - 1)
+        r0t = np.clip(r0[todo], 0, h - 1)
+        r1t = np.clip(r1[todo], 0, h - 1)
+        sr = int((r1t - r0t).max()) + 1
+        sc = int((c1t - c0t).max()) + 1
+        # detection boxes are a few cells; gather the (sr, sc) window per
+        # box in one broadcast. Oversized outliers go one-by-one.
+        big = (r1t - r0t + 1).astype(np.int64) * (c1t - c0t + 1) > 4096
+        for i, rr0, rr1, cc0, cc1 in zip(
+            todo[big], r0t[big], r1t[big], c0t[big], c1t[big]
+        ):
+            win_b = self.boundary[rr0:rr1 + 1, cc0:cc1 + 1]
+            win_l = self.mask[rr0:rr1 + 1, cc0:cc1 + 1]
+            out[i] = 2 if win_b.any() else (1 if win_l.any() else 0)
+        todo, r0t, r1t, c0t, c1t = (
+            a[~big] for a in (todo, r0t, r1t, c0t, c1t))
+        if len(todo):
+            sr = int((r1t - r0t).max()) + 1
+            sc = int((c1t - c0t).max()) + 1
+            rows = r0t[:, None] + np.arange(sr)[None, :]
+            cols = c0t[:, None] + np.arange(sc)[None, :]
+            rv = rows <= r1t[:, None]
+            cv = cols <= c1t[:, None]
+            rows = np.minimum(rows, h - 1)
+            cols = np.minimum(cols, w - 1)
+            valid = rv[:, :, None] & cv[:, None, :]
+            any_b = (self.boundary[rows[:, :, None], cols[:, None, :]] & valid).any((1, 2))
+            any_l = (self.mask[rows[:, :, None], cols[:, None, :]] & valid).any((1, 2))
+            out[todo] = np.where(any_b, 2, np.where(any_l, 1, 0)).astype(np.int8)
+        return out
+
 
 def build_land_mask(
     land: "gf.GeoFrame",
@@ -48,6 +106,7 @@ def build_land_mask(
     crs: int = 3857,
     bounds: Optional[tuple] = None,
     max_cells: int = 64_000_000,
+    with_boundary: bool = False,
 ) -> LandMask:
     """Rasterize land polygons to a boolean grid at ~resolution_m."""
     land_p = land.to_crs(crs)
@@ -66,11 +125,69 @@ def build_land_mask(
     if w * h > max_cells:
         raise ValueError(f"land mask {w}x{h} exceeds max_cells; raise resolution_m")
     mask = np.zeros((h, w), bool)
+    boundary = np.zeros((h, w), bool) if with_boundary else None
     for g in land_p["geometry"]:
         if g is None or g.is_empty:
             continue
         mask |= rasterize_geometry(g, bounds, w, h)
-    return LandMask(mask=mask, bounds=bounds, crs=crs)
+        if with_boundary:
+            boundary |= rasterize_edges(g, bounds, w, h)
+    return LandMask(mask=mask, bounds=bounds, crs=crs, boundary=boundary)
+
+
+def remove_land_detections_hybrid(
+    detections: "gf.GeoFrame",
+    land: "gf.GeoFrame",
+    mask: Optional[LandMask] = None,
+    resolution_m: float = 50.0,
+) -> "gf.GeoFrame":
+    """EXACTLY post.geocode.remove_land_detections, at near-mask speed.
+
+    Three-way split on the boundary-aware mask (box_status): detections
+    whose bbox window contains no land cell are certainly water (kept —
+    cells free of polygon edges are uniformly land/water, so the
+    center-sampled fill mask is exact there); bboxes over land-only
+    windows are certainly intersecting (dropped — valid when the geometry
+    fills its bbox, i.e. axis-aligned boxes; others fall through); only
+    the boundary-window remainder pays the exact polygon sjoin
+    (reference semantics: geocode_results.py:200-218). Results are
+    row-for-row identical to the exact filter; only the cost moves.
+    """
+    from aquaculture_tpu.post.geocode import remove_land_detections
+
+    if len(detections) == 0:
+        return detections
+    if mask is None or mask.boundary is None:
+        # classify in a METRIC crs (resolution_m is meters; detections may
+        # arrive in 4326). The certainly-land/water zones sit >=1 cell from
+        # any edge, so the sub-mm vertex-linearization difference between
+        # classifying in 3857 and sjoining in detections.crs cannot flip
+        # them; everything nearer goes to the exact test anyway.
+        mask = build_land_mask(
+            land, resolution_m=resolution_m, crs=3857, with_boundary=True,
+        )
+    dets = detections.to_crs(mask.crs)
+    dets.crs = mask.crs
+    bb = dets.bounds_array()
+    status = mask.box_status(bb)
+    # "certainly land" is only a certain INTERSECTION for geometries that
+    # fill their bbox; CRS transforms can bend boxes, so check area==bbox
+    areas = np.array([g.area for g in dets["geometry"]], np.float64)
+    bba = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
+    is_rect = np.isclose(areas, bba, rtol=1e-9)
+    water = status == 0
+    needs_exact = (status == 2) | ((status == 1) & ~is_rect)
+    exact_keep = np.zeros(len(detections), bool)
+    if needs_exact.any():
+        sub = detections[needs_exact].copy()
+        sub.crs = detections.crs
+        kept = remove_land_detections(sub, land)
+        exact_keep = (
+            np.asarray(detections.index.isin(kept.index)) & needs_exact
+        )
+    out = detections[water | exact_keep].copy()
+    out.crs = detections.crs
+    return out
 
 
 def remove_land_detections_masked(detections: "gf.GeoFrame", mask: LandMask) -> "gf.GeoFrame":

@@ -79,7 +79,9 @@ def main() -> None:
         nms_cross_tile,
     )
     from aquaculture_tpu.post.geocode import geocode_detections, remove_land_detections
-    from aquaculture_tpu.post.landmask import build_land_mask, remove_land_detections_masked
+    from aquaculture_tpu.post.landmask import (
+        build_land_mask, remove_land_detections_hybrid,
+        remove_land_detections_masked)
 
     rows = []
 
@@ -121,9 +123,21 @@ def main() -> None:
                  "rows_in": 1, "rows_out": 1, "det_per_s": None})
     print(json.dumps(rows[-1]), flush=True)
     stage("land_masked", lambda: remove_land_detections_masked(det3, mask))
+    t0 = time.perf_counter()
+    hmask = build_land_mask(land, resolution_m=res_m, with_boundary=True)
+    hmask_s = time.perf_counter() - t0
+    rows.append({"stage": "land_hybrid_mask_build", "seconds": round(hmask_s, 3),
+                 "rows_in": 1, "rows_out": 1, "det_per_s": None})
+    print(json.dumps(rows[-1]), flush=True)
+    hyb = stage("land_hybrid",
+                lambda: remove_land_detections_hybrid(det3, land, mask=hmask))
+    exact = remove_land_detections(det3, land)
+    assert hyb["det_conf"].tolist() == exact["det_conf"].tolist(), \
+        "hybrid land filter diverged from the exact sjoin"
 
     total = sum(r["seconds"] for r in rows if r["stage"] not in
-                ("land_masked", "land_mask_build", "dedup_download_boxes"))
+                ("land_masked", "land_mask_build", "land_hybrid",
+                 "land_hybrid_mask_build", "dedup_download_boxes"))
     summary = {
         "stage": "TOTAL_sjoin_path",
         "seconds": round(total, 3),

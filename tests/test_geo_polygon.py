@@ -41,6 +41,32 @@ def test_intersects_predicate():
     assert not P.intersects(P.Point(10, 10), a)
 
 
+def test_intersects_hole_aware():
+    """Regression (round 4): a box straddling a HOLE edge intersects the
+    polygon even though it crosses no exterior ring and its first vertex
+    may sit inside the hole — hole rings are boundary too."""
+    lake = P.Polygon(
+        np.asarray(P.box(0, 0, 100, 100).exterior, float),
+        holes=[np.asarray(P.box(40, 40, 60, 60).exterior, float)],
+    )
+    straddle = P.box(38, 48, 44, 52)  # 2x4 overlap with solid land
+    assert P.intersects(lake, straddle)
+    assert P.intersects(straddle, lake)
+    assert lake.intersection(straddle).area == pytest.approx(8.0)
+    # fully inside the hole: disjoint
+    inside_hole = P.box(45, 45, 55, 55)
+    assert not P.intersects(lake, inside_hole)
+    assert lake.intersection(inside_hole).is_empty
+    # touching the hole edge from inside the hole: boundary contact
+    assert P.intersects(lake, P.box(40, 45, 50, 55))
+    # hole-ring vs hole-ring contact between two hole-y polygons
+    donut2 = P.Polygon(
+        np.asarray(P.box(30, 30, 70, 70).exterior, float),
+        holes=[np.asarray(P.box(40, 40, 60, 60).exterior, float)],
+    )
+    assert P.intersects(lake, donut2)
+
+
 def test_intersection_boxes_exact():
     a = P.box(0, 0, 2, 2)
     b = P.box(1, 1, 3, 3)

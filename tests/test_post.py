@@ -335,6 +335,102 @@ def test_land_mask_matches_sjoin_filter():
     assert exact["id"].tolist() == [1, 3]
 
 
+def test_hybrid_land_filter_exact_on_jagged_coast():
+    """remove_land_detections_hybrid must select row-for-row the SAME
+    detections as the exact sjoin filter — the boundary-cell exact pass is
+    what buys that — across resolutions coarse enough that the plain mask
+    path disagrees."""
+    from aquaculture_tpu.post.landmask import (
+        build_land_mask, remove_land_detections_hybrid)
+
+    rng = np.random.default_rng(7)
+    # jagged coastline: land is the area under a piecewise line
+    xs = np.linspace(0, 1000, 41)
+    ys = 400 + rng.uniform(-150, 150, len(xs))
+    ring = np.concatenate(
+        [np.stack([xs, ys], 1), [[1000, 0], [0, 0]]], 0)
+    land = gf.GeoFrame(
+        {"n": [0]}, geometry=[_poly.Polygon(ring)], crs=3857)
+    n = 400
+    cx = rng.uniform(-50, 1050, n)
+    cy = rng.uniform(0, 800, n)   # straddles the coast band
+    s = rng.uniform(2, 30, n)
+    dets = gf.GeoFrame(
+        {"id": np.arange(n)},
+        geometry=[
+            _poly.box(x - w, y - w, x + w, y + w)
+            for x, y, w in zip(cx, cy, s)
+        ],
+        crs=3857,
+    )
+    exact = remove_land_detections(dets, land)
+    for res in (100.0, 25.0):
+        mask = build_land_mask(land, resolution_m=res, with_boundary=True)
+        hyb = remove_land_detections_hybrid(dets, land, mask=mask)
+        assert hyb["id"].tolist() == exact["id"].tolist(), res
+
+
+def test_hybrid_land_filter_edge_cases():
+    from aquaculture_tpu.post.landmask import (
+        build_land_mask, remove_land_detections_hybrid)
+
+    # MultiPolygon with a hole: a detection inside the hole is water
+    outer = _poly.box(0, 0, 100, 100)
+    lake = _poly.Polygon(
+        np.asarray(outer.exterior, float),
+        holes=[np.asarray(_poly.box(40, 40, 60, 60).exterior, float)],
+    )
+    land = gf.GeoFrame({"n": [0]}, geometry=[lake], crs=3857)
+    dets = gf.GeoFrame(
+        {"id": [0, 1, 2, 3]},
+        geometry=[
+            _poly.box(48, 48, 52, 52),     # inside the lake -> kept
+            _poly.box(10, 10, 14, 14),     # solid land -> dropped
+            _poly.box(200, 10, 204, 14),   # off-grid -> kept
+            _poly.box(38, 48, 44, 52),     # straddles the lake edge -> dropped
+        ],
+        crs=3857,
+    )
+    exact = remove_land_detections(dets, land)
+    mask = build_land_mask(land, resolution_m=3.0, with_boundary=True)
+    hyb = remove_land_detections_hybrid(dets, land, mask=mask)
+    assert hyb["id"].tolist() == exact["id"].tolist() == [0, 2]
+
+    # empty input passes through
+    empty = dets[np.zeros(4, bool)].copy()
+    empty.crs = 3857
+    assert len(remove_land_detections_hybrid(empty, land, mask=mask)) == 0
+
+
+def test_hybrid_land_filter_4326_detections():
+    """Pipeline-shaped inputs: detections in 4326 (the output CRS), land
+    metric. The hybrid classifies on a 3857 mask but must still select
+    exactly the sjoin-in-4326 rows."""
+    from aquaculture_tpu.post.landmask import remove_land_detections_hybrid
+
+    rng = np.random.default_rng(3)
+    xs = np.linspace(450_000.0, 470_000.0, 21)
+    ys = 5_200_000.0 + rng.uniform(-800, 800, len(xs))
+    ring = np.concatenate(
+        [np.stack([xs, ys], 1), [[470_000.0, 5_150_000.0], [450_000.0, 5_150_000.0]]], 0)
+    land = gf.GeoFrame({"n": [0]}, geometry=[_poly.Polygon(ring)], crs=3857)
+    n = 200
+    cx = rng.uniform(449_000.0, 471_000.0, n)
+    cy = rng.uniform(5_196_000.0, 5_206_000.0, n)
+    s = rng.uniform(5, 40, n)
+    dets_m = gf.GeoFrame(
+        {"id": np.arange(n)},
+        geometry=[_poly.box(x - w, y - w, x + w, y + w)
+                  for x, y, w in zip(cx, cy, s)],
+        crs=3857,
+    )
+    dets = dets_m.to_crs(4326)
+    dets.crs = 4326
+    exact = remove_land_detections(dets, land)
+    hyb = remove_land_detections_hybrid(dets, land, resolution_m=50.0)
+    assert hyb["id"].tolist() == exact["id"].tolist()
+
+
 def test_land_mask_contains_vectorized():
     from aquaculture_tpu.post.landmask import build_land_mask
 
