@@ -152,17 +152,21 @@ def nms_cross_tile(det: "gf.GeoFrame", iou_thresh: float = 0.5) -> "gf.GeoFrame"
         # differ by <= 1 on each axis, so each candidate only checks kept
         # boxes in its 3x3 cell neighborhood — near-linear instead of the
         # all-pairs scan (measured 278 -> ~50k det/s at corpus scale,
-        # BENCH_POST.jsonl). The cell is the group's 95th-percentile side,
-        # not the max: one outlier-large box would otherwise inflate the
-        # cell until every box shares a handful of cells and the bucketing
-        # degenerates back to O(n^2). Boxes wider than the cell are "big":
-        # they compare all-pairs against every kept box, and every normal
-        # candidate also checks the kept big boxes — exact, and cheap as
-        # long as big boxes are the rare tail (mirrors frame's
-        # _candidate_pairs wide-box split).
+        # BENCH_POST.jsonl). The cell is the group's max side CAPPED at
+        # 2x the 95th-percentile side: one outlier-large box would
+        # otherwise inflate the cell until every box shares a handful of
+        # cells and the bucketing degenerates back to O(n^2), while a
+        # plain p95 cell makes 5% of boxes "big" BY CONSTRUCTION and big
+        # candidates pay an all-pairs scan (measured 18x slowdown at 50k,
+        # round 4). With the cap, ordinary size distributions
+        # (max <= 2*p95) have ZERO big boxes; only genuine outliers take
+        # the split: they compare all-pairs against every kept box, and
+        # every normal candidate also checks the kept big boxes — exact
+        # either way (mirrors frame's _candidate_pairs wide-box split).
         gb = boxes[order]
         sides = np.maximum(gb[:, 2] - gb[:, 0], gb[:, 3] - gb[:, 1])
-        cell = float(max(np.percentile(sides, 95.0), 1e-9))
+        p95 = np.percentile(sides, 95.0)
+        cell = float(max(min(float(sides.max()), 2.0 * p95), 1e-9))
         big = sides > cell
         cx = np.floor(gb[:, 0] / cell).astype(np.int64)
         cy = np.floor(gb[:, 1] / cell).astype(np.int64)
