@@ -192,6 +192,12 @@ def from_geometry(g) -> Region:
     for p in polys:
         if p.is_empty:
             continue
+        if isinstance(p, _poly.Polygon) and p.is_rectangle:
+            # the dominant dedup input is a plain box — skip the
+            # grid-decomposition machinery (measured 39% of
+            # deduplicate_gdf_with_bboxes before this path)
+            pieces.append(np.asarray([p.bounds], np.float64))
+            continue
         xs_all = [p.exterior[:, 0]] + [h[:, 0] for h in p.holes]
         ys_all = [p.exterior[:, 1]] + [h[:, 1] for h in p.holes]
         xs = np.unique(np.concatenate(xs_all))
