@@ -83,6 +83,41 @@ def test_intersects_matches_raster_oracle(seed):
             assert b1[0] <= b2[2] and b2[0] <= b1[2]
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_intersects_hole_polygons_match_region_oracle(seed):
+    """Hole-aware intersects fuzz (the round-4 lake-edge bug class): random
+    rectilinear donuts vs random boxes, differentially checked against the
+    independent exact Region algebra — positive intersection area must
+    imply intersects, and intersects with zero area is only legal when
+    boundaries touch (probability ~0 for random floats, asserted via a
+    conservative bounds check)."""
+    rng = np.random.default_rng(400 + seed)
+    ox0, oy0 = rng.uniform(0, 30, 2)
+    ow, oh = rng.uniform(30, 60, 2)
+    # hole strictly inside
+    hx0 = ox0 + rng.uniform(0.2, 0.4) * ow
+    hy0 = oy0 + rng.uniform(0.2, 0.4) * oh
+    hx1 = ox0 + rng.uniform(0.6, 0.8) * ow
+    hy1 = oy0 + rng.uniform(0.6, 0.8) * oh
+    donut = P.Polygon(
+        np.asarray(P.box(ox0, oy0, ox0 + ow, oy0 + oh).exterior, float),
+        holes=[np.asarray(P.box(hx0, hy0, hx1, hy1).exterior, float)],
+    )
+    reg_d = from_geometry(donut)
+    for _ in range(25):
+        bx0, by0 = rng.uniform(-5, 95, 2)
+        bw, bh = rng.uniform(1, 40, 2)
+        b = P.box(bx0, by0, bx0 + bw, by0 + bh)
+        got = P.intersects(donut, b)
+        area = reg_d.intersection(from_geometry(b)).area
+        if area > 1e-9:
+            assert got, (seed, b.bounds, area)
+        else:
+            assert not got, (seed, b.bounds, area)
+        # symmetry
+        assert got == P.intersects(b, donut)
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_centroid_inside_convex_and_translation_equivariant(seed):
     rng = np.random.default_rng(300 + seed)
