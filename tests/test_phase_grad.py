@@ -95,6 +95,38 @@ def test_conv2d_dispatch_under_ctx():
     assert not layers._PHASE_GRAD_DX
 
 
+def test_remat_composes_with_phase_grad():
+    """jax.checkpoint replays the forward during backward; the replayed
+    trace must still carry the phase-dX custom vjp (a user can set both
+    remat=True and phase_grad_dx=True)."""
+    import numpy as np
+
+    from aquaculture_tpu.config import TrainConfig
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.train.trainer import init_train_state, make_train_step
+
+    model, params = yolov5_init("n", num_classes=2, seed=0)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.random((2, 64, 64, 3), np.float32)),
+        "labels": jnp.asarray(
+            [[[0, 32, 32, 10, 10]] + [[0, 0, 0, 0, 0]] * 119] * 2, jnp.float32
+        ),
+        "label_mask": jnp.asarray([[True] + [False] * 119] * 2),
+    }
+    losses = {}
+    for remat in (False, True):
+        cfg = TrainConfig(
+            img_size=64, batch_size=2, epochs=1, compute_dtype="float32",
+            phase_grad_dx=True, remat=remat,
+        )
+        state = init_train_state(model, params)
+        step = jax.jit(make_train_step(model, cfg, steps_per_epoch=1))
+        _, m = step(state, batch)
+        losses[remat] = float(m["total"])
+    assert abs(losses[False] - losses[True]) < 1e-5, losses
+
+
 @pytest.mark.slow
 def test_sharded_train_step_composes_with_phase_grad():
     """The phase-dX custom vjp must compose with the (data, model) mesh
