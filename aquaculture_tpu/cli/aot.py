@@ -121,6 +121,15 @@ def main(argv=None) -> None:
             f"--variant {args.variant} contradicts the checkpoint's saved "
             f"variant {ckpt_meta['variant']!r} ({args.weights})"
         )
+    if (
+        ckpt_meta.get("num_classes")
+        and args.num_classes
+        and args.num_classes != int(ckpt_meta["num_classes"])
+    ):
+        raise SystemExit(
+            f"--num-classes {args.num_classes} contradicts the checkpoint's "
+            f"saved num_classes {ckpt_meta['num_classes']} ({args.weights})"
+        )
     img = args.img or (1280 if variant.endswith("6") else 640)
     model, params = load_model(args.weights, variant, num_classes)
     if args.int8:

@@ -106,6 +106,14 @@ def _emit_tiles(
     if out_tile:
         if stride and stride != tile:
             raise ValueError("decode-at-scale does not support overlap serving")
+        if out_tile >= tile or (8 * out_tile) % tile != 0:
+            # same contract the native loader enforces: anything else
+            # silently decodes at the wrong scale and truncates the
+            # source-pixel offset math below
+            raise ValueError(
+                f"out_tile must be a proper N/8 fraction of tile; got "
+                f"{out_tile}/{tile}"
+            )
         from PIL import Image
 
         n = 8 * out_tile // tile

@@ -168,7 +168,11 @@ def recommend_serving(
         notes.append(
             "decode_scale=True: DCT-domain 640-from-1024 decode measured "
             "mAP-neutral (+0.007 mAP@.5 on the mt@640 gate) with 2.56x "
-            "less host->device traffic (BENCHMARKS 'Decode-at-scale')")
+            "less host->device traffic (BENCHMARKS 'Decode-at-scale'). "
+            "CAVEAT: the decode filter differs from training's "
+            "jax.image.resize — the gate bounds that operator gap on the "
+            "synthetic world; re-run decode_scale_ab on a sample of the "
+            "real corpus before flipping a production deployment")
     else:
         notes.append(
             "decode_scale=False: needs img = N/8 of the tile and the hard "

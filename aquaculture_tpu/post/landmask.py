@@ -71,8 +71,6 @@ class LandMask:
         c1t = np.clip(c1[todo], 0, w - 1)
         r0t = np.clip(r0[todo], 0, h - 1)
         r1t = np.clip(r1[todo], 0, h - 1)
-        sr = int((r1t - r0t).max()) + 1
-        sc = int((c1t - c0t).max()) + 1
         # detection boxes are a few cells; gather the (sr, sc) window per
         # box in one broadcast. Oversized outliers go one-by-one.
         big = (r1t - r0t + 1).astype(np.int64) * (c1t - c0t + 1) > 4096

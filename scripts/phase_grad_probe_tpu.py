@@ -56,12 +56,14 @@ def probe_kernels(args):
     import jax
     import jax.numpy as jnp
 
-    from roofline import LANE, PEAK_FLOPS, SUBLANE, capture_convs
+    from roofline import LANE, PEAK_FLOPS, SUBLANE, capture_convs_subprocess
     from math import ceil
 
     from aquaculture_tpu.models import phase_grad
 
-    records = capture_convs(args.variant, args.img, args.batch)
+    # shape capture runs in a CHILD process: capture_convs pins the caller
+    # to CPU, which would make this "on-chip" probe time CPU kernels
+    records = capture_convs_subprocess(args.variant, args.img, args.batch)
     seen = set()
     for li, r in enumerate(records):
         if r["stride"][0] != 2 or li == 0:
@@ -96,7 +98,7 @@ def probe_kernels(args):
         useful = 2.0 * m * k * n
         mi, k2 = b * hi * wi, kh * kw * cout
         pad_nat = 2.0 * ceil(mi / SUBLANE) * SUBLANE * ceil(k2 / LANE) * LANE * ceil(cin / LANE) * LANE
-        mq, kq = b * ho * wo, (kh // 2 + 1) ** 2 * cout
+        mq, kq = b * ho * wo, ((kh + 1) // 2) * ((kw + 1) // 2) * cout
         nq = 4 * cin
         pad_ph = 2.0 * ceil(mq / SUBLANE) * SUBLANE * ceil(kq / LANE) * LANE * ceil(nq / LANE) * LANE
         _emit({

@@ -214,14 +214,51 @@ def analyze_train(records, batch, phase_dx: bool = False):
         )
 
 
+def capture_convs_subprocess(variant: str, img: int, batch: int):
+    """Capture the conv shapes in a CHILD process.
+
+    capture_convs force-sets jax_platforms=cpu (shape capture must not pay
+    tunnel compiles), which would silently pin a not-yet-initialized CALLER
+    to the CPU backend too — the on-chip probes
+    (train_backward_probe_tpu.py, phase_grad_probe_tpu.py) would then time
+    CPU kernels while labeling them with the TPU backend. Run the capture
+    out-of-process so the caller's backend choice is untouched.
+    """
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [_sys.executable, os.path.abspath(__file__),
+         variant, str(img), str(batch), "--dump-convs"],
+        capture_output=True, text=True, check=True, env=env,
+    )
+    # JSON lists -> the tuples capture_convs produces in-process (callers
+    # use the shapes as dict keys)
+    return [
+        {k: tuple(v) if isinstance(v, list) else v for k, v in r.items()}
+        for r in json.loads(out.stdout)
+    ]
+
+
 def main():
     train = "--train" in sys.argv
     phase_dx = "--phase-dx" in sys.argv
+    dump = "--dump-convs" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = args[0] if args else "m"
     img = int(args[1]) if len(args) > 1 else 640
     batch = int(args[2]) if len(args) > 2 else 128
     recs = capture_convs(variant, img, batch)
+    if dump:
+        import json
+
+        print(json.dumps(recs))
+        return
     if train:
         analyze_train(recs, batch, phase_dx=phase_dx)
     else:

@@ -28,7 +28,8 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 RESULTS = os.path.join(ROOT, "BENCH_TRAIN_BWD.jsonl")
 sys.path.insert(0, os.path.dirname(__file__))
 
-from roofline import HBM_BPS, LANE, PEAK_FLOPS, SUBLANE, capture_convs  # noqa: E402
+from roofline import (  # noqa: E402
+    HBM_BPS, LANE, PEAK_FLOPS, SUBLANE, capture_convs_subprocess)
 
 from math import ceil  # noqa: E402
 
@@ -126,12 +127,16 @@ def main():
 
     import jax
 
+    if os.environ.get("AQ_TPU") != "1":  # probing axon HANGS during a tunnel outage (CLAUDE.md); AQ_TPU=1 opts into the chip
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(os.path.join(ROOT, ".jax_cache"), exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    backend = jax.default_backend()
 
-    records = capture_convs(args.variant, args.img, args.batch)
+    # shape capture in a CHILD process: capture_convs pins the caller to
+    # CPU, which would silently demote this probe's own backend
+    records = capture_convs_subprocess(args.variant, args.img, args.batch)
+    backend = jax.default_backend()
     rows = bound_rows(records, args.batch)
     # dedup identical (shape, which) pairs; keep the most expensive ones
     seen = set()
