@@ -161,8 +161,19 @@ def remove_land_detections_hybrid(
         # any edge, so the sub-mm vertex-linearization difference between
         # classifying in 3857 and sjoining in detections.crs cannot flip
         # them; everything nearer goes to the exact test anyway.
+        # Hybrid EXACTNESS is resolution-independent (coarser cells only
+        # widen the exact-tested boundary band), so auto-coarsen to fit
+        # the cell budget instead of erroring at country-scale bounds.
+        land_m = land.to_crs(3857)
+        b = land_m.bounds_array()
+        span_x = float(np.nanmax(b[:, 2]) - np.nanmin(b[:, 0]))
+        span_y = float(np.nanmax(b[:, 3]) - np.nanmin(b[:, 1]))
+        budget = 32_000_000
+        fit = ((span_x * span_y) / budget) ** 0.5 if span_x > 0 and span_y > 0 else 0.0
+        res = max(resolution_m, fit)
         mask = build_land_mask(
-            land, resolution_m=resolution_m, crs=3857, with_boundary=True,
+            land, resolution_m=res, crs=3857, with_boundary=True,
+            max_cells=2 * budget,
         )
     dets = detections.to_crs(mask.crs)
     dets.crs = mask.crs

@@ -431,6 +431,32 @@ def test_hybrid_land_filter_4326_detections():
     assert hyb["id"].tolist() == exact["id"].tolist()
 
 
+def test_hybrid_land_filter_autocoarsens_at_country_scale():
+    """Country-scale land bounds (would exceed max_cells at 50 m) must
+    auto-coarsen the mask instead of raising — exactness is
+    resolution-independent, only the boundary band widens."""
+    from aquaculture_tpu.post.landmask import remove_land_detections_hybrid
+
+    # ~1,500 x 800 km land slab: 50 m cells would be 480M >> max_cells
+    land = gf.GeoFrame(
+        {"n": [0]},
+        geometry=[_poly.box(-500_000.0, 4_800_000.0, 1_000_000.0, 5_600_000.0)],
+        crs=3857,
+    )
+    dets = gf.GeoFrame(
+        {"id": [0, 1, 2]},
+        geometry=[
+            _poly.box(0, 5_000_000.0, 40, 5_000_040.0),              # deep inside
+            _poly.box(2_000_000.0, 5_000_000.0, 2_000_040.0, 5_000_040.0),  # far outside
+            _poly.box(999_980.0, 5_000_000.0, 1_000_020.0, 5_000_040.0),    # straddles edge
+        ],
+        crs=3857,
+    )
+    exact = remove_land_detections(dets, land)
+    hyb = remove_land_detections_hybrid(dets, land)
+    assert hyb["id"].tolist() == exact["id"].tolist() == [1]
+
+
 def test_land_mask_contains_vectorized():
     from aquaculture_tpu.post.landmask import build_land_mask
 
