@@ -116,7 +116,13 @@ def main() -> None:
     det3 = stage("cage_areas", lambda: cage_areas(det2))
     stage("land_sjoin", lambda: remove_land_detections(det3, land))
     t0 = time.perf_counter()
-    res_m = max(10.0, n_boxes * 1020.0 / 30_000.0)  # keep grid under ~50M cells
+    # derive resolution from the actual land bounds with a ~50M-cell
+    # budget (the old n_boxes formula under-estimated the span for small
+    # n_boxes and crashed the mask build)
+    lb = land.bounds_array()
+    span_x = float(lb[:, 2].max() - lb[:, 0].min())
+    span_y = float(lb[:, 3].max() - lb[:, 1].min())
+    res_m = max(10.0, (span_x * span_y / 50_000_000.0) ** 0.5)
     mask = build_land_mask(land, resolution_m=res_m)
     mask_s = time.perf_counter() - t0
     rows.append({"stage": "land_mask_build", "seconds": round(mask_s, 3),
