@@ -83,18 +83,25 @@ def recommend_serving(
     notes: List[str] = []
 
     if variant is None:
-        if pt_interop or latency_sensitive:
+        if pt_interop:
             variant = "m"
             notes.append(
-                "variant=m: .pt interop and single-tile latency both pick m "
-                "(mt is +13% worse at batch 1 — BENCHMARKS 'Tile -> geojson "
-                "latency'; no ultralytics yaml/.pt exists for mt)")
+                "variant=m: .pt interop pins m (no ultralytics yaml/.pt "
+                "exists for the framework-own mt channel map)")
         else:
             variant = "mt"
-            notes.append(
-                "variant=mt: lane-aligned map, +5.8% batched serving and "
-                "+10% training over m at >=m capacity (BENCHMARKS "
-                "'Lane-aligned variant')")
+            if latency_sensitive:
+                notes.append(
+                    "variant=mt: batch-1 device compute is variant-equal "
+                    "(mt 3.98 vs m 3.95 ms/tile, round-4 latency_device "
+                    "attribution — the round-3f tunnel split was dispatch "
+                    "noise), so the batched winner serves the latency path "
+                    "too (BENCHMARKS 'Tile -> geojson latency')")
+            else:
+                notes.append(
+                    "variant=mt: lane-aligned map, +5.8% batched serving and "
+                    "+10% training over m at >=m capacity (BENCHMARKS "
+                    "'Lane-aligned variant')")
     elif variant not in VARIANTS:
         raise ValueError(f"unknown variant {variant!r}; one of {sorted(VARIANTS)}")
     elif variant == "mt" and pt_interop:
@@ -104,11 +111,11 @@ def recommend_serving(
             "variant='mt' cannot satisfy pt_interop: mt is framework-own "
             "(no ultralytics .pt exists for its channel map) — pin 'm' "
             "or drop the pin")
-    elif variant == "mt" and latency_sensitive:
+    elif variant == "m" and latency_sensitive:
         notes.append(
-            "WARNING variant=mt pinned on the latency path: measured +13% "
-            "worse batch-1 device p50 than m (BENCHMARKS 'Tile -> geojson "
-            "latency', round 3f)")
+            "variant=m pinned on the latency path: device-equal to mt at "
+            "batch 1 (3.95 vs 3.98 ms/tile, round-4 latency_device) — fine, "
+            "but mt matches it and serves +5.8% faster batched")
 
     batch = 1 if latency_sensitive else _BATCH_KNEE
     notes.append(

@@ -264,8 +264,10 @@ def test_serving_plan_recommendations():
     p = recommend_serving(pt_interop=True)
     assert (p.variant, p.int8) == ("m", True)
 
+    # round 4: batch-1 device compute is variant-equal (3.95 vs 3.98
+    # ms/tile), so the latency path keeps the batched winner mt
     p = recommend_serving(latency_sensitive=True)
-    assert (p.variant, p.batch, p.int8) == ("m", 1, False)
+    assert (p.variant, p.batch, p.int8) == ("mt", 1, False)
 
     p = recommend_serving(boundary_accuracy=True)
     assert p.overlap_px > 0 and p.variant == "mt"
