@@ -9,6 +9,11 @@ any default whose mAP regresses past tolerance gets demoted.
     python scripts/accuracy_ab.py --world /tmp/aq_acc --ckpt /tmp/aq_acc/ckpt
 """
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -18,6 +18,11 @@ line per phase to BENCH_AOT.jsonl.
 
 from __future__ import annotations
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -20,6 +20,11 @@ the reference never had. Appends JSON lines to BENCH_FEED.jsonl.
 
 from __future__ import annotations
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -15,6 +15,11 @@ BENCH_ABLATION.jsonl.
 
 from __future__ import annotations
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

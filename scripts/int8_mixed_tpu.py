@@ -13,6 +13,11 @@ Appends one JSON line per variant to BENCH_INT8_MIXED.jsonl; resumable
 
 from __future__ import annotations
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

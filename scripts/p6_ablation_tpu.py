@@ -18,6 +18,11 @@ Configs (one per invocation, resumable, append to BENCH_P6.jsonl):
 
 from __future__ import annotations
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -8,6 +8,11 @@ boxes strung along a synthetic coastline.
     python scripts/sjoin_bench.py
 """
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

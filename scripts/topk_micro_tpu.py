@@ -9,6 +9,11 @@ round-3 default for large pools) vs forced single-stage.
 Appends to BENCH_TOPK.jsonl.
 """
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import time

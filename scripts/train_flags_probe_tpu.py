@@ -13,6 +13,11 @@ axon client). One config per process: AQ_PROBE_NAME + AQ_PROBE_FLAGS
 
 from __future__ import annotations
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

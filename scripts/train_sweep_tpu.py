@@ -13,6 +13,11 @@ Run: python scripts/train_sweep_tpu.py [--one] [--variant m]
 
 from __future__ import annotations
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -24,6 +24,11 @@ probe pays one tunnel compile; re-runs hit the persistent cache.
 
 from __future__ import annotations
 
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import sys
