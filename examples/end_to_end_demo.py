@@ -20,6 +20,10 @@ budget it needs — measured 8x the held-out mAP of the no-aug path
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 
