@@ -26,7 +26,8 @@ def main(argv=None) -> None:
     ap.add_argument("--pt-interop", action="store_true",
                     help="weights must round-trip with ultralytics .pt")
     ap.add_argument("--boundary-accuracy", action="store_true",
-                    help="tile-boundary detections matter most (overlap serving)")
+                    help="tile-boundary detections matter most (P6 family; "
+                         "overlap serving if a non-P6 variant is pinned)")
     ap.add_argument("--scale-shifted", action="store_true",
                     help="object scales uncertain / beyond the trained range "
                     "(turns on multi-scale TTA)")

@@ -70,8 +70,11 @@ def recommend_serving(
       pt_interop: weights must round-trip with ultralytics ``.pt``
         (rules out the framework-own mt channel map).
       boundary_accuracy: detections near tile boundaries matter more
-        than throughput — picks overlap serving (the P6-vs-tiling study's
-        winner) rather than the P6 family.
+        than raw tiles/s — picks the P6 family (m6@1280, batch 128),
+        which the round-4 amortization ladder showed serves at 97% of
+        hard-grid m@640's per-ground-area throughput with whole-tile
+        boundary accuracy (BENCHMARKS 'P6 batch amortization'). A pinned
+        non-P6 variant falls back to overlap serving instead.
       scale_shifted: the corpus's object scales are uncertain or exceed
         the training distribution (e.g. imagery at a new ground
         resolution) — turns on multi-scale TTA, which is a measured LOSS
@@ -82,7 +85,19 @@ def recommend_serving(
     """
     notes: List[str] = []
 
-    if variant is None:
+    if variant is None and boundary_accuracy:
+        variant = "m6"
+        if img == 640:
+            img = 1280  # the variant's native resolution
+        notes.append(
+            "variant=m6 @1280: round-4 amortization ladder — m6@1280 b128 "
+            "serves 450.6 tiles/s at 44.5% MFU (1,802 eq-640 tiles/s, 97% "
+            "of hard-grid m@640), so the P6 family's throughput penalty "
+            "is gone and its whole-tile boundary accuracy (0.718 vs 0.575 "
+            "aug+overlap tiling proxy) wins outright; m6 is an "
+            "ultralytics-standard variant, so .pt interop holds "
+            "(BENCHMARKS 'P6 batch amortization')")
+    elif variant is None:
         if pt_interop:
             variant = "m"
             notes.append(
@@ -118,10 +133,17 @@ def recommend_serving(
             "but mt matches it and serves +5.8% faster batched")
 
     batch = 1 if latency_sensitive else _BATCH_KNEE
-    notes.append(
-        "batch=1: single-tile latency path" if latency_sensitive else
-        "batch=128: measured knee — 192/256 are flat-to-slower at 2x the "
-        "latency (BENCHMARKS 'Inference')")
+    if latency_sensitive:
+        notes.append("batch=1: single-tile latency path")
+    elif variant.endswith("6"):
+        notes.append(
+            "batch=128: the P6 amortization ladder is monotone "
+            "27.7%->44.5% MFU through b128, the largest measured point "
+            "(BENCHMARKS 'P6 batch amortization')")
+    else:
+        notes.append(
+            "batch=128: measured knee — 192/256 are flat-to-slower at 2x "
+            "the latency (BENCHMARKS 'Inference')")
 
     int8 = variant in _INT8_SAFE_WINS and not latency_sensitive
     if int8:
@@ -155,12 +177,19 @@ def recommend_serving(
             "'TTA scale-shift study')")
 
     overlap_px = 0
-    if boundary_accuracy:
+    if boundary_accuracy and not variant.endswith("6"):
+        # a pinned non-P6 variant can't serve whole tiles natively —
+        # overlap tiling is the boundary-accuracy fallback for it
         overlap_px = 64
         notes.append(
-            "overlap=64px: aug-train + overlap-serve tiling beat the P6 "
-            "family on boundary accuracy AND throughput (BENCHMARKS 'P6 "
-            "efficiency study'); cross-tile NMS merges the seams")
+            "overlap=64px: boundary accuracy on a pinned non-P6 variant — "
+            "aug-train + overlap-serve tiling closes to 1.25x behind P6 "
+            "(BENCHMARKS 'P6 efficiency study'); cross-tile NMS merges "
+            "the seams")
+    elif boundary_accuracy:
+        notes.append(
+            "overlap=0: the P6 family sees the whole 1280px tile — no "
+            "seams to stitch (BENCHMARKS 'P6 efficiency study')")
 
     # decode-at-scale: mAP-gated on the production config (round 4) —
     # mt@640 from 1024px tiles, DCT 5/8 decode scored +0.007 mAP@.5 /

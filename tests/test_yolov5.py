@@ -269,7 +269,15 @@ def test_serving_plan_recommendations():
     p = recommend_serving(latency_sensitive=True)
     assert (p.variant, p.batch, p.int8) == ("mt", 1, False)
 
+    # round 4: the P6 amortization ladder erased P6's throughput penalty
+    # (m6@1280 b128 = 44.5% MFU, same as m@640 b128) — boundary accuracy
+    # now picks the P6 family at its native resolution, no seams
     p = recommend_serving(boundary_accuracy=True)
+    assert (p.variant, p.img_size, p.batch, p.overlap_px) == ("m6", 1280, 128, 0)
+    assert not p.decode_scale  # 1280 is not a sub-tile fraction
+
+    # a pinned non-P6 variant falls back to overlap serving
+    p = recommend_serving(boundary_accuracy=True, variant="mt")
     assert p.overlap_px > 0 and p.variant == "mt"
     assert not p.decode_scale  # overlap slices at source resolution
 
