@@ -18,7 +18,9 @@ import json
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--img", type=int, default=None,
-                    help="serving resolution (default 640; serving mode only)")
+                    help="serving resolution (default: the chosen variant's "
+                         "native size — 1280 for P6, else 640; serving mode "
+                         "only). An explicit value is honored verbatim")
     ap.add_argument("--variant", default=None,
                     help="pin a variant; default: recommend one")
     ap.add_argument("--latency-sensitive", action="store_true",
@@ -83,7 +85,7 @@ def main(argv=None) -> None:
         return
 
     plan = recommend_serving(
-        img=args.img if args.img is not None else 640,
+        img=args.img,
         latency_sensitive=args.latency_sensitive,
         pt_interop=args.pt_interop,
         boundary_accuracy=args.boundary_accuracy,

@@ -54,7 +54,7 @@ class ServingPlan:
 
 
 def recommend_serving(
-    img: int = 640,
+    img: int | None = None,
     latency_sensitive: bool = False,
     pt_interop: bool = False,
     boundary_accuracy: bool = False,
@@ -64,7 +64,12 @@ def recommend_serving(
     """Recommend a serving configuration from the measured trade-offs.
 
     Args:
-      img: inference resolution (640 for the reference workload).
+      img: inference resolution. None (the default) means the chosen
+        variant's native size: 1280 for the P6 family, else 640 (the
+        reference workload). An explicit value is honored verbatim —
+        the recommender never rewrites a stated constraint; a pick
+        whose measurement only exists at a different resolution falls
+        back to the path measured at yours instead.
       latency_sensitive: optimize single-tile p50 instead of batched
         throughput (changes the variant pick AND the batch).
       pt_interop: weights must round-trip with ultralytics ``.pt``
@@ -73,8 +78,12 @@ def recommend_serving(
         than raw tiles/s — picks the P6 family (m6@1280, batch 128),
         which the round-4 amortization ladder showed serves at 97% of
         hard-grid m@640's per-ground-area throughput with whole-tile
-        boundary accuracy (BENCHMARKS 'P6 batch amortization'). A pinned
-        non-P6 variant falls back to overlap serving instead.
+        boundary accuracy (BENCHMARKS 'P6 batch amortization'). That
+        measurement is a batch-128 result at m6's native 1280px, so a
+        latency-sensitive (batch-1) plan, an explicit non-1280 img, or
+        a pinned variant that can't see the whole tile all fall back to
+        overlap serving — the boundary-accuracy path measured for
+        sub-tile configs (BENCHMARKS 'P6 efficiency study').
       scale_shifted: the corpus's object scales are uncertain or exceed
         the training distribution (e.g. imagery at a new ground
         resolution) — turns on multi-scale TTA, which is a measured LOSS
@@ -85,10 +94,17 @@ def recommend_serving(
     """
     notes: List[str] = []
 
-    if variant is None and boundary_accuracy:
+    # The m6@1280 auto-pick is backed by exactly one measurement point:
+    # batch 128 at the native 1280px. Batch 1 is unamortized P6 (m6
+    # measured dispatch-bound and -17% even at b32), and any other img
+    # was never measured — both fall back to the overlap path below.
+    p6_pick_applies = (
+        boundary_accuracy
+        and not latency_sensitive
+        and (img is None or img == 1280)
+    )
+    if variant is None and p6_pick_applies:
         variant = "m6"
-        if img == 640:
-            img = 1280  # the variant's native resolution
         notes.append(
             "variant=m6 @1280: round-4 amortization ladder — m6@1280 b128 "
             "serves 450.6 tiles/s at 44.5% MFU (1,802 eq-640 tiles/s, 97% "
@@ -98,6 +114,21 @@ def recommend_serving(
             "ultralytics-standard variant, so .pt interop holds "
             "(BENCHMARKS 'P6 batch amortization')")
     elif variant is None:
+        if boundary_accuracy and latency_sensitive:
+            notes.append(
+                "P6 not auto-picked: the m6@1280 boundary-accuracy win is "
+                "a batch-128 amortization result; at batch 1 the P6 "
+                "family is unamortized (m6 measured dispatch-bound at "
+                "small batch — BENCHMARKS 'P6 efficiency study') — "
+                "overlap serving covers boundary accuracy on the "
+                "latency path")
+        elif boundary_accuracy:
+            notes.append(
+                f"P6 not auto-picked: the m6 boundary-accuracy pick was "
+                f"measured at its native 1280px only; img={img} was "
+                f"stated, so the plan keeps it and serves boundary "
+                f"accuracy via overlap tiling (pin variant='m6' to "
+                f"serve P6 at a custom resolution anyway)")
         if pt_interop:
             variant = "m"
             notes.append(
@@ -131,6 +162,10 @@ def recommend_serving(
             "variant=m pinned on the latency path: device-equal to mt at "
             "batch 1 (3.95 vs 3.98 ms/tile, round-4 latency_device) — fine, "
             "but mt matches it and serves +5.8% faster batched")
+
+    if img is None:
+        # the variant's native size: P6 heads were designed for 1280
+        img = 1280 if variant.endswith("6") else 640
 
     batch = 1 if latency_sensitive else _BATCH_KNEE
     if latency_sensitive:
@@ -177,19 +212,23 @@ def recommend_serving(
             "'TTA scale-shift study')")
 
     overlap_px = 0
-    if boundary_accuracy and not variant.endswith("6"):
-        # a pinned non-P6 variant can't serve whole tiles natively —
-        # overlap tiling is the boundary-accuracy fallback for it
+    # "whole tile" = a P6 variant whose input covers the full source tile
+    # (IM_WIDTH px), so tiles are never sliced and there are no seams; any
+    # other config slices, and boundary accuracy needs overlap serving
+    whole_tile = variant.endswith("6") and img >= IM_WIDTH
+    if boundary_accuracy and not whole_tile:
         overlap_px = 64
         notes.append(
-            "overlap=64px: boundary accuracy on a pinned non-P6 variant — "
+            "overlap=64px: boundary accuracy on a config that slices "
+            "tiles (non-P6 variant, or P6 below the 1024px tile size) — "
             "aug-train + overlap-serve tiling closes to 1.25x behind P6 "
             "(BENCHMARKS 'P6 efficiency study'); cross-tile NMS merges "
             "the seams")
     elif boundary_accuracy:
         notes.append(
-            "overlap=0: the P6 family sees the whole 1280px tile — no "
-            "seams to stitch (BENCHMARKS 'P6 efficiency study')")
+            f"overlap=0: the P6 family at {img}px sees the whole "
+            f"{IM_WIDTH}px tile — no seams to stitch (BENCHMARKS 'P6 "
+            "efficiency study')")
 
     # decode-at-scale: mAP-gated on the production config (round 4) —
     # mt@640 from 1024px tiles, DCT 5/8 decode scored +0.007 mAP@.5 /

@@ -171,8 +171,10 @@ def remove_land_detections_hybrid(
         budget = 32_000_000
         fit = ((span_x * span_y) / budget) ** 0.5 if span_x > 0 and span_y > 0 else 0.0
         res = max(resolution_m, fit)
+        # land_m is already in 3857 — hand it over so build_land_mask's
+        # to_crs is a cheap copy instead of a second full reprojection
         mask = build_land_mask(
-            land, resolution_m=res, crs=3857, with_boundary=True,
+            land_m, resolution_m=res, crs=3857, with_boundary=True,
             max_cells=2 * budget,
         )
     dets = detections.to_crs(mask.crs)

@@ -47,15 +47,16 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--img", type=int, default=IMG,
                     help="image size (non-default = smoke test, row not recorded)")
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (smoke test)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real chip; default forces CPU (probing "
+                         "axon HANGS during a tunnel outage — CLAUDE.md)")
     args = ap.parse_args()
 
     cache = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
     os.makedirs(cache, exist_ok=True)
     import jax
 
-    if args.cpu:
+    if not args.tpu:
         # must precede any backend init (CLAUDE.md: env overrides are
         # clobbered by the boot-time axon register)
         jax.config.update("jax_platforms", "cpu")
@@ -167,7 +168,7 @@ def main() -> None:
         row["percall_mfu_pct"] = round(call_flops / (percall_ms / 1e3) / PEAK_FLOPS * 100, 2)
         row["chained_mfu_pct"] = round(call_flops / (chained_ms / 1e3) / PEAK_FLOPS * 100, 2)
     print(json.dumps(row))
-    if args.img == IMG and not args.cpu:
+    if args.img == IMG and args.tpu:
         with open(RESULTS, "a") as f:
             f.write(json.dumps(row) + "\n")
 

@@ -281,6 +281,29 @@ def test_serving_plan_recommendations():
     assert p.overlap_px > 0 and p.variant == "mt"
     assert not p.decode_scale  # overlap slices at source resolution
 
+    # the m6@1280 pick is a b128 amortization result — it must NOT be
+    # applied on the batch-1 latency path (m6 is dispatch-bound
+    # unamortized); boundary accuracy there is overlap serving
+    p = recommend_serving(boundary_accuracy=True, latency_sensitive=True)
+    assert not p.variant.endswith("6")
+    assert (p.batch, p.overlap_px) == (1, 64)
+
+    # an explicitly stated img is honored verbatim, never rewritten to
+    # 1280; the unmeasured m6@<img> pick falls back to overlap serving
+    p = recommend_serving(boundary_accuracy=True, img=640)
+    assert p.img_size == 640 and not p.variant.endswith("6")
+    assert p.overlap_px == 64
+
+    # a pinned P6 variant defaults to its native resolution...
+    p = recommend_serving(variant="m6")
+    assert p.img_size == 1280
+    # ...and with boundary_accuracy serves whole tiles (no seams)
+    p = recommend_serving(boundary_accuracy=True, variant="m6")
+    assert (p.img_size, p.overlap_px) == (1280, 0)
+    # ...but pinned P6 BELOW the tile size still slices -> overlap
+    p = recommend_serving(boundary_accuracy=True, variant="m6", img=640)
+    assert (p.img_size, p.overlap_px) == (640, 64)
+
     p = recommend_serving(variant="m6", img=1280)
     assert not p.decode_scale  # 1280 is not a sub-tile fraction
 
