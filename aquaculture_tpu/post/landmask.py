@@ -106,7 +106,10 @@ def build_land_mask(
     max_cells: int = 64_000_000,
     with_boundary: bool = False,
 ) -> LandMask:
-    """Rasterize land polygons to a boolean grid at ~resolution_m."""
+    """Rasterize land polygons to a boolean grid at ~resolution_m.
+
+    ``resolution_m`` is the cell size in units of ``crs`` (meters for
+    3857/3035, degrees for 4326 — callers convert)."""
     land_p = land.to_crs(crs)
     land_p.crs = crs
     if bounds is None:
@@ -150,44 +153,62 @@ def remove_land_detections_hybrid(
     the boundary-window remainder pays the exact polygon sjoin
     (reference semantics: geocode_results.py:200-218). Results are
     row-for-row identical to the exact filter; only the cost moves.
+
+    Exactness requires the mask to be rasterized in the detections' CRS
+    (see the inline comment); a provided ``mask`` in any other CRS is
+    rebuilt.
     """
     from aquaculture_tpu.post.geocode import remove_land_detections
 
     if len(detections) == 0:
         return detections
-    if mask is None or mask.boundary is None:
-        # classify in a METRIC crs (resolution_m is meters; detections may
-        # arrive in 4326). The certainly-land/water zones sit >=1 cell from
-        # any edge, so the sub-mm vertex-linearization difference between
-        # classifying in 3857 and sjoining in detections.crs cannot flip
-        # them; everything nearer goes to the exact test anyway.
-        # Hybrid EXACTNESS is resolution-independent (coarser cells only
-        # widen the exact-tested boundary band), so auto-coarsen to fit
-        # the cell budget instead of erroring at country-scale bounds.
-        land_m = land.to_crs(3857)
-        b = land_m.bounds_array()
+    if mask is None or mask.boundary is None or mask.crs != detections.crs:
+        # Classify in the DETECTIONS' CRS. The exact filter sjoins against
+        # land.to_crs(detections.crs) — STRAIGHT segments in that space.
+        # Rasterizing in any other CRS tests the chord between reprojected
+        # vertices, which for a long polygon segment deviates from the
+        # true reprojected edge by arbitrarily many cells (kilometres for
+        # EEZ-scale faces, not sub-mm), silently flipping "certain" cells.
+        # Same-CRS rasterization sees the identical straight-segment
+        # geometry, so edge-free cells really are uniformly land/water and
+        # exactness holds. resolution_m is converted to CRS units only
+        # approximately — exactness is resolution-independent (cell size
+        # just sets the exact-tested boundary-band width) — and the grid
+        # auto-coarsens to fit the cell budget instead of erroring at
+        # country-scale bounds. A caller-provided mask in a different CRS
+        # is rebuilt here for the same reason.
+        target = detections.crs
+        unit_per_m = (1.0 / 111_320.0) if target == 4326 else 1.0
+        land_t = land.to_crs(target)
+        land_t.crs = target
+        b = land_t.bounds_array()
         span_x = float(np.nanmax(b[:, 2]) - np.nanmin(b[:, 0]))
         span_y = float(np.nanmax(b[:, 3]) - np.nanmin(b[:, 1]))
         budget = 32_000_000
         fit = ((span_x * span_y) / budget) ** 0.5 if span_x > 0 and span_y > 0 else 0.0
-        res = max(resolution_m, fit)
-        # land_m is already in 3857 — hand it over so build_land_mask's
-        # to_crs is a cheap copy instead of a second full reprojection
+        res = max(resolution_m * unit_per_m, fit)
+        # land_t is already in the target crs — hand it over so
+        # build_land_mask's to_crs is a cheap copy, not a reprojection
         mask = build_land_mask(
-            land_m, resolution_m=res, crs=3857, with_boundary=True,
+            land_t, resolution_m=res, crs=target, with_boundary=True,
             max_cells=2 * budget,
         )
-    dets = detections.to_crs(mask.crs)
-    dets.crs = mask.crs
-    bb = dets.bounds_array()
+    bb = detections.bounds_array()
     status = mask.box_status(bb)
-    # "certainly land" is only a certain INTERSECTION for geometries that
-    # fill their bbox; CRS transforms can bend boxes, so check area==bbox
-    areas = np.array([g.area for g in dets["geometry"]], np.float64)
-    bba = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
-    is_rect = np.isclose(areas, bba, rtol=1e-9)
     water = status == 0
-    needs_exact = (status == 2) | ((status == 1) & ~is_rect)
+    land_hit = status == 1
+    # "certainly land" is only a certain INTERSECTION for geometries that
+    # fill their bbox (axis-aligned rectangles); others fall through to
+    # the exact test. Area is only consulted for status==1 rows, so only
+    # compute it there (it's a per-geometry Python loop).
+    fills_bbox = np.zeros(len(detections), bool)
+    idx = np.nonzero(land_hit)[0]
+    if len(idx):
+        geoms = detections["geometry"].to_numpy()
+        bba = (bb[idx, 2] - bb[idx, 0]) * (bb[idx, 3] - bb[idx, 1])
+        areas = np.array([geoms[i].area for i in idx], np.float64)
+        fills_bbox[idx] = np.isclose(areas, bba, rtol=1e-9)
+    needs_exact = (status == 2) | (land_hit & ~fills_bbox)
     exact_keep = np.zeros(len(detections), bool)
     if needs_exact.any():
         sub = detections[needs_exact].copy()

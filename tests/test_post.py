@@ -404,8 +404,8 @@ def test_hybrid_land_filter_edge_cases():
 
 def test_hybrid_land_filter_4326_detections():
     """Pipeline-shaped inputs: detections in 4326 (the output CRS), land
-    metric. The hybrid classifies on a 3857 mask but must still select
-    exactly the sjoin-in-4326 rows."""
+    metric. The hybrid classifies on a mask built in the detections' CRS
+    and must select exactly the sjoin-in-4326 rows."""
     from aquaculture_tpu.post.landmask import remove_land_detections_hybrid
 
     rng = np.random.default_rng(3)
@@ -429,6 +429,41 @@ def test_hybrid_land_filter_4326_detections():
     exact = remove_land_detections(dets, land)
     hyb = remove_land_detections_hybrid(dets, land, resolution_m=50.0)
     assert hyb["id"].tolist() == exact["id"].tolist()
+
+
+def test_hybrid_land_filter_long_chord_4326():
+    """Round-4 review regression: a land polygon with one LONG straight
+    segment (EEZ-style face) in 4326. The exact sjoin treats the segment
+    as straight in 4326; rasterizing in 3857 would test the chord between
+    reprojected vertices, which bows away from the true edge by km at this
+    scale and silently drops water-side detections. The hybrid must
+    classify in the detections' CRS and match the exact filter exactly."""
+    from aquaculture_tpu.post.landmask import remove_land_detections_hybrid
+
+    land = gf.GeoFrame(
+        {"n": [0]},
+        geometry=[_poly.Polygon(
+            np.asarray([[0.0, 40.0], [10.0, 50.0], [10.0, 40.0]], float))],
+        crs=4326,
+    )
+    # a column of boxes crossing the hypotenuse's midpoint (5, 45)
+    n = 41
+    cy = np.linspace(44.8, 45.2, n)
+    w = 0.002
+    dets = gf.GeoFrame(
+        {"id": np.arange(n)},
+        geometry=[_poly.box(5.0 - w, y - w, 5.0 + w, y + w) for y in cy],
+        crs=4326,
+    )
+    exact = remove_land_detections(dets, land)
+    assert 0 < len(exact) < n  # the column genuinely straddles the edge
+    hyb = remove_land_detections_hybrid(dets, land, resolution_m=50.0)
+    assert hyb["id"].tolist() == exact["id"].tolist()
+    # a caller-provided mask in the WRONG crs must be rebuilt, not trusted
+    from aquaculture_tpu.post.landmask import build_land_mask
+    mask_3857 = build_land_mask(land, resolution_m=500.0, with_boundary=True)
+    hyb2 = remove_land_detections_hybrid(dets, land, mask=mask_3857)
+    assert hyb2["id"].tolist() == exact["id"].tolist()
 
 
 def test_hybrid_land_filter_autocoarsens_at_country_scale():
