@@ -165,14 +165,20 @@ def native_tile_batches(
     """Threaded native decode -> fixed-shape TileBatches (same contract as
     aquaculture_tpu.data.loader.tile_batches).
 
-    out_tile > 0 enables decode-at-scale: rasters decode at out_tile/tile
-    scale (JPEGs in the DCT domain via libjpeg scale_num/denom — ~1/3 the
-    decode time at 5/8; TIFFs decode full + bilinear), the grid slices in
-    scaled space, and batches come out (B, out_tile, out_tile, 3) while
-    TileSpec offsets stay in SOURCE pixels. Requires 8*out_tile % tile == 0
-    (e.g. 640 from 1024-px tiles = 5/8)."""
+    out_tile > 0 enables decode-at-scale: JPEG rasters decode at
+    out_tile/tile scale in the DCT domain (libjpeg scale_num/denom), the
+    grid slices in scaled space, and batches come out
+    (B, out_tile, out_tile, 3) while TileSpec offsets stay in SOURCE
+    pixels. Requires 8*out_tile % tile == 0 (e.g. 640 from 1024-px tiles
+    = 5/8). Non-JPEG files in scaled mode route to the Python loader's
+    PIL-resize twin: the only mAP-gated scaled pixel operators are the
+    JPEG DCT box decode (`scaled_native`) and the PIL resize
+    (`scaled_python`) — BENCHMARKS.md 'Decode-at-scale' — and the C++
+    whole-image bilinear is neither, so it must not feed production
+    batches (CLAUDE.md: any other resize operator needs its own gate)."""
     lib = load_library()
     assert lib is not None, "libaquatile.so not built (make -C native)"
+    paths = list(paths)
     if out_tile:
         if not hasattr(lib, "aq_loader_create2"):
             raise RuntimeError(
@@ -182,7 +188,21 @@ def native_tile_batches(
             raise ValueError(
                 f"out_tile must be a proper N/8 fraction of tile; got {out_tile}/{tile}"
             )
-    paths = list(paths)
+        others = [p for p in paths if not p.lower().endswith((".jpg", ".jpeg"))]
+        if others:
+            from aquaculture_tpu.data.loader import tile_batches
+
+            jpegs = [p for p in paths if p.lower().endswith((".jpg", ".jpeg"))]
+            if jpegs:
+                yield from native_tile_batches(
+                    jpegs, batch_size=batch_size, tile=tile,
+                    n_threads=n_threads, queue_depth=queue_depth,
+                    out_tile=out_tile,
+                )
+            yield from tile_batches(
+                others, batch_size=batch_size, tile=tile, out_tile=out_tile
+            )
+            return
     base_specs = [decode_tile_name(p) for p in paths]
 
     arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])

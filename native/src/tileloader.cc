@@ -119,10 +119,13 @@ bool read_file(const char* path, std::vector<uint8_t>* out) {
   return ok;
 }
 
-// Whole-image bilinear resize (uint8 RGB). Used only in scaled mode for
-// formats without DCT-domain scaling (TIFF); the mode as a whole is gated
-// by a measured mAP delta, so bilinear-vs-DCT pixel differences are
-// covered by the same accuracy bound.
+// Whole-image bilinear resize (uint8 RGB). Scaled-mode fallback for
+// formats without DCT-domain scaling (TIFF) when the loader is driven
+// through the raw C API. This 2-tap operator is NOT mAP-gated (the gated
+// scaled operators are the JPEG DCT box decode and the Python loader's
+// PIL resize), so the Python wrapper (data/native_loader.py
+// native_tile_batches) routes non-JPEG scaled decodes to the PIL twin
+// and never reaches this path in production.
 void resize_bilinear(const Image& src, int dst_w, int dst_h, Image* out) {
   out->w = dst_w;
   out->h = dst_h;

@@ -76,6 +76,9 @@ def main():
         paths = sorted(
             p for ext in ("jpg", "png") for p in glob.glob(os.path.join(img_dir, f"*.{ext}"))
         )
+    if not paths:
+        sys.exit(f"no rendered images found under {img_dir} "
+                 "(expected *.jpeg/*.jpg/*.png)")
     model, params = load_checkpoint_f32(args.ckpt, args.variant, args.num_classes)
     cfg = DetectConfig(img_size=args.img, conf_threshold=1e-3)
     gts = load_world_ground_truths(lab_dir, tile=args.world_size)

@@ -56,14 +56,19 @@ def probe_kernels(args):
     import jax
     import jax.numpy as jnp
 
-    from roofline import LANE, PEAK_FLOPS, SUBLANE, capture_convs_subprocess
-    from math import ceil
+    from roofline import PEAK_FLOPS, capture_convs_subprocess, train_gemm_rows
 
     from aquaculture_tpu.models import phase_grad
 
     # shape capture runs in a CHILD process: capture_convs pins the caller
     # to CPU, which would make this "on-chip" probe time CPU kernels
     records = capture_convs_subprocess(args.variant, args.img, args.batch)
+    # the same per-layer dX tile bounds roofline.analyze_train prints,
+    # native and phase-composed, from the single shared formula
+    dx_native = {r["li"]: r for r in train_gemm_rows(records)
+                 if r["which"] == "dX"}
+    dx_phase = {r["li"]: r for r in train_gemm_rows(records, phase_dx=True)
+                if r["which"] == "dX"}
     seen = set()
     for li, r in enumerate(records):
         if r["stride"][0] != 2 or li == 0:
@@ -93,14 +98,9 @@ def probe_kernels(args):
         t_nat = _time(native, (dy, w), args.iters)
         t_ph = _time(phased, (dy, w), args.iters)
 
-        # the same tile-aware dX bounds roofline.analyze_train uses
-        m, k, n = b * ho * wo, kh * kw * cin, cout
-        useful = 2.0 * m * k * n
-        mi, k2 = b * hi * wi, kh * kw * cout
-        pad_nat = 2.0 * ceil(mi / SUBLANE) * SUBLANE * ceil(k2 / LANE) * LANE * ceil(cin / LANE) * LANE
-        mq, kq = b * ho * wo, ((kh + 1) // 2) * ((kw + 1) // 2) * cout
-        nq = 4 * cin
-        pad_ph = 2.0 * ceil(mq / SUBLANE) * SUBLANE * ceil(kq / LANE) * LANE * ceil(nq / LANE) * LANE
+        useful = dx_native[li]["useful"]
+        pad_nat = dx_native[li]["padded"]
+        pad_ph = dx_phase[li]["padded"]
         _emit({
             "bench": "phase_grad_dx", "backend": jax.default_backend(),
             "variant": args.variant, "img": args.img, "batch": args.batch,

@@ -120,20 +120,19 @@ def analyze(records, batch):
     return tot_t / batch, tot_useful / batch
 
 
-def analyze_train(records, batch, phase_dx: bool = False):
-    """Backward-pass ceiling: each conv's gradient is two more implicit
-    GEMMs with their own (worse) padding —
+def train_gemm_rows(records, phase_dx: bool = False):
+    """Per-(pass, layer) GEMM bound rows for the training step — the ONE
+    copy of the fwd/dW/dX padded-FLOP and HBM-byte model. The on-chip
+    probes (train_backward_probe_tpu.py, phase_grad_probe_tpu.py) import
+    this instead of re-deriving it, so a constant or formula change here
+    propagates to every 'pct_of_bound' they report.
+
       dX = dY ⊛ Wᵀ : M=B·Hi·Wi, K=k²·Cout (→128), N=Cin (→128)
       dW = Xᵀ · dY : contraction M (→128), rows k²·Cin (→8), cols Cout (→128)
     Strided convs are modeled at FLOP-equivalence (the dilated input-grad
     conv has identical useful FLOPs). First-layer dX is skipped (no input
     gradient needed). HBM: each GEMM reads its two operands and writes its
-    result once (perfect fusion).
-
-    Prints a per-layer table split by pass (fwd / dW / dX) so the on-chip
-    probe (scripts/train_backward_probe_tpu.py) can compare each isolated
-    backward kernel against its own tile bound (VERDICT r3 next #3)."""
-    t_tot = useful_tot = padded_tot = 0.0
+    result once (perfect fusion)."""
     rows = []
     for li, r in enumerate(records):
         b, hi, wi, cin = r["in_shape"]
@@ -172,14 +171,24 @@ def analyze_train(records, batch, phase_dx: bool = False):
                               2.0 * (m * n + k * n + b * hi * wi * cin)))
         for which, useful, padded, bytes_ in gemms:
             t = max(padded / PEAK_FLOPS, bytes_ / HBM_BPS)
-            t_tot += t
-            useful_tot += useful
-            padded_tot += padded
             rows.append(dict(
-                shape=shape, which=which, t_bound=t, useful=useful,
-                padded=padded,
+                rec=r, li=li, shape=shape, which=which, t_bound=t,
+                useful=useful, padded=padded, bytes=bytes_,
                 bound="mxu" if padded / PEAK_FLOPS >= bytes_ / HBM_BPS else "hbm",
             ))
+    return rows
+
+
+def analyze_train(records, batch, phase_dx: bool = False):
+    """Backward-pass ceiling over train_gemm_rows (see its docstring for
+    the model). Prints a per-layer table split by pass (fwd / dW / dX) so
+    the on-chip probe (scripts/train_backward_probe_tpu.py) can compare
+    each isolated backward kernel against its own tile bound
+    (VERDICT r3 next #3)."""
+    rows = train_gemm_rows(records, phase_dx=phase_dx)
+    t_tot = sum(r["t_bound"] for r in rows)
+    useful_tot = sum(r["useful"] for r in rows)
+    padded_tot = sum(r["padded"] for r in rows)
     tag = " [phase-dX]" if phase_dx else ""
     print(f"TRAIN{tag} (fwd+bwd convs only): useful {useful_tot / batch / 1e9:.2f} GF/img, "
           f"padded {padded_tot / batch / 1e9:.2f} GF/img (lane eff {useful_tot / padded_tot:.1%})")

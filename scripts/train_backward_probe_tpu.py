@@ -29,9 +29,7 @@ RESULTS = os.path.join(ROOT, "BENCH_TRAIN_BWD.jsonl")
 sys.path.insert(0, os.path.dirname(__file__))
 
 from roofline import (  # noqa: E402
-    HBM_BPS, LANE, PEAK_FLOPS, SUBLANE, capture_convs_subprocess)
-
-from math import ceil  # noqa: E402
+    PEAK_FLOPS, capture_convs_subprocess, train_gemm_rows)
 
 
 def _emit(rec):
@@ -39,40 +37,6 @@ def _emit(rec):
     print(line, flush=True)
     with open(RESULTS, "a") as f:
         f.write(line + "\n")
-
-
-def bound_rows(records, batch):
-    """Mirror roofline.analyze_train's per-(pass, layer) bound table."""
-    rows = []
-    for li, r in enumerate(records):
-        b, hi, wi, cin = r["in_shape"]
-        kh, kw, _, cout = r["w_shape"]
-        _, ho, wo, _ = r["out_shape"]
-        m = b * ho * wo
-        k = kh * kw * cin
-        n = cout
-        gemms = [("fwd",
-                  2.0 * m * k * n,
-                  2.0 * ceil(m / SUBLANE) * SUBLANE * ceil(k / LANE) * LANE * ceil(n / LANE) * LANE,
-                  2.0 * (b * hi * wi * cin + k * n + m * n)),
-                 ("dW",
-                  2.0 * m * k * n,
-                  2.0 * ceil(m / LANE) * LANE * ceil(k / SUBLANE) * SUBLANE * ceil(n / LANE) * LANE,
-                  2.0 * (b * hi * wi * cin + m * n + k * n))]
-        if li > 0:
-            mi = b * hi * wi
-            k2 = kh * kw * cout
-            gemms.append(("dX",
-                          2.0 * m * k * n,
-                          2.0 * ceil(mi / SUBLANE) * SUBLANE * ceil(k2 / LANE) * LANE * ceil(cin / LANE) * LANE,
-                          2.0 * (m * n + k * n + b * hi * wi * cin)))
-        for which, useful, padded, bytes_ in gemms:
-            rows.append(dict(
-                rec=r, which=which, li=li, useful=useful,
-                t_bound=max(padded / PEAK_FLOPS, bytes_ / HBM_BPS),
-                bound="mxu" if padded / PEAK_FLOPS >= bytes_ / HBM_BPS else "hbm",
-            ))
-    return rows
 
 
 def time_kernel(rec, which, iters=30):
@@ -137,7 +101,7 @@ def main():
     # CPU, which would silently demote this probe's own backend
     records = capture_convs_subprocess(args.variant, args.img, args.batch)
     backend = jax.default_backend()
-    rows = bound_rows(records, args.batch)
+    rows = train_gemm_rows(records)
     # dedup identical (shape, which) pairs; keep the most expensive ones
     seen = set()
     picked = []

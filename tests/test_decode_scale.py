@@ -90,6 +90,39 @@ def test_python_loader_out_tile_matches_native_shapes(tmp_path):
         assert float(d.mean()) < 6.0
 
 
+@needs_native
+def test_native_scaled_mixed_corpus_routes_tiff_to_pil_twin(tmp_path):
+    """Round-4 review regression: in scaled mode only two pixel operators
+    are mAP-gated (JPEG DCT decode, PIL resize). A TIFF in a scaled
+    native-loader corpus must come out pixel-IDENTICAL to the Python
+    loader's PIL twin — not through the ungated C++ 2-tap bilinear."""
+    pj = tmp_path / "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0.jpeg"
+    pt = tmp_path / "ORTHOIMAGERY.ORTHOPHOTOS2015_1_0_0.tif"
+    _write_jpeg(pj, 1024, seed=6)
+    rng = np.random.default_rng(7)
+    # high-frequency content: 2-tap bilinear and PIL's area-weighted
+    # filter disagree strongly here, so identity is a sharp test
+    arr = rng.integers(0, 255, (1024, 1024, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(pt)
+    nat = [
+        (s, b.images[i])
+        for b in native_loader.native_tile_batches(
+            [str(pj), str(pt)], 8, tile=1024, out_tile=640, n_threads=1)
+        for i, s in enumerate(b.specs) if s is not None
+    ]
+    assert sorted(s.year for s, _ in nat) == [2014, 2015]
+    tiff_img = next(img for s, img in nat if s.year == 2015)
+    py = [
+        (s, b.images[i])
+        for b in tile_batches([str(pt)], 8, tile=1024, out_tile=640)
+        for i, s in enumerate(b.specs) if s is not None
+    ]
+    assert len(py) == 1
+    np.testing.assert_array_equal(tiff_img, py[0][1])
+    jpeg_img = next(img for s, img in nat if s.year == 2014)
+    assert jpeg_img.shape == (640, 640, 3)
+
+
 def test_python_loader_out_tile_rejects_overlap(tmp_path):
     p = tmp_path / "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0.jpeg"
     _write_jpeg(p, 2048, seed=4)
