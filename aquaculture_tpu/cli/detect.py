@@ -122,6 +122,17 @@ def main(argv=None) -> None:
         # (thresholds, shapes, variant) override the matching flags.
         from aquaculture_tpu.models import aot
 
+        if args.decode_scale:
+            # The artifact is a fixed-shape program over raw
+            # (batch, tile, tile, 3) inputs with the resize compiled in;
+            # decode-at-scale batches arrive at img px and would die
+            # mid-stream with an opaque XLA shape error (the jit path
+            # retraces, the AOT path cannot).
+            raise SystemExit(
+                "--decode-scale cannot be combined with --aot: the AOT "
+                "artifact expects full-resolution tiles and resizes on "
+                "device. Drop one of the flags."
+            )
         exported, meta = aot.load_aot(args.aot)
         args.variant = meta.get("variant") or args.variant
         args.num_classes = meta.get("num_classes") or args.num_classes

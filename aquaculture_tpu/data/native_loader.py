@@ -149,9 +149,31 @@ def decode_image_scaled(path: str, target: int, max_side: int = 8192) -> Optiona
         ctypes.byref(h),
         target,
     )
+    if rc == -2:  # output exceeds the cap; retry with the exact size
+        cap = w.value * h.value * 3
+        buf = np.empty(cap, np.uint8)
+        rc = lib.aq_decode_image_scaled(
+            path.encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap,
+            ctypes.byref(w),
+            ctypes.byref(h),
+            target,
+        )
     if rc != 0:
         return None
     return buf[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def _is_jpeg_content(path: str) -> bool:
+    """True iff the file's magic bytes are JPEG (FF D8) — the routing test
+    for scaled mode, since the C++ decoder dispatches on content and only
+    the JPEG DCT box decode is a mAP-gated scaled operator."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(2) == b"\xff\xd8"
+    except OSError:
+        return False
 
 
 def native_tile_batches(
@@ -188,11 +210,14 @@ def native_tile_batches(
             raise ValueError(
                 f"out_tile must be a proper N/8 fraction of tile; got {out_tile}/{tile}"
             )
-        others = [p for p in paths if not p.lower().endswith((".jpg", ".jpeg"))]
+        # Route by CONTENT, not extension: the C++ decoder dispatches on
+        # magic bytes, so a TIFF bearing a .jpg name would otherwise reach
+        # its ungated whole-image bilinear path.
+        others = [p for p in paths if not _is_jpeg_content(p)]
         if others:
             from aquaculture_tpu.data.loader import tile_batches
 
-            jpegs = [p for p in paths if p.lower().endswith((".jpg", ".jpeg"))]
+            jpegs = [p for p in paths if _is_jpeg_content(p)]
             if jpegs:
                 yield from native_tile_batches(
                     jpegs, batch_size=batch_size, tile=tile,

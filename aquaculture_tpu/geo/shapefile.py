@@ -102,8 +102,11 @@ def _parse_polygon(parts: List[np.ndarray]) -> _poly.Geometry:
 
 
 def read_shapefile(path: str, crs: Optional[int] = None) -> "gf.GeoFrame":
-    """Read a .shp(+.dbf) into a GeoFrame. `path` may omit the extension."""
-    base = path[:-4] if path.lower().endswith(".shp") else path
+    """Read a .shp(+.dbf) into a GeoFrame. `path` may omit the extension,
+    or name any sibling of the pair (.shp/.dbf/.shx/.prj)."""
+    base = (path[:-4]
+            if path.lower().endswith((".shp", ".dbf", ".shx", ".prj"))
+            else path)
     with open(base + ".shp", "rb") as f:
         data = f.read()
 

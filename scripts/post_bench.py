@@ -130,7 +130,18 @@ def main() -> None:
     print(json.dumps(rows[-1]), flush=True)
     stage("land_masked", lambda: remove_land_detections_masked(det3, mask))
     t0 = time.perf_counter()
-    hmask = build_land_mask(land, resolution_m=res_m, with_boundary=True)
+    # The hybrid requires the mask in the DETECTIONS' CRS (4326 after
+    # geocoding) — a 3857 mask here would be silently discarded and
+    # rebuilt inside the timed classify stage, mismeasuring it.
+    land_t = land.to_crs(det3.crs)
+    land_t.crs = det3.crs
+    lb_t = land_t.bounds_array()
+    span_xt = float(lb_t[:, 2].max() - lb_t[:, 0].min())
+    span_yt = float(lb_t[:, 3].max() - lb_t[:, 1].min())
+    unit_per_m = (1.0 / 111_320.0) if det3.crs == 4326 else 1.0
+    res_t = max(10.0 * unit_per_m, (span_xt * span_yt / 50_000_000.0) ** 0.5)
+    hmask = build_land_mask(land_t, resolution_m=res_t, crs=det3.crs,
+                            with_boundary=True)
     hmask_s = time.perf_counter() - t0
     rows.append({"stage": "land_hybrid_mask_build", "seconds": round(hmask_s, 3),
                  "rows_in": 1, "rows_out": 1, "det_per_s": None})

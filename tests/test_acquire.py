@@ -298,3 +298,16 @@ def test_build_land_filter_with_nonrectilinear_eez():
     # the sea face is fully inside the EEZ -> excluded entirely
     assert out["kind"].tolist() == ["primary"]
     assert out["geometry"].iloc[0].area == pytest.approx(100.0)
+
+
+def test_shapefile_read_by_sibling_extension(tmp_path):
+    """read_shapefile accepts any member of the sidecar set (.dbf/.shx/.prj),
+    not just the .shp — aq-acquire routes *.dbf paths here."""
+    frame = gf.GeoFrame(
+        {"id": [1]}, geometry=[_poly.box(0, 0, 5, 5)], crs=4326
+    )
+    write_shapefile(str(tmp_path / "t.shp"), frame)
+    for sib in ("t.dbf", "t.shp", "t"):
+        back = read_shapefile(str(tmp_path / sib))
+        assert len(back) == 1
+        assert back["geometry"].iloc[0].bounds == pytest.approx((0, 0, 5, 5))

@@ -186,3 +186,18 @@ def test_plan_cli(capsys):
 
     with pytest.raises(ValueError, match="pt_interop"):
         recommend_training(variant="mt", pt_interop=True)
+
+
+def test_detect_aot_decode_scale_rejected(tmp_path):
+    """--decode-scale batches arrive at img px; a fixed-shape AOT program
+    compiled for raw tiles cannot retrace — reject the combination upfront
+    instead of dying mid-stream with an XLA shape error."""
+    import pytest
+
+    from aquaculture_tpu.cli.detect import main as detect_main
+
+    with pytest.raises(SystemExit, match="decode-scale"):
+        detect_main([
+            "--source", str(tmp_path), "--out", str(tmp_path / "o"),
+            "--aot", str(tmp_path / "missing.aqx"), "--decode-scale",
+        ])

@@ -177,3 +177,35 @@ def test_detect_files_decode_scale_end_to_end(tmp_path):
     with pytest.raises(ValueError, match="incompatible"):
         detect_files([str(p)], model, params, cfg, 4, tile=512,
                      decode_scale=True, stride=256)
+
+
+@needs_native
+def test_scaled_mode_routes_mislabeled_tiff_by_content(tmp_path):
+    """TIFF content behind a .jpeg name: the C++ decoder dispatches on magic
+    bytes and would whole-image-bilinear it (an operator no mAP gate covers);
+    the scaled-mode router must sniff content and hand the file to the
+    Python twin — whose output it must match pixel-for-pixel."""
+    p = tmp_path / "ORTHOIMAGERY.ORTHOPHOTOS2014_0_0_0.jpeg"
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (1024, 1024, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(p, format="TIFF")
+
+    nat = list(native_loader.native_tile_batches(
+        [str(p)], batch_size=4, tile=1024, out_tile=640, n_threads=1,
+    ))
+    py = list(tile_batches([str(p)], batch_size=4, tile=1024, out_tile=640))
+    na = [b.images[i] for b in nat for i, s in enumerate(b.specs) if s is not None]
+    pa = [b.images[i] for b in py for i, s in enumerate(b.specs) if s is not None]
+    assert len(na) == len(pa) == 1
+    assert np.array_equal(na[0], pa[0])
+
+
+@needs_native
+def test_scaled_decode_grow_retry_on_small_cap(tmp_path):
+    """decode_image_scaled retries with the exact size when the first call
+    returns -2 (buffer too small) — the same contract as decode_image."""
+    p = tmp_path / "big.jpeg"
+    _write_jpeg(p, 1024, seed=4)
+    # max_side=256 caps the first buffer below the 640x640x3 output
+    out = native_loader.decode_image_scaled(str(p), 640, max_side=256)
+    assert out is not None and out.shape == (640, 640, 3)
