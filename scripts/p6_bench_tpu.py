@@ -32,6 +32,10 @@ RESULTS = os.path.join(os.path.dirname(__file__), "..", "BENCH_P6.jsonl")
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--int8", action="store_true",
+                    help="localization-safe int8 split (variant-aware skip "
+                         "list), mirroring bench.py --int8; closes the "
+                         "'int8 on m6 unmeasured at b128' caveat")
     args = ap.parse_args()
     BATCH = args.batch
     cache = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
@@ -59,7 +63,14 @@ def main() -> None:
         )
 
     rng = np.random.default_rng(0)
-    images = jax.device_put(jnp.asarray(rng.random((BATCH, IMG, IMG, 3), dtype=np.float32)))
+    images = jnp.asarray(rng.random((BATCH, IMG, IMG, 3), dtype=np.float32))
+    if args.int8:
+        from aquaculture_tpu.models.quantize import quantize_model, serving_int8_safe_skip
+
+        params = quantize_model(
+            model, params, images[:2], skip=serving_int8_safe_skip(model.variant)
+        )
+    images = jax.device_put(images)
     params = jax.device_put(params)
     t0 = time.perf_counter()
     compiled = jax.jit(infer).lower(params, images).compile()
@@ -83,7 +94,9 @@ def main() -> None:
         rates.append(BATCH * BPW / (time.perf_counter() - t0))
     v = float(np.median(rates))
     out = {
-        "metric": "yolov5m6_1280px_infer_nms_tiles_per_sec_per_chip",
+        "metric": ("yolov5m6_1280px_int8_infer_nms_tiles_per_sec_per_chip"
+                   if args.int8 else
+                   "yolov5m6_1280px_infer_nms_tiles_per_sec_per_chip"),
         "value": round(v, 2),
         "batch": BATCH,
         "compile_s": round(compile_s, 1),
