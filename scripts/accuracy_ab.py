@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--img", type=int, default=160)
     ap.add_argument("--configs", default=None, help="comma list (default: all)")
     ap.add_argument("--out", default=None, help="append JSONL here too")
+    ap.add_argument("--ckpt-tag", default=None,
+                    help="provenance tag recorded as 'ckpt' in each row "
+                         "(the committed-row CI tests filter on it)")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the tunneled TPU (default forces CPU — "
                          "probing the axon backend hangs during an outage)")
@@ -62,6 +65,8 @@ def main():
             "map50_95": round(r.map, 4),
             "d_map50_vs_bf16": round(r.map50 - base.map50, 4),
         }
+        if args.ckpt_tag:
+            rec["ckpt"] = args.ckpt_tag
         line = json.dumps(rec)
         print(line, flush=True)
         lines.append(line)

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--images", type=int, default=12)
     ap.add_argument("--epochs", type=int, default=800)
     ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--size", type=int, default=1024,
+                    help="rendered world tile size (1280 for P6-native "
+                         "training: tiles serve 1:1 at m6's img)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--augment", action="store_true",
@@ -65,7 +68,7 @@ def main():
     from aquaculture_tpu.utils.logging import log_info
 
     img_dir, lab_dir = render_world(
-        args.out, n_images=args.images, seed=args.seed,
+        args.out, n_images=args.images, seed=args.seed, size=args.size,
         clutter=args.clutter, rotate=args.rotate,
         contrast_jitter=args.contrast_jitter,
     )
@@ -79,6 +82,7 @@ def main():
     ckpt = os.path.join(args.out, "ckpt")
     meta = {"variant": args.variant, "num_classes": 2, "img_size": args.img,
             "world_images": args.images, "world_seed": args.seed,
+            "world_size": args.size,
             "augment": bool(args.augment), "clutter": args.clutter,
             "rotate": bool(args.rotate),
             "contrast_jitter": args.contrast_jitter}
