@@ -34,9 +34,11 @@ from aquaculture_tpu.models.yolov5 import VARIANTS
 # Measured serving facts (BENCHMARKS.md), keyed by variant. Only variants
 # with on-chip measurements are listed; others inherit conservative
 # defaults (bf16, batch knee 128).
-_INT8_SAFE_WINS = {"m"}          # +4.8% with the localization-safe split
-_INT8_LOSES = {"n", "mt", "m6"}  # measured net losses (BENCHMARKS.md)
-_BATCH_KNEE = 128                # b32/64/128/192/256 sweep; 128 is the knee
+_INT8_SAFE_WINS = {"m", "m6"}  # localization-safe split: m +4.8%; m6@1280
+                               # b128 +5.9% with the mAP bound measured at
+                               # the production geometry (round 4d)
+_INT8_LOSES = {"n", "mt"}      # measured net losses (BENCHMARKS.md)
+_BATCH_KNEE = 128              # b32/64/128/192/256 sweep; 128 is the knee
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,15 +182,35 @@ def recommend_serving(
             "batch=128: measured knee — 192/256 are flat-to-slower at 2x "
             "the latency (BENCHMARKS 'Inference')")
 
-    int8 = variant in _INT8_SAFE_WINS and not latency_sensitive
-    if int8:
+    # m6's int8 win is a b128-at-1280 measurement pair (throughput +
+    # accuracy); any other P6 geometry is unmeasured and stays bf16
+    int8 = (
+        variant in _INT8_SAFE_WINS
+        and not latency_sensitive
+        and (variant != "m6" or img == 1280)
+    )
+    if int8 and variant == "m6":
+        notes.append(
+            "int8=True: localization-safe split on m6@1280 b128 — +5.9% "
+            "(477.1 vs 450.6 tiles/s, 47.2% MFU) with the mAP bound "
+            "measured at the production geometry (1024px tiles at 1280): "
+            "-0.004 mAP@.5 / -0.015 mAP@.5:.95 vs bf16, CI-pinned "
+            "(BENCH_ACCURACY prod_m6_1280_e400; BENCHMARKS 'P6 batch "
+            "amortization'). The earlier b32 loss was dispatch-bound "
+            "amortization — int8 on P6 pays only at large batch")
+    elif int8:
         notes.append(
             "int8=True: localization-safe split, +4.8% at bf16-level mAP "
             "on m (CI-bounded — BENCHMARKS 'int8 serving A/B')")
+    elif variant == "m6":
+        notes.append(
+            "int8=False: the m6 int8 win is measured at 1280/b128 only "
+            "(the b32 row is a net loss — dispatch-bound) — bf16 off that "
+            "exact geometry (BENCHMARKS 'P6 batch amortization')")
     elif variant in _INT8_LOSES:
         notes.append(
             "int8=False: measured net loss on this variant (n: tiny tiles; "
-            "mt: no padding left to hide; m6: 4-level pool) — BENCHMARKS")
+            "mt: no padding left to hide) — BENCHMARKS")
     else:
         notes.append(
             "int8=False: unmeasured on this variant (or latency path) — "

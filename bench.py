@@ -46,9 +46,10 @@ import numpy as np
 # v5e findings (pallas NMS backend): batch sweep 32/64/128 -> 885/1230/1509
 # tiles/s at short (2-batch) timing windows; 8-batch windows measure the
 # steady state (~1730 round 1; ~1846 round 2b after the fused-gather NMS
-# prep — BENCHMARKS.md). int8 PTQ (models.quantize) measured end-to-end
-# parity with bf16 at these layer sizes, so the benchmark runs the simpler
-# bf16 config.
+# prep — BENCHMARKS.md). The default runs bf16: on the recommended mt
+# variant int8 measured a net LOSS (no lane padding left to hide), so
+# `--int8` (localization-safe split) pays only with `--variant m`
+# (BENCHMARKS 'int8 serving A/B').
 BATCH = 128
 INT8 = False
 IMG = 640

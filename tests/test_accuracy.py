@@ -131,6 +131,53 @@ def test_mt640_multi_label_not_catastrophic():
     assert d >= -0.05, rows["multi_label"]
 
 
+def _m6_1280_rows():
+    """Committed P6 production-geometry confirmation rows (round 4d).
+
+    Same committed-row discipline as _mt640_rows: the m6@1280 checkpoint
+    (96+ MB, uncommittable) backs the BENCH_ACCURACY.jsonl rows tagged
+    ckpt=prod_m6_1280_e400 — scripts/train_prod_ckpt.py --variant m6
+    --img 1280 --size 1024 (1024px world tiles served at 1280: the exact
+    geometry recommend_serving(boundary_accuracy=True) picks) +
+    scripts/accuracy_ab.py --variant m6 --img 1280 --tpu. These bounds
+    license the plan's int8=True on m6@1280 b128; a re-measurement that
+    violates them fails CI like a live regression.
+    """
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_ACCURACY.jsonl")
+    rows = {}
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            if (
+                r.get("variant") == "m6"
+                and r.get("img") == 1280
+                and r.get("ckpt") == "prod_m6_1280_e400"
+            ):
+                rows[r["config"]] = r
+    return rows
+
+
+def test_m6_1280_confirmation_rows_present():
+    rows = _m6_1280_rows()
+    for cfg in ("f32", "bf16", "int8_mixed", "int8_safe", "tta", "multi_label"):
+        assert cfg in rows, f"missing m6@1280 confirmation row for {cfg!r}"
+    assert rows["bf16"]["map50"] >= 0.9, rows["bf16"]
+
+
+def test_m6_1280_int8_bounds_license_the_plan_flip():
+    """recommend_serving's int8=True on m6@1280 b128 rests on these rows:
+    the safe split within 0.05 mAP@.5 AND 0.03 mAP@.5:.95 of bf16, and
+    the tight-IoU reason for the SAFE (not mixed) split visible on P6
+    too (measured: mixed loses 0.109 mAP@.5:.95, safe loses 0.015)."""
+    rows = _m6_1280_rows()
+    bf16, safe, mixed = rows["bf16"], rows["int8_safe"], rows["int8_mixed"]
+    assert abs(safe["map50"] - bf16["map50"]) <= 0.05, (safe, bf16)
+    assert abs(safe["map50_95"] - bf16["map50_95"]) <= 0.03, (safe, bf16)
+    assert safe["map50_95"] >= mixed["map50_95"] + 0.03, (safe, mixed)
+
+
 def test_world_map_rejects_unmatched_detection_stems(monkeypatch, tmp_path):
     # A detection stem with no GT label file must raise, not silently
     # vanish from the evaluation (review r3: unlabeled images or >tile

@@ -253,7 +253,8 @@ def test_mt_lane_aligned_variant():
 def test_serving_plan_recommendations():
     """plan.recommend_serving encodes ONLY the measured decision rules
     (BENCHMARKS.md): mt for batched throughput, m for latency/.pt interop,
-    int8 only on m, batch knee 128, overlap for boundary accuracy."""
+    int8 on m and (at its measured 1280/b128 geometry) m6, batch knee 128,
+    P6-or-overlap for boundary accuracy."""
     from aquaculture_tpu.models.plan import recommend_serving
 
     p = recommend_serving()
@@ -275,6 +276,9 @@ def test_serving_plan_recommendations():
     p = recommend_serving(boundary_accuracy=True)
     assert (p.variant, p.img_size, p.batch, p.overlap_px) == ("m6", 1280, 128, 0)
     assert not p.decode_scale  # 1280 is not a sub-tile fraction
+    # round 4d: int8-safe on m6@1280 b128 measured +5.9% AND mAP-bounded
+    # at the production geometry (BENCH_ACCURACY prod_m6_1280_e400)
+    assert p.int8
 
     # a pinned non-P6 variant falls back to overlap serving
     p = recommend_serving(boundary_accuracy=True, variant="mt")
@@ -311,7 +315,12 @@ def test_serving_plan_recommendations():
     assert not p.int8  # measured net loss on n
 
     p = recommend_serving(variant="m6", img=1280)
-    assert not p.int8 and p.img_size == 1280
+    assert p.int8 and p.img_size == 1280
+    # ...but the m6 int8 pair (throughput + accuracy) exists only at
+    # 1280/b128: any other P6 geometry stays bf16
+    assert not recommend_serving(variant="m6", img=640).int8
+    assert not recommend_serving(
+        variant="m6", boundary_accuracy=True, latency_sensitive=True).int8
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
