@@ -25,7 +25,8 @@ def _read_geo(path: str):
     from aquaculture_tpu import frame as gf
     from aquaculture_tpu.geo.shapefile import read_shapefile
 
-    if path.lower().endswith((".shp", ".dbf")) or (
+    # accept any sibling of the shapefile set, like read_shapefile itself
+    if path.lower().endswith((".shp", ".dbf", ".shx", ".prj")) or (
         not os.path.splitext(path)[1] and os.path.exists(path + ".shp")
     ):
         return read_shapefile(path)

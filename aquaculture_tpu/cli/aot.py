@@ -115,7 +115,15 @@ def main(argv=None) -> None:
         except (FileNotFoundError, NotADirectoryError):
             ckpt_meta = {}
     variant = args.variant or ckpt_meta.get("variant") or "m"
-    num_classes = args.num_classes or int(ckpt_meta.get("num_classes") or 5)
+    # `is None`, not falsy-or: an explicit --num-classes 0 must be rejected
+    # by the model builder, not silently replaced with the fallback
+    num_classes = (
+        int(args.num_classes)
+        if args.num_classes is not None
+        else int(ckpt_meta.get("num_classes") or 5)
+    )
+    if num_classes < 1:
+        raise SystemExit(f"--num-classes must be >= 1, got {num_classes}")
     if ckpt_meta.get("variant") and args.variant and args.variant != ckpt_meta["variant"]:
         raise SystemExit(
             f"--variant {args.variant} contradicts the checkpoint's saved "
@@ -123,7 +131,7 @@ def main(argv=None) -> None:
         )
     if (
         ckpt_meta.get("num_classes")
-        and args.num_classes
+        and args.num_classes is not None
         and args.num_classes != int(ckpt_meta["num_classes"])
     ):
         raise SystemExit(

@@ -213,11 +213,15 @@ def native_tile_batches(
         # Route by CONTENT, not extension: the C++ decoder dispatches on
         # magic bytes, so a TIFF bearing a .jpg name would otherwise reach
         # its ungated whole-image bilinear path.
-        others = [p for p in paths if not _is_jpeg_content(p)]
+        # One classification pass (the sniff opens each file): a second
+        # scan would both double the I/O on large corpora and open a
+        # classify-then-reclassify window if a file changes between scans.
+        is_jpeg = {p: _is_jpeg_content(p) for p in paths}
+        others = [p for p in paths if not is_jpeg[p]]
         if others:
             from aquaculture_tpu.data.loader import tile_batches
 
-            jpegs = [p for p in paths if _is_jpeg_content(p)]
+            jpegs = [p for p in paths if is_jpeg[p]]
             if jpegs:
                 yield from native_tile_batches(
                     jpegs, batch_size=batch_size, tile=tile,
@@ -237,6 +241,8 @@ def native_tile_batches(
         )
     else:
         handle = lib.aq_loader_create(arr, len(paths), tile, n_threads, queue_depth)
+    if not handle:  # nullptr = invalid args (already validated above)
+        raise RuntimeError("aq_loader_create rejected its arguments")
     eff = out_tile or tile
     pidx = np.zeros(batch_size, np.int32)
     xoff = np.zeros(batch_size, np.int32)

@@ -83,18 +83,35 @@ class LandMask:
         todo, r0t, r1t, c0t, c1t = (
             a[~big] for a in (todo, r0t, r1t, c0t, c1t))
         if len(todo):
-            sr = int((r1t - r0t).max()) + 1
-            sc = int((c1t - c0t).max()) + 1
-            rows = r0t[:, None] + np.arange(sr)[None, :]
-            cols = c0t[:, None] + np.arange(sc)[None, :]
-            rv = rows <= r1t[:, None]
-            cv = cols <= c1t[:, None]
-            rows = np.minimum(rows, h - 1)
-            cols = np.minimum(cols, w - 1)
-            valid = rv[:, :, None] & cv[:, None, :]
-            any_b = (self.boundary[rows[:, :, None], cols[:, None, :]] & valid).any((1, 2))
-            any_l = (self.mask[rows[:, :, None], cols[:, None, :]] & valid).any((1, 2))
-            out[todo] = np.where(any_b, 2, np.where(any_l, 1, 0)).astype(np.int8)
+            # Chunk the broadcast gather so one large-window box can't
+            # size the (N, sr, sc) scratch for ALL boxes: sorted by window
+            # area, each chunk keeps n_chunk * max_window_cells under a
+            # fixed cell budget (~16 MB bool per gather), so memory is
+            # bounded at corpus scale instead of max_window * N.
+            areas = ((r1t - r0t + 1) * (c1t - c0t + 1)).astype(np.int64)
+            order = np.argsort(areas, kind="stable")
+            budget = 1 << 24
+            pos = 0
+            while pos < len(order):
+                end = pos + 1
+                while end < len(order) and (
+                    (end + 1 - pos) * areas[order[end]] <= budget
+                ):
+                    end += 1
+                sel = order[pos:end]
+                pos = end
+                sr = int((r1t[sel] - r0t[sel]).max()) + 1
+                sc = int((c1t[sel] - c0t[sel]).max()) + 1
+                rows = r0t[sel, None] + np.arange(sr)[None, :]
+                cols = c0t[sel, None] + np.arange(sc)[None, :]
+                rv = rows <= r1t[sel, None]
+                cv = cols <= c1t[sel, None]
+                rows = np.minimum(rows, h - 1)
+                cols = np.minimum(cols, w - 1)
+                valid = rv[:, :, None] & cv[:, None, :]
+                any_b = (self.boundary[rows[:, :, None], cols[:, None, :]] & valid).any((1, 2))
+                any_l = (self.mask[rows[:, :, None], cols[:, None, :]] & valid).any((1, 2))
+                out[todo[sel]] = np.where(any_b, 2, np.where(any_l, 1, 0)).astype(np.int8)
         return out
 
 
@@ -155,14 +172,31 @@ def remove_land_detections_hybrid(
     row-for-row identical to the exact filter; only the cost moves.
 
     Exactness requires the mask to be rasterized in the detections' CRS
-    (see the inline comment); a provided ``mask`` in any other CRS is
-    rebuilt.
+    AND to cover the land's full extent (see the inline comments); a
+    provided ``mask`` violating either is rebuilt.
     """
     from aquaculture_tpu.post.geocode import remove_land_detections
 
     if len(detections) == 0:
         return detections
-    if mask is None or mask.boundary is None or mask.crs != detections.crs:
+    rebuild = mask is None or mask.boundary is None or mask.crs != detections.crs
+    if not rebuild:
+        # A caller-provided mask must also COVER the land: box_status
+        # treats off-grid boxes as "certainly water", which is only exact
+        # if no land exists outside the grid. A mask built over an AOI
+        # subset of the land would silently keep on-land detections
+        # beyond its bounds — rebuild instead of trusting it. (A mask
+        # built from DIFFERENT land polygons is uncheckable; the contract
+        # is that ``mask`` was built from this ``land``.)
+        lb = land.to_crs(detections.crs).bounds_array()
+        eps = 1e-9
+        rebuild = not (
+            mask.bounds[0] <= float(np.nanmin(lb[:, 0])) + eps
+            and mask.bounds[1] <= float(np.nanmin(lb[:, 1])) + eps
+            and mask.bounds[2] >= float(np.nanmax(lb[:, 2])) - eps
+            and mask.bounds[3] >= float(np.nanmax(lb[:, 3])) - eps
+        )
+    if rebuild:
         # Classify in the DETECTIONS' CRS. The exact filter sjoins against
         # land.to_crs(detections.crs) — STRAIGHT segments in that space.
         # Rasterizing in any other CRS tests the chord between reprojected

@@ -290,7 +290,7 @@ void* aq_loader_create(const char** paths, int n_paths, int tile, int n_threads,
 
 // Pop up to cap tiles into images (cap*tile*tile*3 bytes) and per-tile
 // metadata arrays. Blocks until at least one tile or end of stream.
-// Returns the tile count (0 = end of stream).
+// Returns the tile count (0 = end of stream, -1 = null handle).
 // Scaled-decode variants. aq_decode_image_scaled decodes with DCT-domain
 // downscale to the largest N/8 scale whose max side stays >= target
 // (target <= 0 = full size). aq_loader_create2 adds out_tile (see Loader).
@@ -339,6 +339,9 @@ void* aq_loader_create2(const char** paths, int n_paths, int tile,
 
 int aq_loader_next(void* handle, uint8_t* images, int cap, int* path_idx,
                    int* x_off, int* y_off) {
+  // aq_loader_create/create2 return nullptr on invalid arguments; a raw
+  // C caller that skips that check must get an error, not a segfault.
+  if (handle == nullptr) return -1;
   auto* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(l->mu);
   l->cv_pop.wait(lk, [&] { return !l->queue.empty() || l->done; });
@@ -359,6 +362,7 @@ int aq_loader_next(void* handle, uint8_t* images, int cap, int* path_idx,
 }
 
 void aq_loader_destroy(void* handle) {
+  if (handle == nullptr) return;  // destroying a failed create is a no-op
   auto* l = static_cast<Loader*>(handle);
   {
     std::lock_guard<std::mutex> lk(l->mu);
