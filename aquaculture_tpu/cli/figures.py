@@ -58,12 +58,15 @@ def main(argv=None) -> None:
     thresholds = np.linspace(0, 1, 100)
     all_stats = stats_at_thresholds(labels, dets, thresholds)
     ocean_stats = None
+    ocean = None
     if args.ocean_detections:
         ocean = gf.read_file(args.ocean_detections).to_crs(dets.crs)
+        ocean.crs = dets.crs
         ocean_stats = stats_at_thresholds(labels, ocean, thresholds)
-    # clustered stage at the tuned operating point's cluster params
-    base = gf.read_file(args.ocean_detections) if args.ocean_detections else dets
-    base.crs = dets.crs
+    # clustered stage at the tuned operating point's cluster params —
+    # reuse the already-read-and-reprojected ocean frame (re-reading the
+    # file and stamping dets.crs would relabel without transforming)
+    base = ocean if ocean is not None else dets
     clustered = clustered_detections(
         base, conf_thresh=0.0, distance_threshold=args.distance, min_cluster_size=args.min_size
     )

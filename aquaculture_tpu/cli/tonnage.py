@@ -26,6 +26,7 @@ from aquaculture_tpu.tonnage.factors import (
     load_fao_french_mediterranean,
     load_production_factors,
 )
+from aquaculture_tpu.results.maps import trujillo_1km_boxes
 from aquaculture_tpu.tonnage.periods import load_trujillo_locations, map_year_to_image_pass
 from aquaculture_tpu.post.dedup import deduplicate_download_boxes
 from aquaculture_tpu.cli.geocode import load_download_bboxes
@@ -81,14 +82,15 @@ def main(argv=None) -> None:
 
     if args.trujillo:
         tru = load_trujillo_locations(args.trujillo)
+        # reference tonnage_estimates.py:279-287: +/-1000 m boxes drawn in
+        # EPSG:3035, unioned in EPSG:3857 (trujillo_1km_boxes replicates
+        # exactly that, including the box-size convention)
         boxes = _poly.unary_union(
-            [
-                _poly.box(p.x - 500, p.y - 500, p.x + 500, p.y + 500)
-                for p in tru["geometry"]
-            ]
+            list(trujillo_1km_boxes(tru, box_crs=3035)["geometry"])
         )
         cmp = trujillo_comparison(
-            facility, boxes, errs, pft, args.min_cage_threshold, args.depth_mixture, K=args.K
+            facility, boxes, errs, pft, args.min_cage_threshold, args.depth_mixture,
+            K=args.K, bound_crs=3857,
         )
         log_info("Trujillo comparison:\n%s", cmp.to_string(index=False))
 

@@ -15,7 +15,9 @@ import pandas as pd
 
 from aquaculture_tpu import frame as gf
 
-CONF_BINS: List[float] = [0.0, 0.5, 0.735, 0.785, 0.9, 1.0]
+# The reference's stratification bins (get_kfold_cluster_performance.py:28)
+# — the strata design is part of the study, so the values must match
+CONF_BINS: List[float] = [0.0, 0.3, 0.5, 0.8, 1.0]
 
 
 def set_image_stats(

@@ -13,7 +13,6 @@ a dense vectorized sweep.
 from __future__ import annotations
 
 import dataclasses
-from collections import deque
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -23,7 +22,7 @@ from aquaculture_tpu import frame as gf
 from aquaculture_tpu.config import CRS_AREA, CRS_MAPPING
 from aquaculture_tpu.eval.metrics import get_stats_total
 from aquaculture_tpu.geo import polygon as _poly
-from aquaculture_tpu.post.cluster import dbscan, predictions_cluster
+from aquaculture_tpu.post.cluster import dbscan, dbscan_from_adjacency, predictions_cluster
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,24 +50,8 @@ def _masked_cluster_members(
         if len(idx):
             sub = d2[np.ix_(idx, idx)]
             adj = sub <= eps * eps
-            n_nbrs = adj.sum(axis=1)
-            core = n_nbrs >= min_size
-            labels = np.full(len(idx), -1, np.int64)
-            cluster = 0
-            for i in range(len(idx)):
-                if labels[i] != -1 or not core[i]:
-                    continue
-                labels[i] = cluster
-                q = deque([i])
-                while q:
-                    j = q.popleft()
-                    if not core[j]:
-                        continue
-                    for k in np.nonzero(adj[j])[0]:
-                        if labels[k] == -1:
-                            labels[k] = cluster
-                            q.append(k)
-                cluster += 1
+            core = adj.sum(axis=1) >= min_size
+            labels = dbscan_from_adjacency(adj, core)
             members[idx[labels >= 0]] = True
         out[year] = members
     return out

@@ -23,17 +23,14 @@ from aquaculture_tpu.config import CRS_AREA, CRS_MAPPING
 from aquaculture_tpu.geo import polygon as _poly
 
 
-def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
-    """Exact DBSCAN labels over (N, 2) points; -1 = noise."""
-    pts = np.asarray(points, np.float64)
-    n = len(pts)
-    if n == 0:
-        return np.zeros(0, np.int64)
-    d2 = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
-    adj = d2 <= eps * eps  # includes self
-    n_nbrs = adj.sum(axis=1)
-    core = n_nbrs >= min_samples
-
+def dbscan_from_adjacency(adj: np.ndarray, core: np.ndarray) -> np.ndarray:
+    """DBSCAN label assignment from a boolean adjacency (self-inclusive)
+    and core-point mask; -1 = noise. The BFS order matches sklearn's
+    labeling (clusters numbered by first core point encountered), which is
+    what the label-exactness tests pin. Shared by dbscan() and the k-fold
+    grid sweep (eval/kfold._masked_cluster_members), so a clustering fix
+    lands in both."""
+    n = len(core)
     labels = np.full(n, -1, np.int64)
     cluster = 0
     for i in range(n):
@@ -52,6 +49,18 @@ def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
                     q.append(k)
         cluster += 1
     return labels
+
+
+def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Exact DBSCAN labels over (N, 2) points; -1 = noise."""
+    pts = np.asarray(points, np.float64)
+    n = len(pts)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    d2 = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    adj = d2 <= eps * eps  # includes self
+    core = adj.sum(axis=1) >= min_samples
+    return dbscan_from_adjacency(adj, core)
 
 
 _FTYPES = ("circle", "square", "rectangle")

@@ -25,9 +25,12 @@ POST_TRUJILLO_PERIODS = ("2013-2015", "2016-2018", "2019-2021")
 
 
 def trujillo_1km_boxes(
-    trujillo: "gf.GeoFrame", half_size_m: float = 500.0, box_crs: int = 3857
+    trujillo: "gf.GeoFrame", half_size_m: float = 1000.0, box_crs: int = 3857
 ) -> "gf.GeoFrame":
-    """1 km boxes around Trujillo points.
+    """"1 km" boxes around Trujillo points — the reference's box_size=1000
+    means +/-1000 m, i.e. a 2 km-wide box (FacilitiesMaps.py:31-37,
+    get_kfold_cluster_performance.py:66-70, tonnage_estimates.py:279-286
+    all use box(p.x-1000, ..., p.x+1000)).
 
     box_crs picks which projection the box edges are drawn in: the
     evaluation strata were designed in EPSG:3857

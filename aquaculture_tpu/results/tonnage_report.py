@@ -83,19 +83,32 @@ def compute_bounded_tonnage(
     depth_dist_mixture_param: float,
     K: int = 10_000,
     seed: int = 0,
+    bound_crs: int = 3857,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """Tonnage restricted to cages inside/outside a geometry
-    (reference compute_bounded_tonnage wiring, tonnage_estimates.py:290-300)."""
+    (reference compute_bounded_tonnage wiring, tonnage_estimates.py:290-300).
+
+    ``bound_crs`` is the CRS ``bound_geom`` is expressed in; cage
+    geometries are projected into it for the inside/outside test (the
+    predictions frame may be in any CRS — a raw-coordinate intersect
+    between e.g. 3857 meters and 4326 degrees never hits, which would
+    silently empty every cage list)."""
     bounded = facility.final_facilities.copy()
     preds_df = facility.preds
+    preds_geo = preds_df if preds_df.crs == bound_crs else preds_df.to_crs(bound_crs)
+    preds_geo.crs = bound_crs
     for col in ("cage_ids", "cage_ids_max", "cage_ids_min"):
         if col not in bounded.columns:
             continue
         bounded[col] = [
-            modify_cage_list_using_geometry(ids, bound_geom, preds_df, sbound)
+            modify_cage_list_using_geometry(ids, bound_geom, preds_geo, sbound)
             for ids in bounded[col]
         ]
-    bounded = bounded[bounded["cage_ids"].apply(len) > 0]
+    # The reference drops facilities whose MIN selection is empty inside
+    # the bound (tonnage_estimates.py:253-254), not whose random selection
+    # is — the min list is the conservative existence test
+    drop_col = "cage_ids_min" if "cage_ids_min" in bounded.columns else "cage_ids"
+    bounded = bounded[bounded[drop_col].apply(len) > 0]
     if len(bounded) == 0:
         return bounded, pd.DataFrame({"tonnage": []})
     est = compute_facility_tonnage_estimates(
@@ -121,9 +134,12 @@ def trujillo_comparison(
     depth_dist_mixture_param: float,
     compare_period: str = "2005-2009",
     K: int = 10_000,
+    bound_crs: int = 3857,
 ) -> pd.DataFrame:
     """Predicted vs literature tonnage/cage-count near Trujillo facilities
-    (reference trujillo_comparison, :303-320)."""
+    (reference trujillo_comparison, :303-320). ``trujillo_1km_boxes`` must
+    be the union geometry in ``bound_crs`` (results.maps.trujillo_1km_boxes
+    outputs 3857)."""
     bounded, est = compute_bounded_tonnage(
         facility,
         model_error_distributions,
@@ -133,6 +149,7 @@ def trujillo_comparison(
         min_cage_threshold,
         depth_dist_mixture_param,
         K=K,
+        bound_crs=bound_crs,
     )
     pred_tonnage = float(est.loc[compare_period, "tonnage"]) if compare_period in est.index else 0.0
     n_cages = int(

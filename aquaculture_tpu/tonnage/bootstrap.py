@@ -164,9 +164,12 @@ def run_bootstrap(
     err_sd = jnp.asarray(inputs.err_sd)
     vzc = jnp.asarray(inputs.var_zero_circle)
     is_circle = jnp.asarray(inputs.is_circle)
+    # in_random is deliberately NOT consumed: the simulated facility area
+    # is U(min-selection sum, max-selection sum), so the random selection
+    # never enters the bootstrap — the reference says the same
+    # (utils_tonnage.py:437-439 "is not used in the bootstrap").
     in_min = jnp.asarray(inputs.in_min)
     in_max = jnp.asarray(inputs.in_max)
-    in_rand = jnp.asarray(inputs.in_random)
     fac_period = jnp.asarray(inputs.fac_period)
     depth = jnp.asarray(inputs.cage_depth)
     s_mean, s_sd = jnp.asarray(inputs.s_mean), jnp.asarray(inputs.s_sd)

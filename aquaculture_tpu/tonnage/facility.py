@@ -67,6 +67,7 @@ class AquaFacility:
 
         preds = preds.copy()
         preds.crs = preds.crs or 4326
+        preds_crs = preds.crs
         preds["farm_type"] = preds["type"]
         if max_cage_areas is not None:
             # Drop detections larger than the largest human-labeled cage.
@@ -79,10 +80,14 @@ class AquaFacility:
             with np.errstate(invalid="ignore"):
                 keep = areas_3035 < limit
             preds = preds[keep]
-            preds.crs = 4326
+            # restore the INPUT crs (boolean indexing drops the metadata);
+            # stamping a literal here would silently relabel e.g. a 3857
+            # frame as degrees without transforming it
+            preds.crs = preds_crs
         preds["pass"] = preds["year"].astype(int).map(selected_map)
         preds = preds[preds["det_conf"] >= confidence_threshold]
         preds = preds.reset_index(drop=True)
+        preds.crs = preds_crs
         preds["index"] = preds.index  # unique cage id
         self.preds = preds
         self.rmblank_image_boxes = image_boxes
@@ -279,14 +284,27 @@ def compute_complete_period_tonnage_estimates(
     (reference utils_tonnage.py:1139-1201)."""
     bounded = facility.final_facilities.copy()
     preds_df = facility.preds.copy()
-    pass_bounds = _poly.unary_union(list(facility.annual_coverage[current_period]["geometry"]))
+    coverage = facility.annual_coverage[current_period]
+    pass_bounds = _poly.unary_union(list(coverage["geometry"]))
+    # The coverage frames come out of dedup_cages_in_overlap_years_with_
+    # white_space in EPSG:3857, while preds keep whatever CRS the caller's
+    # detections file used (cli/geocode writes 4326). Raw-coordinate
+    # intersects between the two can NEVER hit (meters vs degrees), which
+    # would classify every compare-period cage as "outside" coverage and
+    # double-count whole periods — so project the cage geometries into the
+    # coverage CRS for the bounds test. (The reference is consistent only
+    # because its ocean_detections.geojson is saved in 3857,
+    # geocode_results.py:260-271.)
+    cov_crs = coverage.crs or 3857
+    preds_geo = preds_df if preds_df.crs == cov_crs else preds_df.to_crs(cov_crs)
+    preds_geo.crs = cov_crs
 
     bounded = bounded[bounded["pass"].isin([compare_period, current_period])].copy()
     for col in ("cage_ids", "cage_ids_max", "cage_ids_min"):
         bounded[col] = [
             row[col]
             if row["pass"] == current_period
-            else modify_cage_list_using_geometry(row[col], pass_bounds, preds_df, "outside")
+            else modify_cage_list_using_geometry(row[col], pass_bounds, preds_geo, "outside")
             for _, row in bounded.iterrows()
         ]
     bounded = bounded[bounded["cage_ids_min"].apply(len) > 0]

@@ -50,6 +50,12 @@ def world(tmp_path):
     fac = AquaFacility(dets, boxes, map_year_to_image_pass, min_cluster_size=5)
     fac.final_facilities["cage_depth"] = 12.0
     fac.save(str(tmp_path / "fac.pkl"))
+    # Trujillo point at the 2013 cluster (3857 -> lon/lat), for the
+    # comparison path (reference aquaculture_med_dedupe.csv shape)
+    from aquaculture_tpu.geo import crs as _crs
+
+    lon, lat = _crs.transform(3857, 4326, 150.0, 105.0)
+    (tmp_path / "trujillo.csv").write_text(f"lon,lat\n{float(lon)},{float(lat)}\n")
     return tmp_path
 
 
@@ -70,6 +76,7 @@ def test_tonnage_cli_end_to_end(world, reference_data_dir):
             "--out", out,
             "--plot", str(world / "fig6.pdf"),
             "--K", "500",
+            "--trujillo", str(world / "trujillo.csv"),
         ]
     )
     est = pd.read_csv(out, index_col=0)

@@ -206,14 +206,14 @@ def test_buckets_assignment():
 
     bucketed = set_buckets(stats, trujillo)
     b = bucketed["bucket"].astype(str).tolist()
-    assert b[0] == "(0.785, 0.9]"
+    assert b[0] == "(0.5, 0.8]"
     assert b[1] == "No detection, in jennifer area"
     assert b[2] == "No detection, outside jennifer area"
     assert b[3] == "land"
 
     info = get_bucket_info_table(bucketed)
     assert info.loc["land", "num_images_bucket"] == 1
-    assert info.loc["(0.785, 0.9]", "num_detections_bucket"] == 1
+    assert info.loc["(0.5, 0.8]", "num_detections_bucket"] == 1
 
 
 def test_assemble_evaluation_datasets():

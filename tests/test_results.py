@@ -96,7 +96,8 @@ def test_upper_bound_simulation():
 def test_trujillo_classification_and_unique_locations():
     trujillo = gf.GeoFrame({"n": [0]}, geometry=[_poly.Point(1000.0, 1000.0)], crs=3857)
     boxes = trujillo_1km_boxes(trujillo)
-    assert boxes["geometry"].iloc[0].bounds == (500.0, 500.0, 1500.0, 1500.0)
+    # reference box_size=1000 means +/-1000 m (FacilitiesMaps.py:31-37)
+    assert boxes["geometry"].iloc[0].bounds == (0.0, 0.0, 2000.0, 2000.0)
 
     fac = gf.GeoFrame(
         {"pass": ["2013-2015", "2013-2015"]},

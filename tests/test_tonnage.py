@@ -536,3 +536,131 @@ def test_year_dedup_min_max_ordering_fuzz(seed):
                     assert intersection_area(gs[i], gs[j]) < 1e-6
     assert areas["min"] <= areas["random"] + 1e-9
     assert areas["random"] <= areas["max"] + 1e-9
+
+
+def _two_period_world():
+    """Two 6-cage clusters in different periods, one shared coverage box
+    per year (both years image the full 0..6000 m strip)."""
+    recs = {k: [] for k in ("image", "year", "det_conf", "type", "area",
+                            "area_var", "min_area", "max_area")}
+    geoms = []
+    for year, x0 in ((2013, 100.0), (2017, 5000.0)):
+        for i in range(6):
+            x = x0 + 14 * i
+            geoms.append(_poly.box(x, 100, x + 10, 110))
+            recs["image"].append(f"ORTHOIMAGERY.ORTHOPHOTOS{year}_0_0_0.jpeg")
+            recs["year"].append(year)
+            recs["det_conf"].append(0.9)
+            recs["type"].append("circle_farm")
+            recs["area"].append(78.5)
+            recs["area_var"].append(0.0)
+            recs["min_area"].append(78.5)
+            recs["max_area"].append(78.5)
+    preds = gf.GeoFrame(recs, geometry=geoms, crs=3857)
+    boxes = gf.GeoFrame(
+        {"bbox_ind": [0, 0], "x_offset": [0, 0], "y_offset": [0, 0],
+         "year": [2013, 2017], "image_file": ["a", "b"]},
+        geometry=[_poly.box(0, 0, 6000, 1200)] * 2,
+        crs=3857,
+    )
+    errs = pd.DataFrame(
+        {"pass": ["2013-2015", "2016-2018"],
+         "farm_type": ["circle_farm"] * 2,
+         "model_error_mean": [0.0] * 2, "model_error_sd": [5.0] * 2}
+    )
+    pft = pd.DataFrame(
+        {"pass": ["2013-2015", "2016-2018"],
+         "Factor Stocking density": [12.0] * 2,
+         "Standard deviation Stocking density": [1.0] * 2,
+         "Factor Annual harvest frequency": [0.6] * 2,
+         "Standard deviation Annual harvest frequency": [0.05] * 2}
+    )
+    return preds, boxes, errs, pft
+
+
+def _facility_from(preds, boxes):
+    from aquaculture_tpu.tonnage.facility import AquaFacility
+
+    fac = AquaFacility(preds, boxes, map_year_to_image_pass, min_cluster_size=5)
+    fac.compute_min_max_cages()
+    fac.final_facilities["cage_depth"] = 12.0
+    return fac
+
+
+def test_period_imputation_crs_invariance():
+    """Round-4b regression: predictions in EPSG:4326 (the CRS cli/geocode
+    writes) must impute IDENTICALLY to the same world in 3857. Before the
+    fix, the coverage test intersected raw 4326 degrees against 3857-meter
+    coverage polygons (never true), so every compare-period facility was
+    classified 'outside coverage' and whole periods were double-counted."""
+    from aquaculture_tpu.tonnage.facility import (
+        compute_complete_period_tonnage_estimates,
+    )
+
+    preds, boxes, errs, pft = _two_period_world()
+    fac_m = _facility_from(preds, boxes)
+    preds_deg = preds.to_crs(4326)
+    preds_deg.crs = 4326
+    fac_deg = _facility_from(preds_deg, boxes)
+
+    kw = dict(
+        current_period="2016-2018", compare_period="2013-2015",
+        model_error_distributions=errs, min_cage_threshold=5.0,
+        period_factor_table=pft, depth_dist_mixture_param=0.8,
+        K=500, seed=0,
+    )
+    est_m = compute_complete_period_tonnage_estimates(fac_m, **kw)
+    est_deg = compute_complete_period_tonnage_estimates(fac_deg, **kw)
+
+    # 2013's cages lie INSIDE 2016-2018's coverage (same strip imaged both
+    # years), so nothing is imputed: the estimate equals the direct
+    # current-period bootstrap, and is CRS-invariant.
+    t_m = float(est_m.loc["2016-2018", "tonnage"])
+    t_deg = float(est_deg.loc["2016-2018", "tonnage"])
+    assert t_m == pytest.approx(t_deg, rel=1e-9)
+
+    direct = compute_facility_tonnage_estimates(
+        facility_df=fac_m.final_facilities[
+            fac_m.final_facilities["pass"] == "2016-2018"
+        ],
+        period_factor_table=pft, period_var="pass", min_cage_threshold=5.0,
+        preds_df=fac_m.preds, model_error_distributions=errs,
+        depth_dist_mixture_param=0.8, K=500, seed=0,
+    )
+    assert t_m == pytest.approx(float(direct.loc["2016-2018", "tonnage"]), rel=1e-9)
+
+
+def test_bounded_tonnage_crs_invariance():
+    """Round-4b regression: a 3857-meter bound geometry against 4326
+    predictions previously emptied every cage list (raw-coordinate
+    intersects), so the Trujillo comparison always printed 0.0 / 0."""
+    from aquaculture_tpu.results.tonnage_report import trujillo_comparison
+
+    preds, boxes, errs, pft = _two_period_world()
+    fac_m = _facility_from(preds, boxes)
+    preds_deg = preds.to_crs(4326)
+    preds_deg.crs = 4326
+    fac_deg = _facility_from(preds_deg, boxes)
+
+    # +/-1000 m box around the 2013 cluster, in 3857 (trujillo_1km_boxes'
+    # output convention)
+    bound = _poly.box(100 - 1000, 100 - 1000, 200 + 1000, 110 + 1000)
+    out = {}
+    for name, fac in (("m", fac_m), ("deg", fac_deg)):
+        cmp = trujillo_comparison(
+            fac, bound, errs, pft, 5.0, 0.8,
+            compare_period="2013-2015", K=500, bound_crs=3857,
+        )
+        pred = cmp[cmp["Source"] == "Predicted"].set_index("Measure")["Value"]
+        out[name] = (float(pred["Tonnage"]), int(pred["Number of cages"]))
+    assert out["m"][1] == 6  # the 2013 cluster's cages are inside the bound
+    assert out["m"][0] > 0
+    assert out["deg"] == pytest.approx(out["m"])
+
+
+def test_conf_bins_match_reference():
+    """The stratification bins are part of the reference study design
+    (get_kfold_cluster_performance.py:28) — pin them."""
+    from aquaculture_tpu.eval.buckets import CONF_BINS
+
+    assert CONF_BINS == [0.0, 0.3, 0.5, 0.8, 1.0]
