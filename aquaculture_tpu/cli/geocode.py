@@ -4,6 +4,13 @@ Equivalent of the reference's geocode_results.py __main__
 (reference: src/process_yolo/geocode_results.py:221-271): parse label files,
 geocode to EPSG:3857/3035/4326, dedup against overlapping download boxes,
 optionally drop land detections.
+
+Output CRS — intentional difference: the reference saves its GeoJSONs in
+the CRS left over from dedup, EPSG:3857 (geocode_results.py:260-271);
+this CLI writes EPSG:4326, which is what RFC 7946 GeoJSON requires (the
+meter-space corner columns xmin_m..ymax_m carry the 3857 coordinates
+either way, and every downstream consumer here projects explicitly —
+the tonnage stack's bounded-geometry tests are CRS-safe against either).
 """
 
 from __future__ import annotations

@@ -259,6 +259,7 @@ def test_letterbox_rect_pads_centered():
     np.testing.assert_allclose(src[0], [0, 0, 1024, 512], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tta_predict_identity_and_merge():
     """ops/tta.py: the identity config equals the plain forward exactly;
     the full 3-pass TTA concatenates per-pass pools with de-scaled,

@@ -95,6 +95,7 @@ def test_conv2d_dispatch_under_ctx():
     assert not layers._PHASE_GRAD_DX
 
 
+@pytest.mark.slow
 def test_remat_composes_with_phase_grad():
     """jax.checkpoint replays the forward during backward; the replayed
     trace must still carry the phase-dX custom vjp (a user can set both
