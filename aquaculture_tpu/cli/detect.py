@@ -53,6 +53,50 @@ def quantize_for_serving(model, fused_params, sample_paths, img_size: int = 640,
     return quantize_model(model, fused_params, jnp.stack(imgs), skip=skip)
 
 
+def resolve_model_args(
+    weights: str | None,
+    variant_arg: str | None,
+    num_classes_arg: int | None,
+    default_variant: str = "m",
+    default_num_classes: int = 5,
+) -> tuple:
+    """Resolve variant/num_classes: explicit flag > checkpoint metadata >
+    default — and an explicit flag that CONTRADICTS the checkpoint's saved
+    metadata is an error, not a silent mis-build (the stated-constraint-
+    wins rule cli/export.py and aq-aot already apply). Serving a
+    checkpoint trained with --variant n6 under the bare default would
+    otherwise die on an opaque param-tree KeyError deep in features()."""
+    meta: dict = {}
+    if weights and not weights.endswith(".pt") and os.path.isdir(weights):
+        from aquaculture_tpu.utils.checkpoint import load_metadata
+
+        try:
+            meta = load_metadata(weights)
+        except (FileNotFoundError, NotADirectoryError):
+            meta = {}
+    variant = variant_arg or meta.get("variant") or default_variant
+    if meta.get("variant") and variant_arg and variant_arg != meta["variant"]:
+        raise SystemExit(
+            f"--variant {variant_arg} contradicts the checkpoint's saved "
+            f"variant {meta['variant']!r} ({weights})"
+        )
+    num_classes = (
+        int(num_classes_arg)
+        if num_classes_arg is not None
+        else int(meta.get("num_classes") or default_num_classes)
+    )
+    if (
+        meta.get("num_classes")
+        and num_classes_arg is not None
+        and int(num_classes_arg) != int(meta["num_classes"])
+    ):
+        raise SystemExit(
+            f"--num-classes {num_classes_arg} contradicts the checkpoint's "
+            f"saved num_classes {meta['num_classes']} ({weights})"
+        )
+    return variant, num_classes
+
+
 def load_model(weights: str | None, variant: str = "m", num_classes: int = 5):
     model = YoloV5(variant=variant, num_classes=num_classes)
     if weights and not os.path.exists(weights):
@@ -78,8 +122,10 @@ def main(argv=None) -> None:
     ap.add_argument("--source", required=True, help="image file, directory, or glob")
     ap.add_argument("--weights", default=None, help=".pt or checkpoint directory")
     ap.add_argument("--out", required=True, help="directory for label .txt files")
-    ap.add_argument("--variant", default="m", choices=sorted(VARIANTS))
-    ap.add_argument("--num-classes", type=int, default=5)
+    ap.add_argument("--variant", default=None, choices=sorted(VARIANTS),
+                    help="(default: the checkpoint's saved variant, else m)")
+    ap.add_argument("--num-classes", type=int, default=None,
+                    help="(default: the checkpoint's saved value, else 5)")
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--iou", type=float, default=0.45)
     ap.add_argument("--batch", type=int, default=32)
@@ -106,6 +152,9 @@ def main(argv=None) -> None:
                          "variant/img/conf/iou/batch come from the artifact "
                          "and the matching flags are ignored")
     args = ap.parse_args(argv)
+    args.variant, args.num_classes = resolve_model_args(
+        args.weights, args.variant, args.num_classes
+    )
 
     if os.path.isdir(args.source):
         paths = sorted(

@@ -16,7 +16,7 @@ import argparse
 import glob
 import os
 
-from aquaculture_tpu.cli.detect import load_model
+from aquaculture_tpu.cli.detect import load_model, resolve_model_args
 from aquaculture_tpu.cli.geocode import load_download_bboxes
 from aquaculture_tpu.config import DetectConfig
 from aquaculture_tpu.parallel.pod import init_distributed, run_pod_pipeline
@@ -35,8 +35,10 @@ def main(argv=None) -> None:
     ap.add_argument("--download-bboxes", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--weights", default=None)
-    ap.add_argument("--variant", default="m", choices=sorted(VARIANTS))
-    ap.add_argument("--num-classes", type=int, default=5)
+    ap.add_argument("--variant", default=None, choices=sorted(VARIANTS),
+                    help="(default: the checkpoint's saved variant, else m)")
+    ap.add_argument("--num-classes", type=int, default=None,
+                    help="(default: the checkpoint's saved value, else 5)")
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--img", type=int, default=None,
                     help="inference size (default: 640, or 1280 for *6 variants)")
@@ -82,6 +84,9 @@ def main(argv=None) -> None:
     else:
         paths = sorted(glob.glob(args.source))
 
+    args.variant, args.num_classes = resolve_model_args(
+        args.weights, args.variant, args.num_classes
+    )
     model, params = load_model(args.weights, args.variant, args.num_classes)
     dl = load_download_bboxes(args.download_bboxes)
     det, stats = run_pod_pipeline(

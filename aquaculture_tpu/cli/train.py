@@ -16,8 +16,8 @@ import jax
 import numpy as np
 
 from aquaculture_tpu.config import TrainConfig
-from aquaculture_tpu.cli.detect import load_model
-from aquaculture_tpu.models.yolov5 import VARIANTS, yolov5_init
+from aquaculture_tpu.cli.detect import resolve_model_args
+from aquaculture_tpu.models.yolov5 import VARIANTS, YoloV5, yolov5_init
 from aquaculture_tpu.train.dataset import DetectionDataset
 from aquaculture_tpu.train.trainer import init_train_state, make_train_step
 from aquaculture_tpu.utils.checkpoint import load_params, save_params
@@ -30,9 +30,14 @@ def main(argv=None) -> None:
     ap.add_argument("--labels", default=None, help="labels directory (default: sibling labels/)")
     ap.add_argument("--out", required=True, help="checkpoint output directory")
     ap.add_argument("--weights", default=None, help="warm-start .pt or checkpoint dir")
-    ap.add_argument("--variant", default="m", choices=sorted(VARIANTS))
-    ap.add_argument("--num-classes", type=int, default=5)
-    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--variant", default=None, choices=sorted(VARIANTS),
+                    help="(default: the warm-start checkpoint's saved variant, else m)")
+    ap.add_argument("--num-classes", type=int, default=None,
+                    help="(default: the warm-start checkpoint's saved value, else 5)")
+    ap.add_argument("--img", type=int, default=None,
+                    help="training size (default: 1280 for P6 *6 variants, "
+                         "else 640 — training a P6 head at 640 leaves its "
+                         "stride-64 anchors with no matchable targets)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--no-augment", action="store_true")
@@ -47,16 +52,44 @@ def main(argv=None) -> None:
                          "the on-chip A/B lands — docs/SCALING.md)")
     args = ap.parse_args(argv)
 
-    cfg = TrainConfig(img_size=args.img, batch_size=args.batch, epochs=args.epochs, remat=args.remat,
+    variant, num_classes = resolve_model_args(
+        args.weights, args.variant, args.num_classes
+    )
+    img = args.img or (1280 if variant.endswith("6") else 640)
+    cfg = TrainConfig(img_size=img, batch_size=args.batch, epochs=args.epochs, remat=args.remat,
                       phase_grad_dx=args.phase_grad_dx)
     ds = DetectionDataset(args.images, args.labels, cfg, augment=not args.no_augment, seed=args.seed)
     log_info("%d images, %d steps/epoch", len(ds), ds.steps_per_epoch)
 
     if args.weights:
-        model, params = load_model(args.weights, args.variant, args.num_classes)
-        # training needs unfused conv+bn params; .pt checkpoints may be fused
+        # Load UNFUSED: cli.detect.load_model folds BN for inference, which
+        # would silently disable BatchNorm for the whole run (no
+        # normalization, frozen running stats) and produce checkpoints
+        # cli/export refuses (the s2d-rewritten stem). Training consumes
+        # the raw conv+bn tree.
+        from aquaculture_tpu.models.weights import load_pretrained
+
+        model = YoloV5(variant=variant, num_classes=num_classes)
+        if args.weights.endswith(".pt"):
+            params, anchors = load_pretrained(model, args.weights)
+            if anchors is not None:
+                model = YoloV5(variant=variant, num_classes=num_classes, anchors=anchors)
+        else:
+            params = load_params(args.weights)
+
+        def _has_bn(tree) -> bool:
+            return isinstance(tree, dict) and (
+                "bn" in tree or any(_has_bn(v) for v in tree.values())
+            )
+
+        if not _has_bn(params):
+            raise SystemExit(
+                f"{args.weights} holds FUSED inference weights (no BatchNorm "
+                "parameters) — warm-start needs an unfused source: a "
+                "training checkpoint dir or an ultralytics training .pt"
+            )
     else:
-        model, params = yolov5_init(args.variant, args.num_classes, seed=args.seed)
+        model, params = yolov5_init(variant, num_classes, seed=args.seed)
 
     state = init_train_state(model, params)
     start_epoch = 0
@@ -123,7 +156,8 @@ def main(argv=None) -> None:
         save_params(
             os.path.join(args.out, "last"),
             state.ema,
-            metadata={"epoch": epoch + 1, "variant": args.variant, "num_classes": args.num_classes},
+            metadata={"epoch": epoch + 1, "variant": variant,
+                      "num_classes": num_classes, "img_size": img},
         )
         # full resumable state (params + optimizer momenta + EMA + step)
         save_params(

@@ -126,6 +126,11 @@ class TrainConfig:
     # 0 = auto (cores capped at 8), 1 = sequential. Batches are identical
     # for ANY thread count (per-sample deterministic seeding).
     feed_threads: int = 0
+    # Decoded-image cache budget (GiB), shared by the full-resolution and
+    # resized-copy caches. Small demo worlds fit entirely (fast epochs);
+    # a realistic corpus (20k 1024px tiles ~ 60 GB decoded) stops caching
+    # at the budget instead of OOMing the host. <= 0 disables caching.
+    cache_gb: float = 4.0
     remat: bool = False             # jax.checkpoint the backbone forward:
                                     # trades recompute for activation memory
                                     # (bigger per-chip batches)

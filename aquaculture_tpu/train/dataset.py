@@ -71,6 +71,21 @@ class DetectionDataset:
         self.seed = seed
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self._resized_cache: Dict[Tuple[int, int], Tuple[np.ndarray, float]] = {}
+        # Shared byte budget for both caches (TrainConfig.cache_gb): a
+        # realistic corpus decodes to far more than host RAM, so once the
+        # budget is hit further samples are computed per use instead of
+        # stored (ultralytics makes image caching opt-in for the same
+        # reason; here it is bounded instead).
+        self._cache_budget = int(max(cfg.cache_gb, 0.0) * (1 << 30))
+        self._cache_bytes = 0
+
+    def _maybe_cache(self, cache: dict, key, value) -> None:
+        size = sum(
+            a.nbytes for a in value if isinstance(a, np.ndarray)
+        )
+        if self._cache_bytes + size <= self._cache_budget:
+            cache[key] = value
+            self._cache_bytes += size
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -80,9 +95,11 @@ class DetectionDataset:
         return max(len(self.pairs) // self.cfg.batch_size, 1)
 
     def _get(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
-        if i not in self._cache:
-            self._cache[i] = load_sample(*self.pairs[i])
-        img, boxes = self._cache[i]
+        hit = self._cache.get(i)
+        if hit is None:
+            hit = load_sample(*self.pairs[i])
+            self._maybe_cache(self._cache, i, hit)
+        img, boxes = hit
         return img, boxes.copy()
 
     def _make_sample(self, rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
@@ -107,7 +124,8 @@ class DetectionDataset:
         train/infer domain gap that measurably hurts transfer. Resized
         images are cached per (index, size)."""
         key = (i, s)
-        if key not in self._resized_cache:
+        hit = self._resized_cache.get(key)
+        if hit is None:
             import jax.image
 
             img, boxes = self._get(i)
@@ -121,8 +139,9 @@ class DetectionDataset:
                 img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), constant_values=114)
             else:
                 g = 1.0
-            self._resized_cache[key] = (img, g)
-        img, g = self._resized_cache[key]
+            hit = (img, g)
+            self._maybe_cache(self._resized_cache, key, hit)
+        img, g = hit
         _, boxes = self._get(i)
         boxes[:, 1:5] *= g
         return img.copy(), boxes

@@ -152,12 +152,29 @@ def yolo_loss(
     Returns:
         (loss, metrics dict) — loss is summed per ultralytics convention
         (mean-per-component * batch_size).
+
+    Gain scaling: ultralytics rescales the raw hyp gains at train setup
+    (its train.py: ``box *= 3/nl``, ``cls *= nc/80 * 3/nl``,
+    ``obj *= (imgsz/640)**2 * 3/nl``) so the defaults transfer across
+    model depth, class count, and resolution. That scaling is applied
+    HERE — callers pass the raw hyp values (box 0.05 / cls 0.5 / obj 1.0)
+    and the loss derives nl from ``feats``, the class term from
+    ``num_classes`` and the resolution term from the stride-8 grid, so a
+    5-class model trains with the recipe's effective cls weight
+    (0.5*5/80) instead of 16x too much classification pressure, and P6 at
+    1280 gets its 4x objectness boost.
     """
     b = feats[0].shape[0]
     na = len(anchors[0])
     no = num_classes + 5
     cp = 1.0 - 0.5 * label_smoothing
     cn = 0.5 * label_smoothing
+
+    nl = len(feats)
+    img_size = float(feats[0].shape[1] * strides[0])
+    box_gain = box_gain * 3.0 / nl
+    cls_gain = cls_gain * (num_classes / 80.0) * 3.0 / nl
+    obj_gain = obj_gain * (img_size / 640.0) ** 2 * 3.0 / nl
 
     lbox = 0.0
     lobj = 0.0

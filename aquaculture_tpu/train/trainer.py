@@ -15,7 +15,7 @@ SGD, EMA, per-epoch LR (reference: README.md:52 invocation).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -106,20 +106,3 @@ def make_train_step(
 
     return train_step
 
-
-def fit(
-    model: YoloV5,
-    state: TrainState,
-    batches: Iterable[Dict[str, jnp.ndarray]],
-    cfg: TrainConfig,
-    steps_per_epoch: int,
-    log_every: int = 50,
-    log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
-) -> TrainState:
-    """Host loop: jit the step once and fold batches through it."""
-    step_fn = jax.jit(make_train_step(model, cfg, steps_per_epoch), donate_argnums=0)
-    for i, batch in enumerate(batches):
-        state, metrics = step_fn(state, batch)
-        if log_fn is not None and (i % log_every == 0):
-            log_fn(i, {k: float(v) for k, v in metrics.items()})
-    return state

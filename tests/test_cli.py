@@ -201,3 +201,27 @@ def test_detect_aot_decode_scale_rejected(tmp_path):
             "--source", str(tmp_path), "--out", str(tmp_path / "o"),
             "--aot", str(tmp_path / "missing.aqx"), "--decode-scale",
         ])
+
+
+def test_resolve_model_args_metadata_and_contradictions(tmp_path):
+    """Round-4c: detect/pipeline/pod/train default variant/num_classes from
+    the checkpoint's saved metadata (cli/export already did); an explicit
+    flag contradicting it errors instead of building the wrong tree."""
+    import numpy as np
+    import pytest
+
+    from aquaculture_tpu.cli.detect import resolve_model_args
+    from aquaculture_tpu.utils.checkpoint import save_params
+
+    ckpt = str(tmp_path / "ck")
+    save_params(ckpt, {"x": np.zeros(1)},
+                metadata={"variant": "n6", "num_classes": 3})
+
+    assert resolve_model_args(ckpt, None, None) == ("n6", 3)
+    assert resolve_model_args(ckpt, "n6", 3) == ("n6", 3)
+    assert resolve_model_args(None, None, None) == ("m", 5)
+    assert resolve_model_args("w.pt", None, 2) == ("m", 2)
+    with pytest.raises(SystemExit):
+        resolve_model_args(ckpt, "m", None)
+    with pytest.raises(SystemExit):
+        resolve_model_args(ckpt, None, 5)

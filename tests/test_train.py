@@ -206,3 +206,55 @@ def test_remat_train_step_matches_plain():
     np.testing.assert_allclose(
         np.asarray(outs[False][1]), np.asarray(outs[True][1]), rtol=1e-5, atol=1e-7
     )
+
+
+def test_loss_gain_scaling_matches_ultralytics():
+    """Round-4c: ultralytics rescales its hyp gains at train setup
+    (box*3/nl, cls*nc/80*3/nl, obj*(img/640)^2*3/nl); yolo_loss applies
+    that scaling internally. Property pinned here: with zero labels and
+    constant logits the obj term scales exactly with (img/640)^2 — the
+    per-level mean BCE is resolution-invariant, so doubling the input
+    size must exactly 4x lobj."""
+    model, _ = yolov5_init("n", num_classes=2, seed=0)
+    vals = {}
+    for img in (64, 128):
+        feats = [jnp.zeros((1, img // s, img // s, 3 * 7), jnp.float32)
+                 for s in (8, 16, 32)]
+        labels = jnp.zeros((1, 1, 5), jnp.float32)
+        mask = jnp.zeros((1, 1), bool)
+        _, m = yolo_loss(feats, labels, mask, model.anchor_table, 2)
+        vals[img] = float(m["obj"])
+    assert vals[128] / vals[64] == pytest.approx(4.0, rel=1e-5)
+
+
+def test_dataset_cache_budget_bounds_memory(tmp_path):
+    """cache_gb bounds the decoded-image caches: with a zero budget
+    nothing is stored (every sample recomputed), with a generous budget
+    the caches fill — identical batches either way."""
+    import os
+
+    from PIL import Image
+
+    from aquaculture_tpu.config import TrainConfig
+    from aquaculture_tpu.train.dataset import DetectionDataset
+
+    img_dir = tmp_path / "images"; lab_dir = tmp_path / "labels"
+    os.makedirs(img_dir); os.makedirs(lab_dir)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        a = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(a).save(img_dir / f"im{i}.jpeg")
+        (lab_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+
+    batches = {}
+    for gb in (0.0, 4.0):
+        cfg = TrainConfig(img_size=64, batch_size=2, cache_gb=gb)
+        ds = DetectionDataset(str(img_dir), str(lab_dir), cfg,
+                              augment=True, seed=7)
+        batches[gb] = next(iter(ds.epoch(0)))
+        if gb == 0.0:
+            assert not ds._cache and not ds._resized_cache
+        else:
+            assert ds._cache_bytes > 0
+    np.testing.assert_array_equal(batches[0.0]["images"], batches[4.0]["images"])
+    np.testing.assert_array_equal(batches[0.0]["labels"], batches[4.0]["labels"])
