@@ -12,7 +12,7 @@ sorted x-intervals, then the exact ``intersects`` predicate on candidates.
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, List
 
 import numpy as np
 import pandas as pd
@@ -50,7 +50,9 @@ class GeoFrame(pd.DataFrame):
 
     @property
     def centroid(self) -> pd.Series:
-        return self["geometry"].apply(lambda g: g.centroid)
+        # None-guarded like area/bounds/buffer: partially-populated frames
+        # are anticipated throughout
+        return self["geometry"].apply(lambda g: g.centroid if g is not None else None)
 
     @property
     def bounds(self) -> pd.DataFrame:
@@ -264,18 +266,20 @@ class GeoFrame(pd.DataFrame):
     def _overlay_difference(self, other: "GeoFrame") -> "GeoFrame":
         """Rows of self with geometry minus every bbox-overlapping other
         geometry; empty results dropped (gpd overlay 'difference')."""
-        ob = other.bounds_array()
         og = list(other["geometry"])
-        sb = self.bounds_array()
+        # vectorized bounds prefilter (shared with sjoin) instead of the
+        # former O(N*M) Python bbox loop — near-linear at corpus scale
+        li, ri = _candidate_pairs(self.bounds_array(), other.bounds_array())
+        by_left: dict = {}
+        for i, j in zip(li, ri):
+            by_left.setdefault(int(i), []).append(int(j))
         rows, geoms = [], []
         for i, g in enumerate(self["geometry"]):
             if g is None or g.is_empty:
                 continue
             res = g
-            for j in range(len(og)):
+            for j in by_left.get(i, ()):
                 if og[j] is None or og[j].is_empty:
-                    continue
-                if sb[i, 0] > ob[j, 2] or sb[i, 2] < ob[j, 0] or sb[i, 1] > ob[j, 3] or sb[i, 3] < ob[j, 1]:
                     continue
                 res = _poly.difference(res, og[j])
                 if res.is_empty:
@@ -330,6 +334,13 @@ def _within(a: _poly.Geometry, b: _poly.Geometry) -> bool:
     and re-enters between consecutive vertices of a — the difference test
     catches that case exactly.
     """
+    if isinstance(b, (_poly.Point, _poly.LineString, _poly.MultiLineString)):
+        # Containers without interior: only an identical point is "within"
+        # a point; nothing else matches (geopandas returns no match here
+        # rather than raising).
+        if isinstance(a, _poly.Point) and isinstance(b, _poly.Point):
+            return a.x == b.x and a.y == b.y
+        return False
     if isinstance(a, _poly.Point):
         return b.contains_point(a.x, a.y)
     polys = a.geoms if isinstance(a, _poly.MultiPolygon) else [a]

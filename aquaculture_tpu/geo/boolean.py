@@ -195,8 +195,17 @@ def _compare_segments(le1: _SweepEvent, le2: _SweepEvent) -> int:
     if le1.is_subject == le2.is_subject:
         if le1.point == le2.point:
             if le1.other.point == le2.other.point:
-                return 0
-            return 1 if le1.contour_id > le2.contour_id else -1
+                # Exactly coincident same-operand segments exist since the
+                # interior-seam subdivision (members abutting along part of
+                # an edge). Distinct objects MUST order strictly — a 0 here
+                # makes the status line insert/remove the WRONG one and the
+                # sweep silently corrupts.
+                if le1.contour_id != le2.contour_id:
+                    return 1 if le1.contour_id > le2.contour_id else -1
+                return 1 if le1.sid > le2.sid else -1
+            if le1.contour_id != le2.contour_id:
+                return 1 if le1.contour_id > le2.contour_id else -1
+            return 1 if _compare_events(le1, le2) == 1 else -1
     else:
         return -1 if le1.is_subject else 1
     return 1 if _compare_events(le1, le2) == 1 else -1
@@ -278,8 +287,15 @@ def _possible_intersection(se1: _SweepEvent, se2: _SweepEvent, queue: list) -> i
         return 0
     if n == 1 and (se1.point == se2.point or se1.other.point == se2.other.point):
         return 0  # segments share an endpoint only
-    if n == 2 and se1.is_subject == se2.is_subject:
-        return 0  # self-overlap inside one operand: not supported, ignore
+    same_operand = se1.is_subject == se2.is_subject
+    # n == 2 with same_operand is NOT ignorable: a MultiPolygon whose
+    # members abut along part of an edge (exactly what region.to_geometry
+    # used to emit for staircase dissolves) puts two collinear overlapping
+    # edges in ONE operand. Skipping them leaves the overlap unsubdivided,
+    # so parity flips at misaligned points and union/difference silently
+    # corrupt (the round-4c partial-abutment bug). The overlap machinery
+    # below subdivides them like cross-operand overlaps; the left-coincide
+    # branch then marks the coincident portion as an interior seam.
     if n == 1:
         # Snap the computed crossing to the integer lattice the operands
         # live on (see boolean_op): the rounded point stays strictly inside
@@ -301,7 +317,8 @@ def _possible_intersection(se1: _SweepEvent, se2: _SweepEvent, queue: list) -> i
             _divide_segment(se2, p, queue)
         return 1
 
-    # The segments overlap (collinear, opposite operands)
+    # The segments overlap (collinear; opposite operands, or an interior
+    # seam between members of one operand)
     events: List[_SweepEvent] = []
     left_coincide = se1.point == se2.point
     right_coincide = se1.other.point == se2.other.point
@@ -319,7 +336,21 @@ def _possible_intersection(se1: _SweepEvent, se2: _SweepEvent, queue: list) -> i
     if left_coincide:
         # Equal segments or shared left endpoint
         se2.type = _NON_CONTRIBUTING
-        se1.type = _SAME_TRANSITION if se2.in_out == se1.in_out else _DIFFERENT_TRANSITION
+        if same_operand:
+            # Interior seam of one operand (members abutting edge-to-edge):
+            # a VALID MultiPolygon's members have disjoint interiors, so
+            # coincident same-operand edges always bound opposite sides —
+            # the operand's interior is continuous across them and the
+            # coincident portion is a boundary of NOTHING. Drop both from
+            # every result. Parity stays correct because _compute_fields
+            # still counts both edges (two flips = net zero across the
+            # seam). Do NOT consult in_out here: unlike the cross-operand
+            # case, se2's own-operand parity is stale at marking time (se1
+            # was just inserted into the same chain). Self-overlapping
+            # (invalid) operands degrade to even-odd annihilation.
+            se1.type = _NON_CONTRIBUTING
+        else:
+            se1.type = _SAME_TRANSITION if se2.in_out == se1.in_out else _DIFFERENT_TRANSITION
         if not right_coincide:
             _divide_segment(events[1].other, events[0].point, queue)
         return 2
@@ -719,13 +750,55 @@ def _contours_to_geometry(contours: List[_Contour]) -> _poly.Geometry:
     return _poly.MultiPolygon(polys)
 
 
-def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str) -> _poly.Geometry:
+def _normalize_operand(g: _poly.Geometry) -> _poly.Geometry:
+    """Dissolve a MultiPolygon whose members touch into a valid operand.
+
+    The sweep assumes each operand's members have disjoint boundaries
+    except at finitely many points (OGC validity). Members abutting along
+    part of an edge — what region.to_geometry emits for staircase
+    dissolves — put collinear overlapping edges into ONE operand; the
+    sweep's same-operand seam handling covers horizontal seams exactly,
+    but vertical seams hit a parity weakness inherited from the published
+    algorithm (its same-operand inOut chain has no vertical correction).
+    Folding touching members with pairwise CROSS-operand unions — which
+    handle abutment exactly in every orientation — yields an equivalent
+    valid operand. Screened by bbox touch, so disjoint-member
+    MultiPolygons (the common case) pay one vectorized check."""
+    if not isinstance(g, _poly.MultiPolygon):
+        return g
+    members = list(g.geoms)
+    if len(members) <= 1:
+        return g
+    bb = np.asarray([m.bounds for m in members], np.float64)
+    touch = False
+    for i in range(len(members) - 1):
+        o = bb[i + 1:]
+        hit = ~(
+            (bb[i, 2] < o[:, 0]) | (o[:, 2] < bb[i, 0])
+            | (bb[i, 3] < o[:, 1]) | (o[:, 3] < bb[i, 1])
+        )
+        if hit.any():
+            touch = True
+            break
+    if not touch:
+        return g
+    acc: _poly.Geometry = members[0]
+    for m in members[1:]:
+        acc = boolean_op(acc, m, "union", _normalize=False)
+    return acc
+
+
+def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str,
+               _normalize: bool = True) -> _poly.Geometry:
     """intersection / union / difference / xor of two polygonal geometries.
 
     Operands may be Polygon or MultiPolygon, with holes, non-convex.
     Result hole nesting is reconstructed from sweep depth.
     """
     operation = _OPS[op]
+    if _normalize:
+        subject = _normalize_operand(subject)
+        clipping = _normalize_operand(clipping)
     for g, name in ((subject, "subject"), (clipping, "clipping")):
         if not g.is_empty and not isinstance(g, (_poly.Polygon, _poly.MultiPolygon)):
             # Silently treating a Point/LineString operand as empty would

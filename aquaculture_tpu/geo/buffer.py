@@ -65,9 +65,10 @@ def _ring_capsules(ring: np.ndarray, r: float, n: int) -> List["_poly.Polygon"]:
 def buffer(geom: "_poly.Geometry", distance: float, quad_segs: int = 8) -> "_poly.Geometry":
     """Dilate (distance > 0) or erode (distance < 0) a geometry.
 
-    Supports Point (dilation -> disc), Polygon and MultiPolygon (with
-    holes). distance == 0 returns the geometry unchanged (the reference's
-    buffer(0) validity idiom, utils_tonnage.py:1017).
+    Supports Point (dilation -> disc), LineString/MultiLineString
+    (dilation -> capsule band; erosion -> empty), Polygon and MultiPolygon
+    (with holes). distance == 0 returns the geometry unchanged (the
+    reference's buffer(0) validity idiom, utils_tonnage.py:1017).
     """
     from aquaculture_tpu.geo.boolean import boolean_op, unary_union_tree
 
@@ -80,6 +81,24 @@ def buffer(geom: "_poly.Geometry", distance: float, quad_segs: int = 8) -> "_pol
         if distance < 0:
             return _poly.EMPTY
         return _disc(geom.x, geom.y, r, n)
+
+    if isinstance(geom, (_poly.LineString, _poly.MultiLineString)):
+        # Polyline dilation = union of per-segment capsules — the
+        # reference's shoreline buffering use-case
+        # (download_french_data.py:216-227 buffers GSHHG coastline
+        # POLYLINE linework into the coastal search band). A line has no
+        # interior, so erosion is empty.
+        if distance < 0:
+            return _poly.EMPTY
+        lines = geom.geoms if isinstance(geom, _poly.MultiLineString) else [geom]
+        pieces = []
+        for ln in lines:
+            c = ln.coords
+            for i in range(len(c) - 1):
+                pieces.append(_capsule(c[i], c[i + 1], r, n))
+        if not pieces:
+            return _poly.EMPTY
+        return unary_union_tree(pieces)
 
     polys = geom.geoms if isinstance(geom, _poly.MultiPolygon) else [geom]
     pieces: List["_poly.Polygon"] = []

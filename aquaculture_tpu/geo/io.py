@@ -216,7 +216,10 @@ def _json_safe(v):
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
-        return float(v)
+        # box to float BEFORE the NaN check below, or a numpy NaN sails
+        # through as float('nan') and json.dump emits a bare NaN token
+        # (invalid strict JSON)
+        v = float(v)
     if isinstance(v, np.ndarray):
         return v.tolist()
     if isinstance(v, (np.bool_,)):

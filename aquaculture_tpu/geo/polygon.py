@@ -662,8 +662,12 @@ def _raster_boolean_area(a: Geometry, b: Geometry, op: str, n: int = 0) -> float
         m = ma & mb
     elif op == "difference":
         m = ma & ~mb
-    else:
+    elif op == "xor":
+        m = ma ^ mb
+    elif op == "union":
         m = ma | mb
+    else:
+        raise ValueError(f"unknown op {op!r}")
     cell = ((maxx - minx) / n) * ((maxy - miny) / n)
     return float(m.sum()) * cell
 

@@ -196,7 +196,15 @@ def shapes(mask: np.ndarray) -> List[Tuple[np.ndarray, int]]:
 
 
 def _label(mask: np.ndarray) -> Tuple[np.ndarray, int]:
-    """8-connected component labeling (two-pass union-find)."""
+    """4-connected component labeling (two-pass union-find).
+
+    4-connectivity (not 8) for TWO reasons: it matches
+    rasterio.features.shapes' default, the exact function the reference
+    calls (utils.py:513), AND it guarantees every component's boundary is
+    a single ring — an 8-connected component joined only at a pixel
+    corner has a pinched boundary that _trace_boundary splits into
+    multiple rings, and shapes() keeping the longest silently dropped the
+    far lobe (round-4c finding)."""
     h, w = mask.shape
     labels = np.zeros((h, w), dtype=np.int32)
     parent = [0]
@@ -218,11 +226,8 @@ def _label(mask: np.ndarray) -> Tuple[np.ndarray, int]:
             if not mask[j, i]:
                 continue
             neigh = []
-            if j > 0:
-                for di in (-1, 0, 1):
-                    ii = i + di
-                    if 0 <= ii < w and labels[j - 1, ii]:
-                        neigh.append(labels[j - 1, ii])
+            if j > 0 and labels[j - 1, i]:
+                neigh.append(labels[j - 1, i])
             if i > 0 and labels[j, i - 1]:
                 neigh.append(labels[j, i - 1])
             if neigh:

@@ -166,7 +166,12 @@ def write_shapefile(path: str, frame: "gf.GeoFrame") -> None:
     """Write polygon/point geometries + attributes to .shp/.shx/.dbf."""
     base = path[:-4] if path.lower().endswith(".shp") else path
     geoms = list(frame["geometry"])
-    is_point = all(isinstance(g, _poly.Point) for g in geoms)
+
+    def _is_null(g) -> bool:
+        return g is None or getattr(g, "is_empty", False)
+
+    real = [g for g in geoms if not _is_null(g)]
+    is_point = bool(real) and all(isinstance(g, _poly.Point) for g in real)
     stype = SHAPE_POINT if is_point else SHAPE_POLYGON
 
     shp_records = []
@@ -175,6 +180,15 @@ def write_shapefile(path: str, frame: "gf.GeoFrame") -> None:
     minx = miny = np.inf
     maxx = maxy = -np.inf
     for i, g in enumerate(geoms):
+        if _is_null(g):
+            # spec null shape (read_shapefile emits Empty for these; a
+            # read->write round-trip must not crash on them)
+            content = struct.pack("<I", SHAPE_NULL)
+            length = len(content) // 2
+            shp_records.append(struct.pack(">II", i + 1, length) + content)
+            shx_records.append(struct.pack(">II", offset, length))
+            offset += 4 + length
+            continue
         if is_point:
             content = struct.pack("<Idd", SHAPE_POINT, g.x, g.y)
             bx = (g.x, g.y, g.x, g.y)
@@ -194,8 +208,10 @@ def write_shapefile(path: str, frame: "gf.GeoFrame") -> None:
         shx_records.append(struct.pack(">II", offset, length))
         offset += 4 + length
 
+    if not np.isfinite([minx, miny, maxx, maxy]).all():
+        minx = miny = maxx = maxy = 0.0  # all-null file: spec allows zeros
+
     def header(file_len_words: int) -> bytes:
-        h = struct.pack(">I5xI14x", 9994, file_len_words)  # placeholder pad
         h = struct.pack(">I", 9994) + b"\x00" * 20 + struct.pack(">I", file_len_words)
         h += struct.pack("<II", 1000, stype)
         h += struct.pack("<4d", minx, miny, maxx, maxy)

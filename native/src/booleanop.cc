@@ -131,8 +131,17 @@ int compare_segments(const SweepEvent* le1, const SweepEvent* le2) {
   // Collinear
   if (le1->is_subject == le2->is_subject) {
     if (le1->point == le2->point) {
-      if (le1->other->point == le2->other->point) return 0;
-      return le1->contour_id > le2->contour_id ? 1 : -1;
+      if (le1->other->point == le2->other->point) {
+        // Coincident same-operand seam pieces (interior-seam subdivision)
+        // MUST order strictly: a 0 for distinct objects corrupts the
+        // status line (behavioral parity with boolean.py).
+        if (le1->contour_id != le2->contour_id)
+          return le1->contour_id > le2->contour_id ? 1 : -1;
+        return le1->sid > le2->sid ? 1 : -1;
+      }
+      if (le1->contour_id != le2->contour_id)
+        return le1->contour_id > le2->contour_id ? 1 : -1;
+      return compare_events(le1, le2) == 1 ? 1 : -1;
     }
   } else {
     return le1->is_subject ? -1 : 1;
@@ -223,7 +232,11 @@ struct Engine {
     if (n == 0) return 0;
     if (n == 1 && (se1->point == se2->point || se1->other->point == se2->other->point))
       return 0;  // shared endpoint only
-    if (n == 2 && se1->is_subject == se2->is_subject) return 0;  // self-overlap
+    // n == 2 with a same-operand pair is NOT ignorable (behavioral parity
+    // with boolean.py): members of one MultiPolygon abutting along part of
+    // an edge must be subdivided like cross-operand overlaps, then the
+    // coincident portion is an interior seam (boundary of nothing).
+    const bool same_operand = se1->is_subject == se2->is_subject;
     if (n == 1) {
       // Banker's rounding == numpy round (FE_TONEAREST default).
       Pt p{std::nearbyint(inter[0].x), std::nearbyint(inter[0].y)};
@@ -266,7 +279,15 @@ struct Engine {
     }
     if (left_coincide) {
       se2->type = NON_CONTRIBUTING;
-      se1->type = (se2->in_out == se1->in_out) ? SAME_TRANSITION : DIFFERENT_TRANSITION;
+      if (same_operand) {
+        // Interior seam: drop both coincident edges from every result
+        // (parity still counts both — net zero across the seam). in_out is
+        // NOT consulted: same-operand parity is stale at marking time
+        // (behavioral parity with boolean.py).
+        se1->type = NON_CONTRIBUTING;
+      } else {
+        se1->type = (se2->in_out == se1->in_out) ? SAME_TRANSITION : DIFFERENT_TRANSITION;
+      }
       if (!right_coincide) divide_segment(events[1]->other, events[0]->point, queue);
       return 2;
     }

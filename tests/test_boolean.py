@@ -505,3 +505,48 @@ def test_event_comparator_is_total_order():
         ca = _compare_events(events[c], events[a])
         assert not (ab < 0 and bc < 0 and ca < 0), (a, b, c)
         assert not (ab > 0 and bc > 0 and ca > 0), (a, b, c)
+
+
+def test_partial_edge_abutment_multipolygon_operand():
+    """Round-4c regression: a MultiPolygon whose members abut along PART of
+    an edge (exactly what unary_union of staircase rectangles emits) used
+    to corrupt union/difference/xor — the sweep ignored same-operand
+    collinear overlaps (unsubdivided parity misalignment), and once
+    subdivided, the segment comparator returned 0 for the distinct
+    coincident seam pieces. Exact expected areas, both engines."""
+    mp = P.unary_union([P.box(0, 0, 2, 1), P.box(0.5, 1, 1.5, 2)])
+    assert mp.area == pytest.approx(3.0)
+    tri = P.Polygon([(0.2, 0.5), (1.8, 0.5), (1.0, 1.8)])  # inside mp
+    cbox = P.box(0.8, 0.5, 1.2, 1.5)  # crosses the seam span, inside mp
+    cases = [
+        (tri, {"union": 3.0, "difference": 1.96, "intersection": 1.04, "xor": 1.96}),
+        (cbox, {"union": 3.0, "difference": 2.6, "intersection": 0.4, "xor": 2.6}),
+    ]
+    for clip, wants in cases:
+        for op, want in wants.items():
+            got = boolean_op(mp, clip, op).area
+            assert got == pytest.approx(want, abs=1e-6), (op, got, want)
+
+
+def test_fuzz_staircase_dissolve_operands():
+    """Fuzz the seam fix: random rectilinear dissolves (members abutting
+    along partial edges) against random stars, area checked against the
+    raster oracle for every op, on whichever engine boolean_op routes to."""
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        boxes = []
+        x = 0.0
+        for _ in range(4):
+            w = float(rng.uniform(0.8, 2.0))
+            h = float(rng.uniform(0.8, 2.0))
+            y = float(rng.uniform(-0.5, 0.5))
+            boxes.append(P.box(x, y, x + w, y + h))
+            # next box starts inside the previous one's x-span half the
+            # time (overlap) or exactly at its edge (abutment)
+            x += w if rng.random() < 0.5 else w * float(rng.uniform(0.5, 1.0))
+        mp = P.unary_union(boxes)
+        clip = _rand_star(rng)
+        for op in ("union", "difference", "intersection", "xor"):
+            g = boolean_op(mp, clip, op)
+            r = _raster_boolean_area(mp, clip, op, n=1024)
+            assert g.area == pytest.approx(r, rel=2e-2, abs=2e-2), (trial, op)

@@ -380,3 +380,91 @@ def test_boolean_op_rejects_non_polygonal_operands():
             boolean_op(bx, pt, op)
     # Empty stays a legal operand
     assert boolean_op(P.EMPTY, bx, "union").area == 1.0
+
+
+# ---------------------------------------------------------------- round-4c
+
+
+def test_shapefile_null_shape_roundtrip(tmp_path):
+    """read->write round-trip of a frame containing Empty/None geometries
+    writes spec SHAPE_NULL records instead of crashing (read_shapefile
+    itself emits Empty for null shapes)."""
+    from aquaculture_tpu import frame as gf
+    from aquaculture_tpu.geo.shapefile import read_shapefile, write_shapefile
+
+    f = gf.GeoFrame(
+        {"name": ["a", "b", "c"]},
+        geometry=[P.box(0, 0, 1, 1), P.EMPTY, None],
+    )
+    f.crs = 4326
+    base = str(tmp_path / "nulls")
+    write_shapefile(base, f)
+    back = read_shapefile(base + ".shp")
+    assert len(back) == 3
+    assert back["geometry"].iloc[0].area == pytest.approx(1.0)
+    assert back["geometry"].iloc[1].is_empty
+    assert back["geometry"].iloc[2].is_empty
+
+
+def test_buffer_linestring_capsule_band():
+    """Polyline dilation (the reference's shoreline buffer use-case) yields
+    a capsule band; erosion of a line is empty."""
+    from aquaculture_tpu.geo.buffer import buffer
+
+    line = P.LineString([(0, 0), (10, 0)])
+    band = buffer(line, 1.0)
+    # capsule area = 2*r*len + pi*r^2
+    assert band.area == pytest.approx(20 + np.pi, rel=5e-2)
+    assert buffer(line, -1.0).is_empty
+    ml = P.MultiLineString([[(0, 0), (10, 0)], [(0, 5), (10, 5)]])
+    band2 = buffer(ml, 1.0)
+    assert band2.area == pytest.approx(2 * (20 + np.pi), rel=5e-2)
+
+
+def test_sjoin_within_point_right_frame():
+    """predicate='within' against Point right-frame geometries matches
+    only identical points instead of raising."""
+    from aquaculture_tpu import frame as gf
+
+    left = gf.GeoFrame({"i": [0, 1]}, geometry=[P.Point(1, 1), P.Point(2, 2)])
+    left.crs = 3857
+    right = gf.GeoFrame({"j": [0]}, geometry=[P.Point(1, 1)])
+    right.crs = 3857
+    out = left.sjoin(right, how="inner", predicate="within")
+    assert list(out["i"]) == [0]
+
+
+def test_centroid_none_geometry_guarded():
+    from aquaculture_tpu import frame as gf
+
+    f = gf.GeoFrame({"i": [0, 1]}, geometry=[P.box(0, 0, 2, 2), None])
+    f.crs = 3857
+    c = f.centroid
+    assert c.iloc[0].x == pytest.approx(1.0)
+    assert c.iloc[1] is None
+
+
+def test_label_is_4_connected_like_rasterio():
+    """Diagonal (corner-touching) pixels are SEPARATE shapes — matching
+    rasterio.features.shapes' 4-connectivity (reference utils.py:513) and
+    guaranteeing single-ring boundaries (the pinched-boundary lobe-drop)."""
+    from aquaculture_tpu.geo.rasterize import largest_region_polygon, shapes
+
+    mask = np.zeros((4, 4), bool)
+    mask[0, 0] = mask[1, 1] = True
+    got = shapes(mask)
+    assert len(got) == 2
+    assert largest_region_polygon(mask).area == pytest.approx(1.0)
+
+
+def test_write_feature_collection_numpy_nan_is_null(tmp_path):
+    import json
+
+    from aquaculture_tpu.geo.io import write_feature_collection
+
+    path = str(tmp_path / "x.geojson")
+    write_feature_collection(
+        path, [{"v": np.float64("nan")}], [P.box(0, 0, 1, 1)], crs=4326
+    )
+    data = json.load(open(path))  # strict parser: bare NaN would raise
+    assert data["features"][0]["properties"]["v"] is None
