@@ -213,12 +213,28 @@ def _compare_segments(le1: _SweepEvent, le2: _SweepEvent) -> int:
 
 def _segment_intersection(a1, a2, b1, b2) -> List[Tuple[float, float]]:
     """0, 1 or 2 intersection points of segments [a1,a2] and [b1,b2];
-    endpoints snap exactly to the input tuples."""
+    endpoints snap exactly to the input tuples.
+
+    Collinearity is decided with the SAME lattice-noise band as the
+    comparator (_sa_snap), not exact cross products: rounding the
+    endpoints of exactly-collinear DIAGONAL segments bends them ~1 unit,
+    and an exact parallelism test then routes them to the crossing branch,
+    whose position error is amplified 1/sin(theta) — unbounded for these
+    near-parallel pairs (round-4c fuzz finding: two triangles with
+    partially overlapping diagonal edges returned UNION = EMPTY). The band
+    test uses the longer segment's line (a short split piece's own line
+    direction is rounding noise)."""
     va = (a2[0] - a1[0], a2[1] - a1[1])
     vb = (b2[0] - b1[0], b2[1] - b1[1])
     e = (b1[0] - a1[0], b1[1] - a1[1])
     kross = va[0] * vb[1] - va[1] * vb[0]
-    if kross != 0.0:
+    if abs(va[0]) + abs(va[1]) >= abs(vb[0]) + abs(vb[1]):
+        collinear = _sa_snap(a1, a2, b1) == 0.0 and _sa_snap(a1, a2, b2) == 0.0
+    else:
+        collinear = _sa_snap(b1, b2, a1) == 0.0 and _sa_snap(b1, b2, a2) == 0.0
+    if not collinear:
+        if kross == 0.0:
+            return []  # parallel, outside the collinearity band
         s = (e[0] * vb[1] - e[1] * vb[0]) / kross
         if s < 0.0 or s > 1.0:
             return []
@@ -234,10 +250,7 @@ def _segment_intersection(a1, a2, b1, b2) -> List[Tuple[float, float]]:
         if t == 1.0:
             return [b2]
         return [(a1[0] + s * va[0], a1[1] + s * va[1])]
-    # Parallel: collinear?
-    if e[0] * va[1] - e[1] * va[0] != 0.0:
-        return []
-    # Collinear: overlap interval in a's parameterization
+    # Collinear (within band): overlap interval in a's parameterization
     len2 = va[0] * va[0] + va[1] * va[1]
     if len2 == 0.0:
         return []
@@ -302,15 +315,49 @@ def _possible_intersection(se1: _SweepEvent, se2: _SweepEvent, queue: list) -> i
         # each segment's bbox, and a crossing that rounds onto an endpoint
         # becomes a vertex-on-edge touch handled by the != checks below.
         p = (round(inter[0][0]), round(inter[0][1]))
-        # A crossing within lattice noise of an existing endpoint IS that
-        # endpoint (the true crossing passes through the vertex; rounded
-        # split points shift the computed position by ~1 unit). Snapping
-        # keeps point identity exact for the contour-connect phase.
         if se1.point != p and se1.other.point != p and se2.point != p and se2.other.point != p:
-            for q in (se1.point, se1.other.point, se2.point, se2.other.point):
-                if abs(p[0] - q[0]) <= 2.0 and abs(p[1] - q[1]) <= 2.0:
-                    p = q
-                    break
+            # Vertex-on-edge: an endpoint of one segment lying within 2
+            # PERPENDICULAR lattice units of the other segment (inside its
+            # span) IS the crossing. Endpoint rounding displaces the
+            # computed line-line crossing by O(1/sin theta) units — the
+            # round-4c semantic-fuzz finding was a triangle vertex exactly
+            # on the clipping edge whose crossing landed 3 units away, so
+            # the walk dead-ended on the identity mismatch and UNION
+            # returned EMPTY. A Chebyshev window on p cannot fix this
+            # (any window wide enough also bridges sub-lattice slivers,
+            # e.g. the 2.85-unit ring sliver regression); the perp test is
+            # scale-free and leaves genuine nearby crossings alone.
+            best = None
+            best_d = 2.0  # max perpendicular distance, lattice units
+            for q, r0, r1 in (
+                (se1.point, se2.point, se2.other.point),
+                (se1.other.point, se2.point, se2.other.point),
+                (se2.point, se1.point, se1.other.point),
+                (se2.other.point, se1.point, se1.other.point),
+            ):
+                dx, dy = r1[0] - r0[0], r1[1] - r0[1]
+                len2 = dx * dx + dy * dy
+                if len2 == 0.0:
+                    continue
+                sa = (r0[0] - q[0]) * (r1[1] - q[1]) - (r1[0] - q[0]) * (r0[1] - q[1])
+                d = abs(sa) / (len2 ** 0.5)
+                if d > best_d:
+                    continue
+                t = (q[0] - r0[0]) * dx + (q[1] - r0[1]) * dy
+                slack = 2.0 * len2 ** 0.5
+                if -slack <= t <= len2 + slack:
+                    best, best_d = q, d
+            if best is not None:
+                p = best
+            else:
+                # A crossing within lattice noise of an existing endpoint
+                # IS that endpoint (rounded split points shift the
+                # computed position by ~1 unit). Snapping keeps point
+                # identity exact for the contour-connect phase.
+                for q in (se1.point, se1.other.point, se2.point, se2.other.point):
+                    if abs(p[0] - q[0]) <= 2.0 and abs(p[1] - q[1]) <= 2.0:
+                        p = q
+                        break
         if se1.point != p and se1.other.point != p:
             _divide_segment(se1, p, queue)
         if se2.point != p and se2.other.point != p:
@@ -388,6 +435,23 @@ def _in_result(event: _SweepEvent, operation: int) -> bool:
 
 
 def _result_transition(event: _SweepEvent, operation: int) -> int:
+    t = event.type
+    if t == _SAME_TRANSITION:
+        # Coincident cross-operand edges, interiors on the SAME side (in
+        # result for INTERSECTION/UNION): the result region lies on the
+        # shared interior side — own-operand parity alone decides. The
+        # generic formula below reads other_in_out, which is stale on
+        # seams, and mis-signed the transition: a hole whose surrounding
+        # face starts on such a seam was emitted as a standalone positive
+        # face (round-4c fuzz finding, B\A on donuts sharing edges).
+        return 1 if not event.in_out else -1
+    if t == _DIFFERENT_TRANSITION:
+        # Interiors on OPPOSITE sides (in result for DIFFERENCE): the
+        # result is on the subject-interior (= not clipping-interior)
+        # side.
+        if event.is_subject:
+            return 1 if not event.in_out else -1
+        return 1 if event.in_out else -1
     this_in = not event.in_out
     that_in = not event.other_in_out
     if operation == INTERSECTION:
@@ -472,6 +536,28 @@ class _StatusLine:
         del self.items[i]
 
 
+def _parity_prev(status: _StatusLine, pos: int) -> Optional[_SweepEvent]:
+    """The event that seeds position ``pos``'s parity fields: the first
+    NON-VERTICAL edge below it in the status line.
+
+    Parity fields (in_out / other_in_out) describe the cross-section just
+    RIGHT of the sweep line. A vertical edge lives in the status only
+    while the sweep sits at its own x, and an upward ray at x+eps never
+    crosses it — so verticals must be TRANSPARENT when chaining fields.
+    The published algorithm's one-step is_vertical corrections in
+    _compute_fields approximate this for a single vertical prev, but
+    mis-sign an edge starting ON a vertical edge when the chain crosses
+    operands (round-4c semantic-fuzz finding: union of a box with a star
+    whose edge passed through the box corner and whose vertex lay on the
+    box's vertical right edge dropped the star's outside lobe entirely).
+    Verticals stay in the status for intersection tests — only the field
+    chain skips them."""
+    i = pos - 1
+    while i >= 0 and status.items[i].is_vertical():
+        i -= 1
+    return status.items[i] if i >= 0 else None
+
+
 def _fill_queue(subject_rings, clipping_rings) -> list:
     """Rings must already be on the integer lattice (see boolean_op)."""
     queue: list = []
@@ -484,6 +570,20 @@ def _fill_queue(subject_rings, clipping_rings) -> list:
                 pts = pts[:-1]
             n = len(pts)
             if n < 3:
+                continue
+            # A zero-area ring (collinear points — a degenerate input hole,
+            # or a sliver that snap-collapsed onto one lattice line) bounds
+            # nothing, but its back-and-forth edges desynchronize the
+            # sweep's in_out parity and corrupted difference/xor by the
+            # whole region behind them (round-4c semantic-fuzz finding).
+            # Shoelace in exact (arbitrary-precision) int arithmetic: the
+            # coordinates are integer-valued lattice floats.
+            area2 = 0
+            for i in range(n):
+                x1, y1 = pts[i]
+                x2, y2 = pts[(i + 1) % n]
+                area2 += int(x1) * int(y2) - int(x2) * int(y1)
+            if area2 == 0:
                 continue
             for i in range(n):
                 p1 = pts[i]
@@ -517,18 +617,15 @@ def _subdivide(queue: list, operation: int, s_maxx: float, minmaxx: float) -> Li
             pos = status.insert(event)
             prev = status.items[pos - 1] if pos > 0 else None
             nxt = status.items[pos + 1] if pos + 1 < len(status.items) else None
-            _compute_fields(event, prev, operation)
+            _compute_fields(event, _parity_prev(status, pos), operation)
             if nxt is not None:
                 if _possible_intersection(event, nxt, queue) == 2:
-                    _compute_fields(event, prev, operation)
+                    _compute_fields(event, _parity_prev(status, pos), operation)
                     _compute_fields(nxt, event, operation)
             if prev is not None:
                 if _possible_intersection(prev, event, queue) == 2:
-                    prev_prev = None
                     i = status.index(prev)
-                    if i > 0:
-                        prev_prev = status.items[i - 1]
-                    _compute_fields(prev, prev_prev, operation)
+                    _compute_fields(prev, _parity_prev(status, i), operation)
                     _compute_fields(event, prev, operation)
         else:
             le = event.other
@@ -750,8 +847,8 @@ def _contours_to_geometry(contours: List[_Contour]) -> _poly.Geometry:
     return _poly.MultiPolygon(polys)
 
 
-def _normalize_operand(g: _poly.Geometry) -> _poly.Geometry:
-    """Dissolve a MultiPolygon whose members touch into a valid operand.
+def _members_touch(g: _poly.Geometry) -> bool:
+    """Bbox screen: do any two members of a MultiPolygon touch/overlap?
 
     The sweep assumes each operand's members have disjoint boundaries
     except at finitely many points (OGC validity). Members abutting along
@@ -760,17 +857,20 @@ def _normalize_operand(g: _poly.Geometry) -> _poly.Geometry:
     sweep's same-operand seam handling covers horizontal seams exactly,
     but vertical seams hit a parity weakness inherited from the published
     algorithm (its same-operand inOut chain has no vertical correction).
-    Folding touching members with pairwise CROSS-operand unions — which
-    handle abutment exactly in every orientation — yields an equivalent
-    valid operand. Screened by bbox touch, so disjoint-member
+    Such operands are dissolved with pairwise CROSS-operand unions — ON
+    THE JOINT LATTICE of the outer op (_lattice_dissolve): dissolving in
+    original coordinates and re-snapping double-quantizes, and a value
+    near a half-quantum flips its rounding, so a previously exact
+    cross-operand collinear overlap lands one lattice row apart and the
+    comparator/point-identity machinery corrupts union/difference/xor
+    (the round-4c corner-touch fuzz finding). Disjoint-member
     MultiPolygons (the common case) pay one vectorized check."""
     if not isinstance(g, _poly.MultiPolygon):
-        return g
-    members = list(g.geoms)
+        return False
+    members = g.geoms
     if len(members) <= 1:
-        return g
+        return False
     bb = np.asarray([m.bounds for m in members], np.float64)
-    touch = False
     for i in range(len(members) - 1):
         o = bb[i + 1:]
         hit = ~(
@@ -778,13 +878,56 @@ def _normalize_operand(g: _poly.Geometry) -> _poly.Geometry:
             | (bb[i, 3] < o[:, 1]) | (o[:, 3] < bb[i, 1])
         )
         if hit.any():
-            touch = True
-            break
-    if not touch:
-        return g
-    acc: _poly.Geometry = members[0]
-    for m in members[1:]:
-        acc = boolean_op(acc, m, "union", _normalize=False)
+            return True
+    return False
+
+
+def _lattice_sweep(subj_rings, clip_rings, operation, s_maxx, minmaxx):
+    """Run one sweep on lattice-integral rings, native engine if built.
+
+    Returns the contour list (points stay ON the lattice — crossing
+    splits round back onto it), so the output can feed another sweep on
+    the same lattice with exact point identity."""
+    from aquaculture_tpu.geo import native_boolean
+
+    native = native_boolean.sweep_native(
+        subj_rings, clip_rings, operation, s_maxx, minmaxx
+    )
+    if native is not None:
+        contours = []
+        for pts, hole_of in native:
+            c = _Contour()
+            c.points = [(float(x), float(y)) for x, y in pts]
+            c.hole_of = hole_of if hole_of >= 0 else None
+            contours.append(c)
+        for cid, c in enumerate(contours):
+            # bounds check is defense-in-depth: the C++ engine guards the
+            # degenerate lower_cid=-1 case itself (booleanop.cc
+            # initialize_contour), but a stray parent id must never crash
+            if c.hole_of is not None and 0 <= c.hole_of < len(contours):
+                contours[c.hole_of].hole_ids.append(cid)
+            else:
+                c.hole_of = None
+        return contours
+    queue = _fill_queue(subj_rings, clip_rings)
+    sorted_events = _subdivide(queue, operation, s_maxx, minmaxx)
+    return _connect_edges(sorted_events)
+
+
+def _lattice_dissolve(member_rings: List[List[np.ndarray]]) -> List[np.ndarray]:
+    """Union a touching-member MultiPolygon's members on the lattice.
+
+    Folds members with pairwise cross-operand unions (exact for abutment
+    in every orientation) entirely in lattice coordinates — no inverse
+    transform, no re-snap, so downstream point identity vs the other
+    operand is preserved. Output rings are fed to the main sweep with
+    even-odd semantics (shells and holes alike)."""
+    acc = member_rings[0]
+    inf = float("inf")
+    for rings in member_rings[1:]:
+        contours = _lattice_sweep(acc, rings, UNION, inf, inf)
+        acc = [np.asarray(c.points, np.float64) for c in contours
+               if len(c.points) >= 3]
     return acc
 
 
@@ -796,9 +939,6 @@ def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str,
     Result hole nesting is reconstructed from sweep depth.
     """
     operation = _OPS[op]
-    if _normalize:
-        subject = _normalize_operand(subject)
-        clipping = _normalize_operand(clipping)
     for g, name in ((subject, "subject"), (clipping, "clipping")):
         if not g.is_empty and not isinstance(g, (_poly.Polygon, _poly.MultiPolygon)):
             # Silently treating a Point/LineString operand as empty would
@@ -852,38 +992,26 @@ def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str,
             [np.round((r[:, 0] - cx) * f), np.round((r[:, 1] - cy) * f)], axis=1
         )
 
-    subj_rings = [_fwd(r) for r in _geometry_rings(subject)]
-    clip_rings = [_fwd(r) for r in _geometry_rings(clipping)]
+    def _operand_rings(g: _poly.Geometry) -> List[np.ndarray]:
+        """Snap an operand's rings to the joint lattice; dissolve a
+        touching-member MultiPolygon there (see _members_touch: dissolving
+        in original coordinates and re-snapping double-quantizes)."""
+        if _normalize and _members_touch(g):
+            member_rings = [
+                [_fwd(r) for r in _geometry_rings(m)] for m in g.geoms
+            ]
+            return _lattice_dissolve(member_rings)
+        return [_fwd(r) for r in _geometry_rings(g)]
+
+    subj_rings = _operand_rings(subject)
+    clip_rings = _operand_rings(clipping)
     s_maxx_t = (sb[2] - cx) * f + 1.0
     minmaxx_t = (min(sb[2], cb[2]) - cx) * f + 1.0
 
     # The sweep itself runs in C++ when libaquatile.so is present (the
     # GEOS-equivalent native component; same algorithm on the same lattice,
     # differential-tested against this module's Python sweep), else here.
-    from aquaculture_tpu.geo import native_boolean
-
-    native = native_boolean.sweep_native(
-        subj_rings, clip_rings, operation, s_maxx_t, minmaxx_t
-    )
-    if native is not None:
-        contours = []
-        for pts, hole_of in native:
-            c = _Contour()
-            c.points = [(float(x), float(y)) for x, y in pts]
-            c.hole_of = hole_of if hole_of >= 0 else None
-            contours.append(c)
-        for cid, c in enumerate(contours):
-            # bounds check is defense-in-depth: the C++ engine guards the
-            # degenerate lower_cid=-1 case itself (booleanop.cc
-            # initialize_contour), but a stray parent id must never crash
-            if c.hole_of is not None and 0 <= c.hole_of < len(contours):
-                contours[c.hole_of].hole_ids.append(cid)
-            else:
-                c.hole_of = None
-    else:
-        queue = _fill_queue(subj_rings, clip_rings)
-        sorted_events = _subdivide(queue, operation, s_maxx_t, minmaxx_t)
-        contours = _connect_edges(sorted_events)
+    contours = _lattice_sweep(subj_rings, clip_rings, operation, s_maxx_t, minmaxx_t)
     inv = 1.0 / f
     for c in contours:
         c.points = [(x * inv + cx, y * inv + cy) for x, y in c.points]

@@ -17,7 +17,7 @@
 //  * _sa_snap tolerance band 3*(|dx|+|dy|)
 //  * crossing points rounded with banker's rounding (nearbyint under the
 //    default FE_TONEAREST mode == numpy/python round)
-//  * endpoint snap window +/-2 lattice units
+//  * endpoint snap: vertex-on-edge perp test (2 units) + +/-2 unit window
 //  * rightmost-turn face tracing at multi-edge vertices (_next_pos)
 
 #include <algorithm>
@@ -150,13 +150,25 @@ int compare_segments(const SweepEvent* le1, const SweepEvent* le2) {
 }
 
 // 0, 1 or 2 intersection points; endpoints snap exactly to the inputs.
+// Collinearity uses the sa_snap lattice-noise band, not exact cross
+// products: rounded endpoints bend exactly-collinear DIAGONAL segments
+// ~1 unit, and an exact test routes them to the crossing branch with
+// 1/sin(theta)-amplified position error (mirrors boolean.py, round-4c
+// fix). The band test uses the longer segment's line.
 int segment_intersection(const Pt& a1, const Pt& a2, const Pt& b1, const Pt& b2,
                          Pt out[2]) {
   const double vax = a2.x - a1.x, vay = a2.y - a1.y;
   const double vbx = b2.x - b1.x, vby = b2.y - b1.y;
   const double ex = b1.x - a1.x, ey = b1.y - a1.y;
   const double kross = vax * vby - vay * vbx;
-  if (kross != 0.0) {
+  bool collinear;
+  if (std::fabs(vax) + std::fabs(vay) >= std::fabs(vbx) + std::fabs(vby)) {
+    collinear = sa_snap(a1, a2, b1) == 0.0 && sa_snap(a1, a2, b2) == 0.0;
+  } else {
+    collinear = sa_snap(b1, b2, a1) == 0.0 && sa_snap(b1, b2, a2) == 0.0;
+  }
+  if (!collinear) {
+    if (kross == 0.0) return 0;  // parallel, outside the collinearity band
     const double s = (ex * vby - ey * vbx) / kross;
     if (s < 0.0 || s > 1.0) return 0;
     const double t = (ex * vay - ey * vax) / kross;
@@ -168,7 +180,6 @@ int segment_intersection(const Pt& a1, const Pt& a2, const Pt& b1, const Pt& b2,
     out[0] = Pt{a1.x + s * vax, a1.y + s * vay};
     return 1;
   }
-  if (ex * vay - ey * vax != 0.0) return 0;  // parallel, not collinear
   const double len2 = vax * vax + vay * vay;
   if (len2 == 0.0) return 0;
   const double s0 = (ex * vax + ey * vay) / len2;
@@ -242,12 +253,47 @@ struct Engine {
       Pt p{std::nearbyint(inter[0].x), std::nearbyint(inter[0].y)};
       if (se1->point != p && se1->other->point != p && se2->point != p &&
           se2->other->point != p) {
-        const Pt* snaps[4] = {&se1->point, &se1->other->point, &se2->point,
-                              &se2->other->point};
-        for (const Pt* q : snaps) {
-          if (std::fabs(p.x - q->x) <= 2.0 && std::fabs(p.y - q->y) <= 2.0) {
-            p = *q;
-            break;
+        // Vertex-on-edge: an endpoint of one segment within 2
+        // PERPENDICULAR lattice units of the other segment (inside its
+        // span) IS the crossing — endpoint rounding displaces the
+        // computed line-line crossing by O(1/sin theta) units. Mirrors
+        // boolean.py _possible_intersection (round-4c fix: a triangle
+        // vertex on the clipping edge dead-ended the contour walk and
+        // union returned EMPTY).
+        struct Cand { const Pt* q; const SweepEvent* a; const SweepEvent* b; };
+        const Cand cands[4] = {{&se1->point, se2, se2->other},
+                               {&se1->other->point, se2, se2->other},
+                               {&se2->point, se1, se1->other},
+                               {&se2->other->point, se1, se1->other}};
+        const Pt* best = nullptr;
+        double best_d = 2.0;
+        for (const Cand& c : cands) {
+          const double dx = c.b->point.x - c.a->point.x;
+          const double dy = c.b->point.y - c.a->point.y;
+          const double len2 = dx * dx + dy * dy;
+          if (len2 == 0.0) continue;
+          const double sa = (c.a->point.x - c.q->x) * (c.b->point.y - c.q->y) -
+                            (c.b->point.x - c.q->x) * (c.a->point.y - c.q->y);
+          const double d = std::fabs(sa) / std::sqrt(len2);
+          if (d > best_d) continue;
+          const double t = (c.q->x - c.a->point.x) * dx +
+                           (c.q->y - c.a->point.y) * dy;
+          const double slack = 2.0 * std::sqrt(len2);
+          if (-slack <= t && t <= len2 + slack) {
+            best = c.q;
+            best_d = d;
+          }
+        }
+        if (best != nullptr) {
+          p = *best;
+        } else {
+          const Pt* snaps[4] = {&se1->point, &se1->other->point, &se2->point,
+                                &se2->other->point};
+          for (const Pt* q : snaps) {
+            if (std::fabs(p.x - q->x) <= 2.0 && std::fabs(p.y - q->y) <= 2.0) {
+              p = *q;
+              break;
+            }
           }
         }
       }
@@ -330,6 +376,17 @@ bool in_result(const SweepEvent* event, int operation) {
 }
 
 int result_transition(const SweepEvent* event, int operation) {
+  // Seam-typed events (coincident cross-operand edges): other_in_out is
+  // stale on seams, so derive the transition from the seam type + own
+  // parity (mirrors boolean.py _result_transition, round-4c fix: a hole
+  // whose surrounding face starts on a seam was emitted as a standalone
+  // positive face).
+  if (event->type == SAME_TRANSITION)
+    return event->in_out ? -1 : 1;  // result on the shared interior side
+  if (event->type == DIFFERENT_TRANSITION) {
+    if (event->is_subject) return event->in_out ? -1 : 1;
+    return event->in_out ? 1 : -1;  // subject side = not clipping side
+  }
   const bool this_in = !event->in_out;
   const bool that_in = !event->other_in_out;
   bool is_in;
@@ -408,6 +465,19 @@ struct StatusLine {
   void remove_at(int i) { items.erase(items.begin() + i); }
 };
 
+// The event seeding position pos's parity fields: the first NON-VERTICAL
+// edge below it. Parity describes the cross-section just right of the
+// sweep line; an upward ray at x+eps never crosses a vertical edge at x,
+// so verticals are transparent for field chaining (mirrors the Python
+// twin's _parity_prev — the one-step is_vertical corrections in
+// compute_fields mis-sign an edge starting ON a vertical edge when the
+// chain crosses operands; round-4c semantic-fuzz finding).
+SweepEvent* parity_prev(const StatusLine& status, int pos) {
+  int i = pos - 1;
+  while (i >= 0 && status.items[i]->is_vertical()) --i;
+  return i >= 0 ? status.items[i] : nullptr;
+}
+
 std::vector<SweepEvent*> subdivide(Engine& eng, Queue& queue, int operation,
                                    double s_maxx, double minmaxx) {
   StatusLine status;
@@ -425,19 +495,17 @@ std::vector<SweepEvent*> subdivide(Engine& eng, Queue& queue, int operation,
       SweepEvent* nxt = (pos + 1 < static_cast<int>(status.items.size()))
                             ? status.items[pos + 1]
                             : nullptr;
-      compute_fields(event, prev, operation);
+      compute_fields(event, parity_prev(status, pos), operation);
       if (nxt != nullptr) {
         if (eng.possible_intersection(event, nxt, queue) == 2) {
-          compute_fields(event, prev, operation);
+          compute_fields(event, parity_prev(status, pos), operation);
           compute_fields(nxt, event, operation);
         }
       }
       if (prev != nullptr) {
         if (eng.possible_intersection(prev, event, queue) == 2) {
-          SweepEvent* prev_prev = nullptr;
           int i = status.index(prev);
-          if (i > 0) prev_prev = status.items[i - 1];
-          compute_fields(prev, prev_prev, operation);
+          compute_fields(prev, parity_prev(status, i), operation);
           compute_fields(event, prev, operation);
         }
       }
@@ -618,6 +686,19 @@ void* aq_bool_op(const double* subj_xy, const int32_t* subj_sizes, int32_t subj_
           base[1] == base[2 * (npts - 1) + 1])
         --npts;  // strip closing duplicate
       if (npts < 3) continue;
+      // Drop zero-area rings (degenerate holes / snap-collapsed slivers):
+      // their back-and-forth edges desynchronize in_out parity and
+      // corrupt difference/xor. Exact: lattice coords are integers
+      // <= 2^26, so each i128 term and the sum are exact. Mirrors
+      // boolean.py _fill_queue (round-4c fix).
+      __int128 area2 = 0;
+      for (int32_t i = 0; i < npts; ++i) {
+        const int32_t j = (i + 1) % npts;
+        const __int128 x1 = (int64_t)base[2 * i], y1 = (int64_t)base[2 * i + 1];
+        const __int128 x2 = (int64_t)base[2 * j], y2 = (int64_t)base[2 * j + 1];
+        area2 += x1 * y2 - x2 * y1;
+      }
+      if (area2 == 0) continue;
       for (int32_t i = 0; i < npts; ++i) {
         const Pt p1{base[2 * i], base[2 * i + 1]};
         const int32_t j = (i + 1) % npts;

@@ -550,3 +550,219 @@ def test_fuzz_staircase_dissolve_operands():
             g = boolean_op(mp, clip, op)
             r = _raster_boolean_area(mp, clip, op, n=1024)
             assert g.area == pytest.approx(r, rel=2e-2, abs=2e-2), (trial, op)
+
+
+def test_vertex_on_edge_union_not_empty():
+    """Round-4c regression (semantic-fuzz finding): a subject vertex lying
+    EXACTLY on a clipping edge. Lattice-rounding the endpoints displaces
+    the computed line-line crossing O(1/sin theta) units from the rounded
+    vertex, the contour walk dead-ended on the point-identity mismatch,
+    and UNION returned EMPTY (xor lost a face) while intersection and
+    difference happened to survive. Fixed by the vertex-on-edge
+    perpendicular snap in _possible_intersection — a Chebyshev window
+    cannot fix it without bridging sub-lattice slivers
+    (test_ring_sliver_degenerate_terminates). Both engines, areas pinned
+    against the raster oracle."""
+    A = P.Polygon([(5.0, -3.0), (4.0, 0.0), (5.0, 3.0)])
+    # B's edge (5,-2)->(3,2) passes exactly through A's vertex (4,0)
+    B = P.Polygon([(-6.0, -3.0), (5.0, -2.0), (3.0, 2.0), (6.0, 4.0), (5.0, 6.0)])
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for name in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            res = {op: boolean_op(A, B, op)
+                   for op in ("union", "intersection", "difference", "xor")}
+        finally:
+            NB._lib = lib
+        for op, g in res.items():
+            r = _raster_boolean_area(A, B, op, n=2048)
+            got = 0.0 if g.is_empty else g.area
+            assert got == pytest.approx(r, rel=2e-2, abs=2e-2), (name, op, got, r)
+        # same-lattice identities must hold tightly
+        au, ai = res["union"].area, res["intersection"].area
+        assert au + ai == pytest.approx(A.area + B.area, abs=1e-4), name
+        assert res["difference"].area == pytest.approx(A.area - ai, abs=1e-4), name
+        assert res["xor"].area == pytest.approx(au - ai, abs=1e-4), name
+
+
+def test_fuzz_semantic_point_oracle():
+    """Compact in-suite version of scripts/boolean_semantic_fuzz.py: the
+    stress script is differential (C++ vs Python share the algorithm, so
+    shared defects escape it); this checks ground truth neither engine
+    produces — point membership via ray casting and same-lattice area
+    identities. 40 pairs x 4 ops on whichever engine boolean_op routes to;
+    the script runs thousands with both engines forced."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "boolean_semantic_fuzz",
+        Path(__file__).resolve().parent.parent / "scripts" / "boolean_semantic_fuzz.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(20260820)
+    done = 0
+    use_native = mod.NB.load_library() is not None
+    while done < 40:
+        pair = mod.gen_pair(rng)
+        if pair is None:
+            continue
+        done += 1
+        findings = mod.check_pair(*pair, rng, use_native)
+        assert not findings, (done, findings[:4])
+
+
+def test_corner_touch_multipolygon_subject_dissolve_on_lattice():
+    """Round-4c regression (semantic-fuzz finding #2): a MultiPolygon
+    SUBJECT whose members touch at a corner, with one member's edge
+    collinear-overlapping the clipping operand's edge. The old
+    _normalize_operand dissolved the members in ORIGINAL coordinates and
+    boolean_op re-snapped the result — double quantization: the dissolved
+    edge's y sat a sub-quantum off the exact value, flipped its rounding
+    on the joint lattice, and the previously exact collinear overlap
+    landed one lattice row apart, corrupting union/difference/xor (B\\A
+    returned ALL of B). Dissolve now runs on the joint lattice
+    (_lattice_dissolve). Areas pinned against the raster oracle, both
+    engines, both operand orders."""
+    A = P.Polygon([(-2.0, -6.0), (0.0, 4.0), (-4.0, 4.0)])
+    B = P.MultiPolygon([
+        P.Polygon([(-2.0, 4.0), (-6.0, 4.0), (-6.0, 1.0)]),
+        P.Polygon([(-6.0, 4.0), (-6.0, 8.0), (-7.0, 8.0)]),
+    ])
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for name in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            for s, c, tag in ((A, B, "A,B"), (B, A, "B,A")):
+                for op in ("union", "intersection", "difference", "xor"):
+                    g = boolean_op(s, c, op)
+                    r = _raster_boolean_area(s, c, op, n=2048)
+                    got = 0.0 if g.is_empty else g.area
+                    assert got == pytest.approx(r, rel=2e-2, abs=2e-2), \
+                        (name, tag, op, got, r)
+        finally:
+            NB._lib = lib
+
+
+def test_seam_hole_parenting_difference():
+    """Round-4c regression (semantic-fuzz finding #3): B\\A where B's outer
+    boundary partially coincides with A's hole boundary (cross-operand
+    collinear seams on three sides) and B carries an interior hole. The
+    hole's surrounding face STARTS on a seam edge; _result_transition read
+    the seam event's stale other_in_out and mis-signed the transition, so
+    _initialize_contour refused to parent the hole and it was emitted as a
+    standalone POSITIVE face (B\\A measured larger than B). Seam-typed
+    events now derive the transition from seam type + own parity. Both
+    engines, exact expected areas."""
+    A = P.Polygon([(10., -2.), (10., 5.), (-1., 5.), (-1., -2.)],
+                  [[(0., -1.), (0., 4.), (9., 4.), (9., -1.)]])
+    B = P.Polygon([(9., -1.), (9., 6.), (-1., 6.), (-1., -1.)],
+                  [[(2., 2.), (2., 3.), (6., 3.)]])
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    wants = {  # exact rectilinear/triangle algebra: |A|=32, |B|=68, |I|=15
+        ("A,B", "intersection"): 15.0, ("A,B", "difference"): 17.0,
+        ("A,B", "union"): 85.0, ("A,B", "xor"): 70.0,
+        ("B,A", "intersection"): 15.0, ("B,A", "difference"): 53.0,
+        ("B,A", "union"): 85.0, ("B,A", "xor"): 70.0,
+    }
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for name in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            for s, c, tag in ((A, B, "A,B"), (B, A, "B,A")):
+                for op in ("union", "intersection", "difference", "xor"):
+                    g = boolean_op(s, c, op)
+                    got = 0.0 if g.is_empty else g.area
+                    assert got == pytest.approx(wants[(tag, op)], abs=1e-4), \
+                        (name, tag, op, got)
+        finally:
+            NB._lib = lib
+
+
+def test_diagonal_collinear_overlap_cross_operand():
+    """Round-4c regression (semantic-fuzz finding #4): two triangles whose
+    DIAGONAL edges are exactly collinear with a partial overlap (A's edge
+    (6,-4)->(4,-2) lies on B's edge line (5,-3)->(2,0), both slope -1).
+    Lattice-snapping the endpoints bends A's edge by one unit, so the
+    exact parallelism test in _segment_intersection missed the overlap and
+    computed a 1/sin(theta)-amplified crossing between the nearly-parallel
+    segments — UNION returned EMPTY. Collinearity now uses the same
+    sa_snap band as the comparator. Both engines, areas pinned against the
+    raster oracle."""
+    A = P.Polygon([(-2.0, -4.0), (6.0, -4.0), (4.0, -2.0)])
+    B = P.Polygon([(-6.0, -1.0), (5.0, -3.0), (2.0, 0.0)])
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for name in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            res = {op: boolean_op(A, B, op)
+                   for op in ("union", "intersection", "difference", "xor")}
+            dba = boolean_op(B, A, "difference")
+        finally:
+            NB._lib = lib
+        for op, g in res.items():
+            r = _raster_boolean_area(A, B, op, n=2048)
+            got = 0.0 if g.is_empty else g.area
+            assert got == pytest.approx(r, rel=2e-2, abs=2e-2), (name, op, got, r)
+        au, ai = res["union"].area, res["intersection"].area
+        assert au + ai == pytest.approx(A.area + B.area, abs=1e-4), name
+        assert res["difference"].area + dba.area == pytest.approx(
+            res["xor"].area, abs=1e-4), name
+
+
+def test_vertex_on_vertical_edge_parity():
+    """Round-4c regression (semantic-fuzz finding #5): a clipping vertex
+    lying exactly ON the subject's VERTICAL edge, with another clipping
+    edge passing through the subject's corner. A vertical edge lives in
+    the status line only while the sweep sits at its own x, yet it served
+    as `prev` for the parity fields of edges starting on it; the published
+    algorithm's one-step is_vertical correction mis-signs this cross-
+    operand chain, so the star's outside lobe was marked not-in-result and
+    UNION lost it entirely (u+i != |A|+|B|). _parity_prev / parity_prev
+    now skip verticals when chaining fields (an upward ray at x+eps never
+    crosses a vertical at x). Both engines."""
+    A = P.Polygon([(9., 0.), (9., 8.), (0., 8.), (0., 0.)])
+    B = P.Polygon([(8., 1.), (11., -2.), (9., 4.), (11., 5.), (2., 10.)])
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for name in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            res = {op: boolean_op(A, B, op)
+                   for op in ("union", "intersection", "difference", "xor")}
+            dba = boolean_op(B, A, "difference")
+        finally:
+            NB._lib = lib
+        for op, g in res.items():
+            r = _raster_boolean_area(A, B, op, n=2048)
+            got = 0.0 if g.is_empty else g.area
+            assert got == pytest.approx(r, rel=2e-2, abs=2e-2), (name, op, got, r)
+        au, ai = res["union"].area, res["intersection"].area
+        assert au + ai == pytest.approx(A.area + B.area, abs=1e-4), name
+        assert res["difference"].area + dba.area == pytest.approx(
+            res["xor"].area, abs=1e-4), name
