@@ -80,7 +80,7 @@ class _SweepEvent:
     __slots__ = (
         "point", "left", "other", "is_subject", "type", "in_out",
         "other_in_out", "prev_in_result", "result_transition", "pos",
-        "contour_id", "output_contour_id", "sid",
+        "contour_id", "output_contour_id", "sid", "touch_requeued",
     )
 
     def __init__(self, point, left, other, is_subject):
@@ -97,6 +97,7 @@ class _SweepEvent:
         self.contour_id = 0
         self.output_contour_id = -1
         self.sid = next(_EVENT_COUNTER)   # total-order tiebreak (see _compare_events)
+        self.touch_requeued = False       # see the tangential-touch requeue in _subdivide
 
     @property
     def in_result(self) -> bool:
@@ -618,15 +619,45 @@ def _subdivide(queue: list, operation: int, s_maxx: float, minmaxx: float) -> Li
             prev = status.items[pos - 1] if pos > 0 else None
             nxt = status.items[pos + 1] if pos + 1 < len(status.items) else None
             _compute_fields(event, _parity_prev(status, pos), operation)
+            r_nxt = r_prev = 0
             if nxt is not None:
-                if _possible_intersection(event, nxt, queue) == 2:
+                r_nxt = _possible_intersection(event, nxt, queue)
+                if r_nxt == 2:
                     _compute_fields(event, _parity_prev(status, pos), operation)
                     _compute_fields(nxt, event, operation)
             if prev is not None:
-                if _possible_intersection(prev, event, queue) == 2:
+                r_prev = _possible_intersection(prev, event, queue)
+                if r_prev == 2:
                     i = status.index(prev)
                     _compute_fields(prev, _parity_prev(status, i), operation)
                     _compute_fields(event, prev, operation)
+            # Tangential vertex-on-edge touch AT this event's left endpoint:
+            # the intersection test just split a neighbor exactly at
+            # event.point, so that neighbor now ENDS here — its parity
+            # fields describe the cross-section LEFT of this point, and any
+            # field chained off it (this event's, and transitively every
+            # later insert above it) is stale: the fuzzed failure was a box
+            # corner lying ON a needle operand's edge, where the box's top
+            # edge seeded in_out from the un-split needle edge and the
+            # difference/union results dropped a 0.5-area face. Re-queue
+            # this event: the heap replays it AFTER the neighbor's right
+            # event at this point (right-before-left) and after the
+            # neighbor's continuation piece (bottom-first among same-point
+            # left events), so the re-insert chains off fresh fields. The
+            # re-pop cannot split a neighbor at this point again (the
+            # continuation piece now SHARES the endpoint — returns 0), and
+            # touch_requeued caps it at one replay regardless.
+            if not event.touch_requeued and (
+                (r_prev == 1 and prev.other.point == event.point)
+                or (r_nxt == 1 and nxt.other.point == event.point)
+            ):
+                i = status.index(event)
+                if i >= 0:
+                    status.remove_at(i)
+                sorted_events.pop()
+                event.touch_requeued = True
+                heapq.heappush(queue, event)
+                continue
         else:
             le = event.other
             i = status.index(le)

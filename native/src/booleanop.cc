@@ -53,6 +53,7 @@ struct SweepEvent {
   int contour_id = 0;
   int output_contour_id = -1;
   int64_t sid = 0;  // total-order tiebreak (see compare_events)
+  bool touch_requeued = false;  // tangential-touch replay guard (see subdivide)
 
   bool in_result() const { return result_transition != 0; }
   bool is_vertical() const { return point.x == other->point.x; }
@@ -496,18 +497,40 @@ std::vector<SweepEvent*> subdivide(Engine& eng, Queue& queue, int operation,
                             ? status.items[pos + 1]
                             : nullptr;
       compute_fields(event, parity_prev(status, pos), operation);
+      int r_nxt = 0, r_prev = 0;
       if (nxt != nullptr) {
-        if (eng.possible_intersection(event, nxt, queue) == 2) {
+        r_nxt = eng.possible_intersection(event, nxt, queue);
+        if (r_nxt == 2) {
           compute_fields(event, parity_prev(status, pos), operation);
           compute_fields(nxt, event, operation);
         }
       }
       if (prev != nullptr) {
-        if (eng.possible_intersection(prev, event, queue) == 2) {
+        r_prev = eng.possible_intersection(prev, event, queue);
+        if (r_prev == 2) {
           int i = status.index(prev);
           compute_fields(prev, parity_prev(status, i), operation);
           compute_fields(event, prev, operation);
         }
+      }
+      // Tangential vertex-on-edge touch AT this event's left endpoint: the
+      // intersection test split a neighbor exactly at event->point, so the
+      // neighbor now ENDS here and its parity fields describe the
+      // cross-section LEFT of this point — chaining off it is stale
+      // (boolean.py _subdivide, same fix: a box corner lying ON a needle
+      // operand's edge dropped a 0.5-area face from union/difference).
+      // Re-queue this event: the heap replays it after the neighbor's
+      // right event here (right-before-left) and after its continuation
+      // piece (bottom-first), so the re-insert chains off fresh fields.
+      if (!event->touch_requeued &&
+          ((r_prev == 1 && prev->other->point == event->point) ||
+           (r_nxt == 1 && nxt->other->point == event->point))) {
+        int i = status.index(event);
+        if (i >= 0) status.remove_at(i);
+        sorted_events.pop_back();
+        event->touch_requeued = true;
+        queue.push(event);
+        continue;
       }
     } else {
       SweepEvent* le = event->other;

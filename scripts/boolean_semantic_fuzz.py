@@ -20,7 +20,8 @@ from either sweep:
 eps = 1e-6 * span keeps samples ~30 lattice units clear of the 2^25 snap
 band, so snap-rounding can never flip a checked point's membership.
 
-    python scripts/boolean_semantic_fuzz.py [N] [--native]   # default 5000 pairs, Python engine
+    python scripts/boolean_semantic_fuzz.py [N] [--native] [--seed S]
+    # default 5000 pairs, Python engine, seed 20260820
 """
 
 from __future__ import annotations
@@ -133,7 +134,30 @@ def _rot_square(rng):
     return P.Polygon(rot + np.array([cx, cy]))
 
 
-GENS = (_star, _hull_int, _ring, _staircase_multi, _disjoint_multi, _rot_square)
+def _multi_hole(rng):
+    """Big box with a 2x2..3x3 grid of disjoint rectangular holes — the
+    membership oracle must agree hole-by-hole, and face tracing must keep
+    every hole on the correct face when the other operand cuts through."""
+    x0, y0 = rng.integers(-8, -4, 2).astype(float)
+    w, h = rng.integers(10, 16, 2).astype(float)
+    gx, gy = int(rng.integers(2, 4)), int(rng.integers(2, 4))
+    cw, ch = w / gx, h / gy
+    holes = []
+    for i in range(gx):
+        for j in range(gy):
+            if rng.random() < 0.3:
+                continue  # skip some cells: irregular hole pattern
+            m = rng.uniform(0.15, 0.35)
+            hx0 = x0 + i * cw + m * cw
+            hy0 = y0 + j * ch + m * ch
+            hx1 = x0 + (i + 1) * cw - m * cw
+            hy1 = y0 + (j + 1) * ch - m * ch
+            holes.append(P.box(hx0, hy0, hx1, hy1).exterior)
+    return P.Polygon(P.box(x0, y0, x0 + w, y0 + h).exterior, holes)
+
+
+GENS = (_star, _hull_int, _ring, _staircase_multi, _disjoint_multi,
+        _rot_square, _multi_hole)
 
 
 def _ring_is_simple(pts: np.ndarray) -> bool:
@@ -179,6 +203,28 @@ def gen_pair(rng):
         return None
     if not _is_valid_operand(a) or not _is_valid_operand(b):
         return None
+    if rng.random() < 0.15:
+        # scale disparity: shrink B by 10-3000x and drop it inside or near
+        # A's bounds — stresses the JOINT-lattice snap (B spans few lattice
+        # cells; its rings must still round consistently). Ratio capped so
+        # the point oracle stays sound: eps = 1e-6 * joint span must stay
+        # well under B's feature size relative to the 2^25 quantum.
+        s = float(rng.uniform(10.0, 3000.0))
+        ax0, ay0, ax1, ay1 = a.bounds
+        c = np.asarray(b.bounds, float)
+        bc = (c[:2] + c[2:]) / 2.0
+        target = np.array([rng.uniform(ax0 - 1, ax1 + 1),
+                           rng.uniform(ay0 - 1, ay1 + 1)])
+
+        def _scale(g):
+            polys = g.geoms if isinstance(g, P.MultiPolygon) else [g]
+            moved = [P.Polygon((np.asarray(p.exterior) - bc) / s + target,
+                               [(np.asarray(hh) - bc) / s + target
+                                for hh in p.holes])
+                     for p in polys]
+            return moved[0] if len(moved) == 1 else P.MultiPolygon(moved)
+
+        b = _scale(b)
     if rng.random() < 0.4:
         off = rng.uniform(3e5, 1e6, 2) * np.where(rng.random(2) < 0.5, 1, 5)
 
@@ -310,9 +356,14 @@ def _dump(g):
 def main() -> None:
     n_cases = 5000
     use_native = False
-    for arg in sys.argv[1:]:
+    seed = 20260820
+    args = list(sys.argv[1:])
+    while args:
+        arg = args.pop(0)
         if arg == "--native":
             use_native = True
+        elif arg == "--seed":
+            seed = int(args.pop(0))
         else:
             n_cases = int(arg)
     # Resolve the library ONCE either way: check_pair's python mode nulls
@@ -321,7 +372,7 @@ def main() -> None:
     lib = NB.load_library()
     if use_native:
         assert lib is not None, "build native first: make -C native"
-    rng = np.random.default_rng(20260820)
+    rng = np.random.default_rng(seed)
     bad = 0
     done = 0
     t0 = time.perf_counter()

@@ -766,3 +766,44 @@ def test_vertex_on_vertical_edge_parity():
         assert au + ai == pytest.approx(A.area + B.area, abs=1e-4), name
         assert res["difference"].area + dba.area == pytest.approx(
             res["xor"].area, abs=1e-4), name
+
+
+def test_needle_through_opposite_corners_stale_parity():
+    """Round-4d regression (semantic-fuzz --seed 777 case 2034): a needle
+    operand whose two long parallel edges pass EXACTLY through opposite
+    corners of a box. Processing the box-top's left event at the corner
+    splits the needle edge at that same point, but the box-top's parity
+    fields were already chained off the UN-split edge — whose fields
+    describe the cross-section left of the corner — and every later
+    insert above it inherited the stale chain: union and B\\A dropped a
+    0.5-area face of the needle (the sliver just outside the corner) and
+    difference emitted a degenerate spike through the needle's vertex.
+    _subdivide now re-queues a left event when its insertion splits a
+    status neighbor exactly at the event's own point, replaying it after
+    the neighbor's right event and continuation piece. Both engines."""
+    A = P.box(2, 3, 9, 9)
+    B = P.Polygon([(12., 0.), (2., 10.), (0., 11.), (5., 6.)])
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for name in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            res = {op: boolean_op(A, B, op)
+                   for op in ("union", "intersection", "difference", "xor")}
+            dba = boolean_op(B, A, "difference")
+        finally:
+            NB._lib = lib
+        for op, g in res.items():
+            r = _raster_boolean_area(A, B, op, n=2048)
+            got = 0.0 if g.is_empty else g.area
+            assert got == pytest.approx(r, rel=2e-2, abs=2e-2), (name, op, got, r)
+        au, ai = res["union"].area, res["intersection"].area
+        assert au + ai == pytest.approx(A.area + B.area, abs=1e-4), name
+        assert res["difference"].area + dba.area == pytest.approx(
+            res["xor"].area, abs=1e-4), name
+        # the B\A sliver outside the corner must survive (1.5, not 1.0)
+        assert dba.area == pytest.approx(2.25, abs=1e-4), name
