@@ -80,7 +80,7 @@ class _SweepEvent:
     __slots__ = (
         "point", "left", "other", "is_subject", "type", "in_out",
         "other_in_out", "prev_in_result", "result_transition", "pos",
-        "contour_id", "output_contour_id", "sid", "touch_requeued",
+        "contour_id", "output_contour_id", "sid", "touch_requeues",
     )
 
     def __init__(self, point, left, other, is_subject):
@@ -97,7 +97,7 @@ class _SweepEvent:
         self.contour_id = 0
         self.output_contour_id = -1
         self.sid = next(_EVENT_COUNTER)   # total-order tiebreak (see _compare_events)
-        self.touch_requeued = False       # see the tangential-touch requeue in _subdivide
+        self.touch_requeues = 0           # see the tangential-touch requeue in _subdivide
 
     @property
     def in_result(self) -> bool:
@@ -416,6 +416,40 @@ def _possible_intersection(se1: _SweepEvent, se2: _SweepEvent, queue: list) -> i
     return 3
 
 
+def _remark_overlap(lower: _SweepEvent, upper: _SweepEvent, operation: int) -> None:
+    """Re-derive the SAME/DIFFERENT_TRANSITION marking of a left-coincide
+    cross-operand overlap AFTER the caller refreshed both events' fields.
+
+    _possible_intersection classifies the kept edge by comparing the two
+    events' in_out parity, but at marking time the upper event's fields
+    can predate an edge inserted BELOW it since its own insertion (the
+    round-5 pinwheel fuzz finding: a tiny operand scaled from the same
+    shape makes its edges near-collinear with the subject's inside the
+    _sa_snap band; the band merges them into an equal-segment overlap
+    whose upper event still carries parity from before the lower operand's
+    base edge existed, the pair is marked DIFFERENT_TRANSITION instead of
+    SAME, and union drops the whole face). The caller's r==2 branch
+    recomputes lower from a fresh parity chain and upper across lower, so
+    re-marking here uses correct values. The kept edge is always the
+    LOWER (both call sites pass se2 = the upper, which gets
+    NON_CONTRIBUTING)."""
+    if lower.is_subject == upper.is_subject:
+        return  # same-operand seam: both NON_CONTRIBUTING, nothing to re-mark
+    if upper.type != _NON_CONTRIBUTING or lower.type not in (
+        _SAME_TRANSITION, _DIFFERENT_TRANSITION
+    ):
+        return
+    lower.type = (
+        _SAME_TRANSITION if upper.in_out == lower.in_out else _DIFFERENT_TRANSITION
+    )
+    lower.result_transition = (
+        _result_transition(lower, operation) if _in_result(lower, operation) else 0
+    )
+    # upper's prev_in_result chains off lower's (possibly changed)
+    # in_result status — recompute its dependent fields too.
+    _compute_fields(upper, lower, operation)
+
+
 def _in_result(event: _SweepEvent, operation: int) -> bool:
     t = event.type
     if t == _NORMAL:
@@ -625,12 +659,14 @@ def _subdivide(queue: list, operation: int, s_maxx: float, minmaxx: float) -> Li
                 if r_nxt == 2:
                     _compute_fields(event, _parity_prev(status, pos), operation)
                     _compute_fields(nxt, event, operation)
+                    _remark_overlap(event, nxt, operation)
             if prev is not None:
                 r_prev = _possible_intersection(prev, event, queue)
                 if r_prev == 2:
                     i = status.index(prev)
                     _compute_fields(prev, _parity_prev(status, i), operation)
                     _compute_fields(event, prev, operation)
+                    _remark_overlap(prev, event, operation)
             # Tangential vertex-on-edge touch AT this event's left endpoint:
             # the intersection test just split a neighbor exactly at
             # event.point, so that neighbor now ENDS here — its parity
@@ -644,10 +680,19 @@ def _subdivide(queue: list, operation: int, s_maxx: float, minmaxx: float) -> Li
             # event at this point (right-before-left) and after the
             # neighbor's continuation piece (bottom-first among same-point
             # left events), so the re-insert chains off fresh fields. The
-            # re-pop cannot split a neighbor at this point again (the
-            # continuation piece now SHARES the endpoint — returns 0), and
-            # touch_requeued caps it at one replay regardless.
-            if not event.touch_requeued and (
+            # re-pop cannot split THAT neighbor at this point again (the
+            # continuation piece now SHARES the endpoint — returns 0), but
+            # with three or more edges concurrent at one lattice vertex the
+            # replayed insertion can land next to a DIFFERENT edge that also
+            # passes exactly through event.point and split it too — the same
+            # dropped-face staleness one degeneracy deeper (round-4 advisor
+            # finding). So requeue on EVERY fresh split-at-own-point, with a
+            # counter capped by the status size: each requeue consumes one
+            # distinct edge through the point (its continuation shares the
+            # endpoint afterwards), and at most len(status) edges cross the
+            # sweep line, so the cap is never the binding limit on correct
+            # input — it only guarantees termination.
+            if event.touch_requeues <= len(status.items) and (
                 (r_prev == 1 and prev.other.point == event.point)
                 or (r_nxt == 1 and nxt.other.point == event.point)
             ):
@@ -655,7 +700,7 @@ def _subdivide(queue: list, operation: int, s_maxx: float, minmaxx: float) -> Li
                 if i >= 0:
                     status.remove_at(i)
                 sorted_events.pop()
-                event.touch_requeued = True
+                event.touch_requeues += 1
                 heapq.heappush(queue, event)
                 continue
         else:

@@ -53,7 +53,7 @@ struct SweepEvent {
   int contour_id = 0;
   int output_contour_id = -1;
   int64_t sid = 0;  // total-order tiebreak (see compare_events)
-  bool touch_requeued = false;  // tangential-touch replay guard (see subdivide)
+  int touch_requeues = 0;  // tangential-touch replay counter (see subdivide)
 
   bool in_result() const { return result_transition != 0; }
   bool is_vertical() const { return point.x == other->point.x; }
@@ -427,6 +427,27 @@ void compute_fields(SweepEvent* event, SweepEvent* prev, int operation) {
       in_result(event, operation) ? result_transition(event, operation) : 0;
 }
 
+// Re-derive the SAME/DIFFERENT_TRANSITION marking of a left-coincide
+// cross-operand overlap AFTER the caller refreshed both events' fields:
+// at marking time inside possible_intersection the upper event's parity
+// can predate an edge inserted below it since its own insertion, so the
+// in_out comparison can mis-type the kept (lower) edge and union drops
+// the whole face (round-5 pinwheel fuzz finding; mirrors boolean.py
+// _remark_overlap). Both r==2 call sites pass se2 = the upper event,
+// which carries NON_CONTRIBUTING — the kept edge is always the lower.
+void remark_overlap(SweepEvent* lower, SweepEvent* upper, int operation) {
+  if (lower->is_subject == upper->is_subject) return;
+  if (upper->type != NON_CONTRIBUTING ||
+      (lower->type != SAME_TRANSITION && lower->type != DIFFERENT_TRANSITION))
+    return;
+  lower->type =
+      (upper->in_out == lower->in_out) ? SAME_TRANSITION : DIFFERENT_TRANSITION;
+  lower->result_transition =
+      in_result(lower, operation) ? result_transition(lower, operation) : 0;
+  // upper's prev_in_result chains off lower's (possibly changed) in_result
+  compute_fields(upper, lower, operation);
+}
+
 // Ordered active-segment list (boolean.py _StatusLine): binary insert,
 // identity removal with neighbor-probe then linear-scan fallback.
 struct StatusLine {
@@ -503,6 +524,7 @@ std::vector<SweepEvent*> subdivide(Engine& eng, Queue& queue, int operation,
         if (r_nxt == 2) {
           compute_fields(event, parity_prev(status, pos), operation);
           compute_fields(nxt, event, operation);
+          remark_overlap(event, nxt, operation);
         }
       }
       if (prev != nullptr) {
@@ -511,6 +533,7 @@ std::vector<SweepEvent*> subdivide(Engine& eng, Queue& queue, int operation,
           int i = status.index(prev);
           compute_fields(prev, parity_prev(status, i), operation);
           compute_fields(event, prev, operation);
+          remark_overlap(prev, event, operation);
         }
       }
       // Tangential vertex-on-edge touch AT this event's left endpoint: the
@@ -522,13 +545,19 @@ std::vector<SweepEvent*> subdivide(Engine& eng, Queue& queue, int operation,
       // Re-queue this event: the heap replays it after the neighbor's
       // right event here (right-before-left) and after its continuation
       // piece (bottom-first), so the re-insert chains off fresh fields.
-      if (!event->touch_requeued &&
+      // With >=3 edges concurrent at one vertex the replay can split a
+      // DIFFERENT edge at the same point, so requeue on every fresh
+      // split-at-own-point; each requeue consumes one distinct edge
+      // through the point (its continuation then shares the endpoint), so
+      // a counter capped by the status size bounds termination without
+      // ever binding on correct input (Python twin: boolean.py).
+      if (event->touch_requeues <= static_cast<int>(status.items.size()) &&
           ((r_prev == 1 && prev->other->point == event->point) ||
            (r_nxt == 1 && nxt->other->point == event->point))) {
         int i = status.index(event);
         if (i >= 0) status.remove_at(i);
         sorted_events.pop_back();
-        event->touch_requeued = true;
+        event->touch_requeues += 1;
         queue.push(event);
         continue;
       }

@@ -156,8 +156,32 @@ def _multi_hole(rng):
     return P.Polygon(P.box(x0, y0, x0 + w, y0 + h).exterior, holes)
 
 
+def _pinwheel(rng):
+    """Thin integer-coordinate triangles sharing ONE apex vertex — 3+
+    edges concurrent at a single lattice point. Stresses the tangential-
+    touch requeue when >=3 status edges pass exactly through one event
+    point (the round-4 advisor degeneracy: a one-shot requeue guard
+    chains stale fields when the REPLAYED insert splits a second
+    concurrent edge at the same point). Sectors keep interiors disjoint."""
+    cx, cy = rng.integers(-4, 5, 2).astype(float)
+    R = int(rng.integers(4, 9))
+    # per-sector base edges: (E, N, W, S); each triangle = apex + 2 bases
+    sectors = [
+        ((R, -1), (R, 1)), ((1, R), (-1, R)),
+        ((-R, 1), (-R, -1)), ((-1, -R), (1, -R)),
+    ]
+    k = int(rng.integers(2, 5))
+    order = rng.permutation(4)[:k]
+    tris = []
+    for si in order:
+        (dx1, dy1), (dx2, dy2) = sectors[si]
+        tris.append(P.Polygon(np.array(
+            [(cx, cy), (cx + dx1, cy + dy1), (cx + dx2, cy + dy2)], float)))
+    return P.MultiPolygon(tris) if len(tris) > 1 else tris[0]
+
+
 GENS = (_star, _hull_int, _ring, _staircase_multi, _disjoint_multi,
-        _rot_square, _multi_hole)
+        _rot_square, _multi_hole, _pinwheel)
 
 
 def _ring_is_simple(pts: np.ndarray) -> bool:
@@ -225,6 +249,31 @@ def gen_pair(rng):
             return moved[0] if len(moved) == 1 else P.MultiPolygon(moved)
 
         b = _scale(b)
+        # Re-validate AFTER the float transform: a near-self-touching ring
+        # can become self-intersecting under divide-and-translate, and a
+        # non-simple operand makes the oracle report a phantom engine bug
+        # (round-4 advisor finding).
+        if not _is_valid_operand(b):
+            return None
+    if rng.random() < 0.1:
+        # vertex coincidence: translate B so one of its vertices lands
+        # EXACTLY on a vertex of A — with _pinwheel/_staircase operands
+        # this concentrates many edges through one point, the requeue-
+        # counter degeneracy class.
+        pa = np.asarray((a.geoms[0] if isinstance(a, P.MultiPolygon) else a)
+                        .exterior, float)[0]
+        pb = np.asarray((b.geoms[0] if isinstance(b, P.MultiPolygon) else b)
+                        .exterior, float)[0]
+        off0 = pa - pb
+
+        def _al(g):
+            polys = g.geoms if isinstance(g, P.MultiPolygon) else [g]
+            moved = [P.Polygon(np.asarray(p.exterior) + off0,
+                               [np.asarray(h) + off0 for h in p.holes])
+                     for p in polys]
+            return moved[0] if len(moved) == 1 else P.MultiPolygon(moved)
+
+        b = _al(b)
     if rng.random() < 0.4:
         off = rng.uniform(3e5, 1e6, 2) * np.where(rng.random(2) < 0.5, 1, 5)
 

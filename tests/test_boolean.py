@@ -807,3 +807,55 @@ def test_needle_through_opposite_corners_stale_parity():
             res["xor"].area, abs=1e-4), name
         # the B\A sliver outside the corner must survive (1.5, not 1.0)
         assert dba.area == pytest.approx(2.25, abs=1e-4), name
+
+
+def test_pinwheel_scaled_copy_overlap_remark():
+    """Round-5 regression (semantic-fuzz pinwheel + vertex-coincidence
+    case): a MultiPolygon pinwheel of wedges sharing ONE apex, unioned
+    with a tiny SCALED COPY of itself placed apex-on-apex. The copy's
+    edges are near-collinear with the big wedges' edges (off by ~1
+    lattice unit), so the _sa_snap collinearity band merges them into
+    equal-segment cross-operand overlaps — and the SAME/DIFFERENT
+    transition marking in _possible_intersection read the upper event's
+    in_out parity from BEFORE the lower operand's base edge was inserted
+    below it. The stale comparison typed the kept edge
+    DIFFERENT_TRANSITION and union dropped two entire 8-area faces
+    (32 -> 16). _remark_overlap re-derives the type after the caller's
+    field refresh. Both engines."""
+    A = P.MultiPolygon([P.Polygon(np.array(r)) for r in [
+        [[-2.0, 2.0], [-3.0, -6.0], [-1.0, -6.0]],
+        [[-2.0, 2.0], [-1.0, 10.0], [-3.0, 10.0]],
+        [[-2.0, 2.0], [6.0, 1.0], [6.0, 3.0]],
+        [[-2.0, 2.0], [-10.0, 3.0], [-10.0, 1.0]]]])
+    B = P.MultiPolygon([P.Polygon(np.array(r)) for r in [
+        [[-2.0, 2.0], [-2.0003481554517206, 1.9972147563862372],
+         [-1.9996518445482794, 1.9972147563862372]],
+        [[-2.0, 2.0], [-2.0027852436137623, 2.00034815545172],
+         [-2.0027852436137623, 1.9996518445482798]],
+        [[-2.0, 2.0], [-1.9972147563862377, 1.9996518445482798],
+         [-1.9972147563862377, 2.00034815545172]],
+        [[-2.0, 2.0], [-1.9996518445482794, 2.0027852436137628],
+         [-2.0003481554517206, 2.0027852436137628]]]])
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for name in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            res = {op: boolean_op(A, B, op)
+                   for op in ("union", "intersection", "difference", "xor")}
+            dba = boolean_op(B, A, "difference")
+        finally:
+            NB._lib = lib
+        # B is ~4e-6 area: union/difference/xor must essentially equal A
+        assert res["union"].area == pytest.approx(32.0, abs=1e-3), name
+        assert res["difference"].area == pytest.approx(32.0, abs=1e-3), name
+        assert res["xor"].area == pytest.approx(32.0, abs=1e-3), name
+        assert res["intersection"].area < 1e-4, name
+        # same-lattice identities
+        assert res["union"].area == pytest.approx(
+            res["intersection"].area + res["difference"].area + dba.area,
+            abs=1e-6), name
