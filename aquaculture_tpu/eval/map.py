@@ -51,7 +51,14 @@ def match_image(
         for di in range(len(det_boxes)):
             cand = np.where(~claimed & (iou[di] >= t))[0]
             if len(cand):
-                best = cand[np.argmax(iou[di, cand])]
+                # COCOeval tie-break: among equal best-IoU ground truths
+                # the LAST one wins (cocoeval.py's `ious < iou: continue`
+                # lets an equal IoU overwrite the match). Claiming the
+                # first instead can strand a later detection whose only
+                # candidate was the earlier gt — found by the round-5
+                # oracle fuzz's adversarial tie case.
+                rev = iou[di, cand][::-1]
+                best = cand[len(cand) - 1 - int(np.argmax(rev))]
                 claimed[best] = True
                 tp[di, ti] = True
     return tp
