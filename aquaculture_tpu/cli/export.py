@@ -26,6 +26,14 @@ def main(argv=None) -> None:
                     help="default: the checkpoint's saved metadata, else m")
     ap.add_argument("--num-classes", type=int, default=None,
                     help="default: the checkpoint's saved metadata, else 5")
+    ap.add_argument("--full-model", action="store_true",
+                    help="write an attempt_load-compatible FULL-MODEL "
+                         "pickle ({'model': DetectionModel}) instead of a "
+                         "state-dict file — loadable wherever ultralytics' "
+                         "yolov5 models package is importable "
+                         "(reference README.md:77's serving command)")
+    ap.add_argument("--names", default=None,
+                    help="comma-separated class names for --full-model")
     args = ap.parse_args(argv)
 
     import jax
@@ -54,9 +62,17 @@ def main(argv=None) -> None:
         ),
         params,
     )
-    sd = export_ultralytics_pt(model, params, args.out)
-    log_info("exported %d tensors (yolov5%s, %d classes) -> %s",
-             len(sd), variant, num_classes, args.out)
+    if args.full_model:
+        from aquaculture_tpu.models.export import export_full_model_pt
+
+        names = args.names.split(",") if args.names else None
+        export_full_model_pt(model, params, args.out, names=names)
+        log_info("exported full-model pickle (yolov5%s, %d classes) -> %s",
+                 variant, num_classes, args.out)
+    else:
+        sd = export_ultralytics_pt(model, params, args.out)
+        log_info("exported %d tensors (yolov5%s, %d classes) -> %s",
+                 len(sd), variant, num_classes, args.out)
 
 
 if __name__ == "__main__":

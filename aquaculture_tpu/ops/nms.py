@@ -16,6 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _CLASS_OFFSET = 7680.0  # > max image dim; separates classes in box space
 
@@ -194,6 +195,168 @@ def _pallas_supported(k: int, plat: str | None = None) -> bool:
         except Exception:
             return False
     return plat in ("tpu", "axon") and k % 128 == 0
+
+
+def _prepare_candidates_feats(feats, anchor_table, strides, conf_thresh,
+                              pre_topk, class_agnostic, approx_topk=False):
+    """Batched candidate selection straight from the raw head feature
+    maps, candidate axis kept in the 128-lane dimension (round 5).
+
+    MEASURED NEGATIVE for bulk serving, kept as a recorded experiment +
+    alternative API: on mt/b128 the composed program ran 1,822 tiles/s vs
+    1,949.8 for the rows path (BENCH_MT_SLACK.jsonl full_feats vs full)
+    even though it moves ~50 MB/img LESS HBM traffic — the cols
+    build+score+top-k portion times IDENTICAL to the rows equivalent
+    (feats_topk 0.4856 vs fwd_topk 0.4847 ms/img), and the lane-dim
+    survivor gathers cost ~2x the row gathers (+0.039 vs +0.020 ms/img).
+    Lane-padded traffic is evidently not the serving bottleneck the
+    cost-analysis byte counts suggest; batched_nms stays the default.
+
+    The (B, N, 5+nc) decoded-prediction layout puts a <=10-wide trailing
+    dim in the TPU's 128-lane dimension, so every materialization of it
+    pads 12.8x: the round-5 slack ladder (BENCH_MT_SLACK.jsonl) measured
+    the composed candidate prep at 0.054 ms/img with ~94 MB/img of HBM
+    traffic — ~6 lane-padded copies of a 1 MB tensor — while the isolated
+    top-k costs microseconds. This path keeps the candidate axis LAST
+    (lanes) end to end:
+
+      head maps (B,h,w,na*no) -> columns (B, no, K) with K = na*sum(hw)
+      -> sigmoid/score/argmax as (B, *, K) lane-parallel ops
+      -> top-k over (B, K)
+      -> gather only the k survivors' 4 box logits (lane-dim gathers
+         from (B, K) rows)
+      -> decode xy/wh on (B, k) — grid position and anchor are recomputed
+         arithmetically from the flat index instead of gathered.
+
+    Box math is the same public YOLOv5 transform as YoloV5.decode
+    (reference contract; models/yolov5.py:349), applied to identical
+    logits — outputs match batched_nms(model.apply(...)) except that the
+    flat candidate ordering is (anchor, position) rather than
+    (position, anchor), so exactly-tied scores can resolve differently
+    (the same tie class the two-stage top-k already documents).
+
+    Returns (boxes, nms_boxes, top_scores, cls_top, valid), all batched.
+    """
+    b = feats[0].shape[0]
+    na = anchor_table[0].shape[0] if hasattr(anchor_table[0], "shape") else len(anchor_table[0])
+    C = feats[0].shape[-1]
+    no = C // na
+    nc = no - 5
+
+    lvl_hw = []
+    lvl_w = []
+    cols_l = []
+    for f in feats:
+        _, h, w, _ = f.shape
+        lvl_hw.append(h * w)
+        lvl_w.append(w)
+        t = jnp.transpose(f.reshape(b, h * w, C).astype(jnp.float32), (0, 2, 1))
+        cols_l.append(t)                                   # (b, C, hw)
+    cols = jnp.concatenate(cols_l, axis=-1)                # (b, C, HW)
+    HW = sum(lvl_hw)
+    cols = cols.reshape(b, na, no, HW)
+    cols = jnp.transpose(cols, (0, 2, 1, 3)).reshape(b, no, na * HW)
+    K = na * HW
+
+    obj = jax.nn.sigmoid(cols[:, 4])                       # (b, K)
+    if nc > 1:
+        clsz = jax.nn.sigmoid(cols[:, 5:]) * obj[:, None, :]   # (b, nc, K)
+        conf = clsz.max(axis=1)
+        cls_id = jnp.argmax(clsz, axis=1).astype(jnp.int32)
+    else:
+        conf = jax.nn.sigmoid(cols[:, 5]) * obj
+        cls_id = jnp.zeros_like(conf, jnp.int32)
+    score = jnp.where(conf >= conf_thresh, conf, -1.0)
+
+    k = min(pre_topk, K)
+    top_scores, q = jax.vmap(lambda s: _select_topk(s, k, approx_topk))(score)
+
+    # survivors only: 4 lane-dim gathers of the box logits + the class id
+    tx = jnp.take_along_axis(cols[:, 0], q, axis=-1)
+    ty = jnp.take_along_axis(cols[:, 1], q, axis=-1)
+    tw = jnp.take_along_axis(cols[:, 2], q, axis=-1)
+    th = jnp.take_along_axis(cols[:, 3], q, axis=-1)
+    cls_top = jnp.take_along_axis(cls_id, q, axis=-1)
+
+    # flat index -> (anchor, level, gy, gx) arithmetically (no gathers)
+    a_idx = q // HW
+    r = q % HW
+    gx = jnp.zeros_like(r)
+    gy = jnp.zeros_like(r)
+    stride_f = jnp.zeros(q.shape, jnp.float32)
+    aw = jnp.zeros(q.shape, jnp.float32)
+    ah = jnp.zeros(q.shape, jnp.float32)
+    off = 0
+    for li, (hw_l, w_l) in enumerate(zip(lvl_hw, lvl_w)):
+        in_l = (r >= off) & (r < off + hw_l)
+        rl = r - off
+        gx = jnp.where(in_l, rl % w_l, gx)
+        gy = jnp.where(in_l, rl // w_l, gy)
+        stride_f = jnp.where(in_l, float(strides[li]), stride_f)
+        anc = np.asarray(anchor_table[li], np.float32)
+        for ai in range(na):
+            m = in_l & (a_idx == ai)
+            aw = jnp.where(m, float(anc[ai, 0]), aw)
+            ah = jnp.where(m, float(anc[ai, 1]), ah)
+        off += hw_l
+
+    # public YOLOv5 decode on the survivors (b, k)
+    sx = jax.nn.sigmoid(tx)
+    sy = jax.nn.sigmoid(ty)
+    cx = (sx * 2.0 - 0.5 + gx.astype(jnp.float32)) * stride_f
+    cy = (sy * 2.0 - 0.5 + gy.astype(jnp.float32)) * stride_f
+    bw = jnp.square(jax.nn.sigmoid(tw) * 2.0) * aw
+    bh = jnp.square(jax.nn.sigmoid(th) * 2.0) * ah
+
+    boxes = jnp.stack(
+        [cx - bw / 2.0, cy - bh / 2.0, cx + bw / 2.0, cy + bh / 2.0], axis=-1
+    )                                                      # (b, k, 4)
+    valid = top_scores > 0
+    nms_boxes = boxes
+    if not class_agnostic:
+        nms_boxes = boxes + (cls_top.astype(jnp.float32) * _CLASS_OFFSET)[..., None]
+    return boxes, nms_boxes, top_scores, cls_top, valid
+
+
+def batched_nms_feats(
+    feats,
+    anchor_table,
+    strides,
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    class_agnostic: bool = False,
+    backend: str = "auto",
+    approx_topk: bool = False,
+):
+    """Batched NMS straight from raw head feature maps (lane-efficient
+    serving fast path; see _prepare_candidates_feats). Same output
+    contract as batched_nms: ((B, max_det, 6), (B, max_det)).
+
+    Argmax-class semantics only (the serving default); multi_label
+    evaluation keeps the batched_nms path.
+    """
+    boxes, nms_boxes, top_scores, cls_top, valid = _prepare_candidates_feats(
+        feats, anchor_table, strides, conf_thresh, pre_topk, class_agnostic,
+        approx_topk,
+    )
+    k = top_scores.shape[-1]
+    if backend.startswith("auto:"):
+        use_pallas = _pallas_supported(k, backend.split(":", 1)[1])
+    else:
+        use_pallas = backend == "pallas" or (backend == "auto" and _pallas_supported(k))
+    if use_pallas:
+        from aquaculture_tpu.ops.nms_pallas import greedy_suppress_pallas
+
+        keep = greedy_suppress_pallas(nms_boxes, valid, iou_thresh)
+    else:
+        keep = jax.vmap(lambda nb, v: _greedy_suppress(_iou_matrix(nb), v, iou_thresh))(
+            nms_boxes, valid
+        )
+    return jax.vmap(lambda b_, c_, s_, kp: _compact(b_, c_, s_, kp, max_det))(
+        boxes, cls_top, top_scores, keep
+    )
 
 
 def batched_nms(

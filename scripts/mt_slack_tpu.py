@@ -41,6 +41,18 @@ RESULTS = os.path.join(os.path.dirname(__file__), "..", "BENCH_MT_SLACK.jsonl")
 CONFIGS = [
     "input_cast", "conv_id", "fwd_raw", "fwd_decode",
     "fwd_prep", "fwd_supp", "full",
+    # prep-internal attribution (round-5b): score computation alone, then
+    # + top-k, then + gathers (== fwd_prep)
+    "fwd_score", "fwd_topk",
+    # round-5c: the lane-efficient feats-direct candidates path
+    # (ops/nms.batched_nms_feats) vs `full` (the rows path)
+    "full_feats",
+    # round-5d: feats-prep internals — cols build+score+topk only, then
+    # + survivor gathers/decode (== prep portion of full_feats)
+    "feats_topk", "feats_prep",
+    # round-5e: rows-path gather levers — XLA gather flags (unique +
+    # in-bounds), and index-sorted gather + small-table unsort
+    "prep_hint", "prep_sorted",
 ]
 VARIANT = "mt"
 BATCH = 128
@@ -97,9 +109,114 @@ def run(config: str) -> dict:
         if config in ("fwd_raw", "conv_id"):
             feats, _ = model.features(params, x)
             return [f.sum() for f in feats]
+        if config == "full_feats":
+            from aquaculture_tpu.ops.nms import batched_nms_feats
+
+            feats, _ = model.features(params, x)
+            return batched_nms_feats(
+                feats, model.anchor_table, model.strides,
+                conf_thresh=cfg.conf_threshold,
+                iou_thresh=cfg.iou_threshold,
+                max_det=cfg.max_detections,
+                pre_topk=cfg.pre_nms_topk,
+            )
+        if config in ("feats_topk", "feats_prep"):
+            import importlib
+
+            N = importlib.import_module("aquaculture_tpu.ops.nms")
+            feats, _ = model.features(params, x)
+            if config == "feats_prep":
+                boxes, nmsb, ts, ct, va = N._prepare_candidates_feats(
+                    feats, model.anchor_table, model.strides,
+                    cfg.conf_threshold, cfg.pre_nms_topk, False,
+                )
+                return boxes.sum() + ts.sum() + va.sum()
+            # cols build + score + topk only (no survivor gathers/decode)
+            b = feats[0].shape[0]
+            na = len(model.anchor_table[0])
+            C = feats[0].shape[-1]
+            no = C // na
+            cols_l = []
+            hw_tot = 0
+            for f in feats:
+                _, h, w, _ = f.shape
+                hw_tot += h * w
+                cols_l.append(jnp.transpose(
+                    f.reshape(b, h * w, C).astype(jnp.float32), (0, 2, 1)))
+            cols = jnp.concatenate(cols_l, axis=-1).reshape(b, na, no, hw_tot)
+            cols = jnp.transpose(cols, (0, 2, 1, 3)).reshape(b, no, na * hw_tot)
+            obj = jax.nn.sigmoid(cols[:, 4])
+            clsz = jax.nn.sigmoid(cols[:, 5:]) * obj[:, None, :]
+            conf = clsz.max(axis=1)
+            score = jnp.where(conf >= cfg.conf_threshold, conf, -1.0)
+            vals, q = jax.vmap(
+                lambda s: N._select_topk(s, cfg.pre_nms_topk, False))(score)
+            return vals.sum() + q.sum()
         preds, _ = model.apply(params, x)
         if config == "fwd_decode":
             return preds.sum()
+        if config in ("fwd_score", "fwd_topk"):
+            import importlib
+
+            N = importlib.import_module("aquaculture_tpu.ops.nms")
+
+            def _score(p):
+                p = p.astype(jnp.float32)
+                obj = p[:, 4]
+                cls_scores = p[:, 5:] * obj[:, None]
+                cls_id = jnp.argmax(cls_scores, axis=-1)
+                conf = jnp.max(cls_scores, axis=-1)
+                score = jnp.where(conf >= cfg.conf_threshold, conf, -1.0)
+                return score, cls_id
+
+            if config == "fwd_score":
+                s, c = jax.vmap(_score)(preds)
+                return s.sum() + c.sum()
+
+            def _topk(p):
+                score, cls_id = _score(p)
+                vals, idx = N._select_topk(score, cfg.pre_nms_topk, False)
+                return vals, idx, cls_id
+
+            v, i, c = jax.vmap(_topk)(preds)
+            return v.sum() + i.sum() + c.sum()
+        if config in ("prep_hint", "prep_sorted"):
+            import importlib
+
+            N = importlib.import_module("aquaculture_tpu.ops.nms")
+
+            def _prep2(p):
+                p = p.astype(jnp.float32)
+                obj = p[:, 4]
+                cls_scores = p[:, 5:] * obj[:, None]
+                cls_id = jnp.argmax(cls_scores, axis=-1)
+                conf = jnp.max(cls_scores, axis=-1)
+                score = jnp.where(conf >= cfg.conf_threshold, conf, -1.0)
+                top_scores, top_idx = N._select_topk(score, cfg.pre_nms_topk, False)
+                base = jnp.concatenate(
+                    [p[:, 0:4], cls_id.astype(jnp.float32)[:, None]], axis=1
+                )
+                dn = jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1,), collapsed_slice_dims=(0,),
+                    start_index_map=(0,))
+                if config == "prep_sorted":
+                    order = jnp.argsort(top_idx)
+                    idx_s = top_idx[order]
+                    sel_s = jax.lax.gather(
+                        base, idx_s[:, None], dn, slice_sizes=(1, base.shape[1]),
+                        indices_are_sorted=True, unique_indices=True,
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                    inv = jnp.argsort(order)
+                    sel = jnp.take(sel_s, inv, axis=0)
+                else:
+                    sel = jax.lax.gather(
+                        base, top_idx[:, None], dn, slice_sizes=(1, base.shape[1]),
+                        indices_are_sorted=False, unique_indices=True,
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                return sel, top_scores
+
+            sel, ts = jax.vmap(_prep2)(preds)
+            return sel.sum() + ts.sum()
         if config in ("fwd_prep", "fwd_supp"):
             import importlib
 

@@ -28,7 +28,18 @@ import numpy as np
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 RESULTS = os.path.join(ROOT, "BENCH_TRAIN_ABLATION.jsonl")
-CONFIGS = ["fwd_loss", "fwd_bwd", "bwd_sgd", "full", "host_feed"]
+# Round-5 program-shape levers (VERDICT r4 #2) on the PRODUCTION variant
+# (mt): "XLA-scheduling-bound" rested on one probe (phase-grad); these are
+# the untried restructurings. mt_full is the same-protocol baseline; accum
+# changes fusion shapes without the tunnel-blocked b192 compile; split
+# breaks the step into two jitted programs (different scheduling problem);
+# remat trades FLOPs for live-range pressure; nodonate quantifies what
+# donation buys (the donation audit's A/B, with memory_analysis fields).
+CONFIGS = [
+    "fwd_loss", "fwd_bwd", "bwd_sgd", "full", "host_feed",
+    "mt_full", "mt_accum2", "mt_accum4", "mt_split", "mt_remat",
+    "mt_nodonate",
+]
 IMG = 640
 WARMUP = 2
 STEPS = 8
@@ -112,7 +123,12 @@ def run_config(name: str, batch: int) -> dict:
             "host_cores": os.cpu_count(),
         }
 
-    model, params = yolov5_init("m", num_classes=5, seed=0)
+    variant = "mt" if name.startswith("mt_") else "m"
+    if name == "mt_remat":
+        cfg = TrainConfig(
+            img_size=IMG, batch_size=batch, max_boxes_per_image=32, remat=True
+        )
+    model, params = yolov5_init(variant, num_classes=5, seed=0)
     state = init_train_state(model, params)
 
     def loss_fn(params, batch_d):
@@ -147,12 +163,106 @@ def run_config(name: str, batch: int) -> dict:
             params2, opt = sgd_update(new_params, grads, state.opt, 100, cfg)
             return TrainState(params=params2, opt=opt, ema=state.ema,
                               step=state.step + 1), metrics
-    elif name == "full":
+    elif name in ("full", "mt_full", "mt_nodonate", "mt_remat"):
         step = make_train_step(model, cfg, steps_per_epoch=100)
+    elif name in ("mt_accum2", "mt_accum4"):
+        # Gradient-accumulation microbatching: B/n microbatches through a
+        # lax.scan accumulating grads, one SGD+EMA update. Same total
+        # FLOPs; smaller per-program activation live ranges and different
+        # fusion shapes (the b192-equivalent lever that doesn't need the
+        # tunnel-blocked big compile).
+        n_micro = 2 if name == "mt_accum2" else 4
+        mb = batch // n_micro
+
+        def step(state, batch_d):
+            mbs = jax.tree_util.tree_map(
+                lambda x: x.reshape((n_micro, mb) + x.shape[1:]), batch_d
+            )
+
+            def micro(carry, mb_d):
+                gacc, _ = carry
+                grads, (new_params, metrics) = jax.grad(loss_fn, has_aux=True)(
+                    state.params, mb_d
+                )
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+                return (gacc, new_params), metrics
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, new_params), metrics_seq = jax.lax.scan(
+                micro, (g0, state.params), mbs
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
+            metrics = jax.tree_util.tree_map(lambda x: x.mean(0), metrics_seq)
+            params2, opt = sgd_update(new_params, grads, state.opt, 100, cfg)
+            ema = ema_update(state.ema, params2, state.step + 1, cfg.ema_decay)
+            return (
+                TrainState(params=params2, opt=opt, ema=ema, step=state.step + 1),
+                metrics,
+            )
+    elif name == "mt_split":
+        # Two separately-jitted programs: (fwd+bwd) and (SGD+EMA update) —
+        # gives XLA two smaller scheduling problems at the cost of
+        # materializing the grads between them.
+        def grad_prog(params, batch_d):
+            grads, (new_params, metrics) = jax.grad(loss_fn, has_aux=True)(
+                params, batch_d
+            )
+            return grads, new_params, metrics
+
+        def update_prog(state, grads, new_params):
+            params2, opt = sgd_update(new_params, grads, state.opt, 100, cfg)
+            ema = ema_update(state.ema, params2, state.step + 1, cfg.ema_decay)
+            return TrainState(params=params2, opt=opt, ema=ema, step=state.step + 1)
+
+        g_jit = jax.jit(grad_prog)
+        u_jit = jax.jit(update_prog, donate_argnums=(0, 1, 2))
+
+        rng = np.random.default_rng(0)
+        batch_d = _batch_data(batch, cfg.max_boxes_per_image, rng)
+        state = jax.device_put(state)
+        t_c = time.perf_counter()
+        g_c = g_jit.lower(state.params, batch_d).compile()
+        u_c = u_jit.lower(
+            state,
+            jax.eval_shape(lambda s: s.params, state),
+            jax.eval_shape(lambda s: s.params, state),
+        ).compile()
+        compile_s = time.perf_counter() - t_c
+        flops = 0.0
+        for c in (g_c, u_c):
+            try:
+                ca = c.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops += float(ca.get("flops", 0.0))
+            except Exception:
+                pass
+
+        def one(state):
+            grads, new_params, metrics = g_c(state.params, batch_d)
+            return u_c(state, grads, new_params), metrics
+
+        for _ in range(WARMUP):
+            state, metrics = one(state)
+        jax.block_until_ready(metrics["total"])
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, metrics = one(state)
+        jax.block_until_ready(metrics["total"])
+        dt = (time.perf_counter() - t0) / STEPS
+        return {
+            "config": name, "batch": batch, "variant": variant,
+            "ms_per_step": round(dt * 1000, 2),
+            "img_per_s": round(batch / dt, 1),
+            "step_tflops": round(flops / 1e12, 2) if flops else None,
+            "mfu_pct": round(100 * flops / dt / PEAK_FLOPS, 2) if flops else None,
+            "compile_s": round(compile_s, 1),
+        }
     else:
         raise ValueError(name)
 
-    jitted = jax.jit(step, donate_argnums=0)
+    donate = () if name == "mt_nodonate" else (0,)
+    jitted = jax.jit(step, donate_argnums=donate)
     rng = np.random.default_rng(0)
     batch_d = _batch_data(batch, cfg.max_boxes_per_image, rng)
     state = jax.device_put(state)
@@ -168,6 +278,17 @@ def run_config(name: str, batch: int) -> dict:
         flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        mem = {
+            "temp_mb": round(ma.temp_size_in_bytes / 1e6, 1),
+            "argument_mb": round(ma.argument_size_in_bytes / 1e6, 1),
+            "output_mb": round(ma.output_size_in_bytes / 1e6, 1),
+            "alias_mb": round(ma.alias_size_in_bytes / 1e6, 1),
+        }
+    except Exception:
+        pass
 
     for _ in range(WARMUP):
         state, metrics = compiled(state, batch_d)
@@ -178,15 +299,18 @@ def run_config(name: str, batch: int) -> dict:
     jax.block_until_ready(metrics["total"])
     dt = (time.perf_counter() - t0) / STEPS
 
-    return {
+    out = {
         "config": name,
         "batch": batch,
+        "variant": variant,
         "ms_per_step": round(dt * 1000, 2),
         "img_per_s": round(batch / dt, 1),
         "step_tflops": round(flops / 1e12, 2) if flops else None,
         "mfu_pct": round(100 * flops / dt / PEAK_FLOPS, 2) if flops else None,
         "compile_s": round(compile_s, 1),
     }
+    out.update(mem)
+    return out
 
 
 def main():

@@ -305,3 +305,77 @@ def test_tta_predict_identity_and_merge():
     np.testing.assert_array_equal(
         np.asarray(flip_only[..., 1:]), np.asarray(mirrored[..., 1:])
     )
+
+
+def test_feats_path_matches_rows_path():
+    """The lane-efficient serving fast path (batched_nms_feats, straight
+    from raw head maps, round 5) must produce the same detections as
+    batched_nms(model.decode(feats)) — same box decode, same score math,
+    same NMS; only the flat candidate ordering differs (anchor-major vs
+    position-major), which can matter solely for exactly-tied scores.
+    Implanted well-separated candidates make the comparison tie-free."""
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.ops.nms import batched_nms_feats
+
+    model, _ = yolov5_init("n", num_classes=5, seed=0)
+    na, no = 3, 10
+    rng = np.random.default_rng(7)
+    B = 2
+    feats = []
+    for s in (8, 16, 32):
+        h = w = 320 // s
+        feats.append(rng.normal(-8.0, 0.3, (B, h, w, na * no)).astype(np.float32))
+    for b in range(B):
+        for _ in range(40):
+            li = int(rng.integers(0, 3))
+            h = w = 320 // (8 << li)
+            y, x, a = int(rng.integers(0, h)), int(rng.integers(0, w)), int(rng.integers(0, na))
+            base = a * no
+            feats[li][b, y, x, base:base + 4] = rng.normal(0, 1, 4)
+            feats[li][b, y, x, base + 4] = rng.uniform(1.0, 4.0)
+            feats[li][b, y, x, base + 5:base + 10] = rng.normal(0, 2, 5)
+    feats = [jnp.asarray(f) for f in feats]
+
+    preds = model.decode(feats)
+    det_a, val_a = batched_nms(preds, conf_thresh=0.01)
+    det_b, val_b = batched_nms_feats(
+        feats, model.anchor_table, model.strides, conf_thresh=0.01
+    )
+    da, db, va, vb = map(np.asarray, (det_a, det_b, val_a, val_b))
+    assert va.sum() == vb.sum() and va.sum() > 40
+    for i in range(B):
+        ra, rb = da[i][va[i]], db[i][vb[i]]
+        assert len(ra) == len(rb)
+        np.testing.assert_allclose(ra, rb, rtol=1e-5, atol=1e-4)
+
+
+def test_feats_path_p6_and_class_agnostic():
+    """feats path on a P6 4-level head + class_agnostic parity."""
+    from aquaculture_tpu.models.yolov5 import yolov5_init
+    from aquaculture_tpu.ops.nms import batched_nms_feats
+
+    model, _ = yolov5_init("n6", num_classes=2, seed=0)
+    na = 3
+    no = 7
+    rng = np.random.default_rng(11)
+    feats = []
+    for s in model.strides:
+        h = w = 256 // int(s)
+        f = rng.normal(-8.0, 0.3, (1, h, w, na * no)).astype(np.float32)
+        for _ in range(10):
+            y, x, a = int(rng.integers(0, h)), int(rng.integers(0, w)), int(rng.integers(0, na))
+            f[0, y, x, a * no + 4] = rng.uniform(1.0, 4.0)
+            f[0, y, x, a * no + 5:a * no + 7] = rng.normal(0, 2, 2)
+        feats.append(f)
+    feats = [jnp.asarray(f) for f in feats]
+    preds = model.decode(feats)
+    for agn in (False, True):
+        det_a, val_a = batched_nms(preds, conf_thresh=0.01, class_agnostic=agn)
+        det_b, val_b = batched_nms_feats(
+            feats, model.anchor_table, model.strides, conf_thresh=0.01,
+            class_agnostic=agn,
+        )
+        da, db, va, vb = map(np.asarray, (det_a, det_b, val_a, val_b))
+        assert va.sum() == vb.sum() > 0
+        ra, rb = da[0][va[0]], db[0][vb[0]]
+        np.testing.assert_allclose(ra, rb, rtol=1e-5, atol=1e-4)
