@@ -53,6 +53,9 @@ CONFIGS = [
     # round-5e: rows-path gather levers — XLA gather flags (unique +
     # in-bounds), and index-sorted gather + small-table unsort
     "prep_hint", "prep_sorted",
+    # round-5f: the full serving program after adopting the flagged
+    # gather in _prepare_candidates (same code path as `full`)
+    "full_hint",
 ]
 VARIANT = "mt"
 BATCH = 128
