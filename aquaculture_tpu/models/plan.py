@@ -388,7 +388,10 @@ def recommend_training(
         f"feed_cores={feed_cores}: the augmented 640px feed produces 17.1 "
         f"img/s/core vs this variant's {step_rate:g} img/s step — thread "
         "the dataset feed (TrainConfig.feed_threads; batches are "
-        "thread-count-invariant) — BENCHMARKS 'host feed'")
+        "thread-count-invariant) — BENCHMARKS 'host feed'. CAVEAT: the "
+        "per-core rate was measured on a 1-core sandbox; the multi-core "
+        "overlap itself is EXTRAPOLATED, so validate the core count on "
+        "the real TPU-VM host (README Known limitations)")
 
     return TrainingPlan(
         variant=variant,

@@ -278,6 +278,10 @@ def run_config(name: str, batch: int) -> dict:
         flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
+    if flops and name in ("mt_accum2", "mt_accum4"):
+        # cost_analysis counts a lax.scan body ONCE; the step executes it
+        # n_micro times — scale so MFU is comparable across configs
+        flops *= 2 if name == "mt_accum2" else 4
     mem = {}
     try:
         ma = compiled.memory_analysis()

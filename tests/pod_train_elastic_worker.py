@@ -48,8 +48,10 @@ def main() -> None:
     ckpt_dir = sys.argv[5]
     n_total = int(sys.argv[6])
     n_crash = int(sys.argv[7])
+    # optional global device count (test_pod8: 8-device global mesh)
+    ndev = int(sys.argv[8]) if len(sys.argv) > 8 else 4
 
-    local_devices = 4 // nproc
+    local_devices = ndev // nproc
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={local_devices}"
@@ -73,10 +75,11 @@ def main() -> None:
     from aquaculture_tpu.train.trainer import TrainState, init_train_state
     from aquaculture_tpu.utils.checkpoint import load_params, save_params
 
-    mesh = make_mesh(n_data=4, n_model=1)
+    mesh = make_mesh(n_data=ndev, n_model=1)
     model, params = yolov5_init("n", num_classes=5, seed=0)
     cfg = TrainConfig(
-        img_size=64, batch_size=4, max_boxes_per_image=8, compute_dtype="float32"
+        img_size=64, batch_size=ndev, max_boxes_per_image=8,
+        compute_dtype="float32"
     )
     state = init_train_state(model, params)
 

@@ -17,8 +17,11 @@ def main() -> None:
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
     port = sys.argv[3]
+    # optional global device count (test_pod8 runs the same proof on an
+    # 8-device global mesh, matching dryrun_multichip's topology)
+    ndev = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
-    local_devices = 4 // nproc
+    local_devices = ndev // nproc
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={local_devices}"
@@ -31,7 +34,7 @@ def main() -> None:
         coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
     )
     assert jax.process_count() == nproc, jax.process_count()
-    assert len(jax.devices()) == 4, len(jax.devices())
+    assert len(jax.devices()) == ndev, len(jax.devices())
 
     import numpy as np
     import jax.numpy as jnp
@@ -42,15 +45,16 @@ def main() -> None:
     from aquaculture_tpu.parallel.sharded import sharded_train_step
     from aquaculture_tpu.train.trainer import init_train_state
 
-    mesh = make_mesh(n_data=4, n_model=1)
+    mesh = make_mesh(n_data=ndev, n_model=1)
     model, params = yolov5_init("n", num_classes=5, seed=0)
     cfg = TrainConfig(
-        img_size=64, batch_size=4, max_boxes_per_image=8, compute_dtype="float32"
+        img_size=64, batch_size=ndev, max_boxes_per_image=8,
+        compute_dtype="float32"
     )
     state = init_train_state(model, params)
 
     rng = np.random.default_rng(0)
-    b, m = 4, cfg.max_boxes_per_image
+    b, m = ndev, cfg.max_boxes_per_image
     global_batch = {
         "images": rng.random((b, 64, 64, 3), dtype=np.float32),
         "labels": np.stack(
@@ -97,8 +101,8 @@ def main() -> None:
 
     from aquaculture_tpu.parallel.mesh import put_global
 
-    mesh2 = Mesh(np.asarray(jax.devices()).reshape(1, 4), ("data", "model"))
-    host = np.arange(32, dtype=np.float32).reshape(8, 4)
+    mesh2 = Mesh(np.asarray(jax.devices()).reshape(1, ndev), ("data", "model"))
+    host = np.arange(8 * ndev, dtype=np.float32).reshape(8, ndev)
     g = put_global(host, NamedSharding(mesh2, P(None, "model")))
     back = multihost_utils.process_allgather(g, tiled=True)
     assert back.shape == host.shape and np.array_equal(back, host), back
