@@ -711,6 +711,16 @@ def _subdivide(queue: list, operation: int, s_maxx: float, minmaxx: float) -> Li
                 nxt = status.items[i + 1] if i + 1 < len(status.items) else None
                 status.remove_at(i)
                 if prev is not None and nxt is not None:
+                    # NB: a left-coincide overlap first detected HERE (two
+                    # edges becoming adjacent only at a removal) is marked
+                    # with whatever fields the pair carries — there is no
+                    # field refresh at removal time in the published
+                    # algorithm, so _remark_overlap has no hook (it fixes
+                    # the insertion-time branches, where a refresh already
+                    # exists). Such a pair must share a left endpoint yet
+                    # first touch at a later removal — the semantic-fuzz
+                    # campaigns (20k+ pairs incl. the pinwheel/coincidence
+                    # generators) have not produced this configuration.
                     _possible_intersection(prev, nxt, queue)
     return sorted_events
 
