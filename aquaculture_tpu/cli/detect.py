@@ -135,6 +135,12 @@ def main(argv=None) -> None:
     ap.add_argument("--augment", action="store_true",
                     help="test-time augmentation (multi-scale + lr-flip, "
                          "ultralytics detect.py --augment)")
+    ap.add_argument("--pre-topk", type=int, default=None,
+                    help="candidate pool cap before suppression (default "
+                         "1024; 512 measured +3.3%% bulk throughput at "
+                         "mt/b128 and mAP-identical on the gate world — "
+                         "BENCHMARKS 'pre-topk 512'; truncation only "
+                         "binds above pre_topk candidates per tile)")
     ap.add_argument("--multi-label", action="store_true",
                     help="one detection per (box, class) above conf "
                          "(ultralytics val.py semantics; default argmax class)")
@@ -219,10 +225,13 @@ def main(argv=None) -> None:
             ),
         )
     else:
-        cfg = DetectConfig(
+        cfg_kw = dict(
             img_size=img_size, conf_threshold=args.conf, iou_threshold=args.iou,
             multi_label=args.multi_label, augment=args.augment,
         )
+        if args.pre_topk:
+            cfg_kw["pre_nms_topk"] = args.pre_topk
+        cfg = DetectConfig(**cfg_kw)
     # .txt rows are normalized to the TILE the boxes live in
     # (reference contract: geocode_results.py:89-99 maps normalized
     # coords through the tile's pixel size)

@@ -210,6 +210,11 @@ def serving_accuracy_table(
             cfg_kw["augment"] = True
         elif name == "multi_label":
             cfg_kw["multi_label"] = True
+        elif name == "topk512":
+            # candidate-pool cap 512 (vs the 1024 default): +3.3% measured
+            # serving throughput at mt/b128 (BENCH_MT_SLACK full_topk512);
+            # shippable only while this row stays within epsilon of bf16
+            cfg_kw["pre_nms_topk"] = 512
         else:
             raise ValueError(f"unknown serving config {name!r}")
         cfg = DetectConfig(**cfg_kw)

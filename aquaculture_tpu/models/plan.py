@@ -181,6 +181,11 @@ def recommend_serving(
         notes.append(
             "batch=128: measured knee — 192/256 are flat-to-slower at 2x "
             "the latency (BENCHMARKS 'Inference')")
+        notes.append(
+            "optional: --pre-topk 512 measured +3.3% bulk throughput at "
+            "mt/b128 and mAP-identical on the gate world (CI-gated); the "
+            "default stays 1024 — truncation binds only above pre_topk "
+            "candidates/tile (BENCHMARKS 'pre-topk 512')")
 
     # m6's int8 win is a b128-at-1280 measurement pair (throughput +
     # accuracy); any other P6 geometry is unmeasured and stays bf16

@@ -56,6 +56,10 @@ CONFIGS = [
     # round-5f: the full serving program after adopting the flagged
     # gather in _prepare_candidates (same code path as `full`)
     "full_hint",
+    # round-5g: candidate-pool cap at 512 (halves top-k stage 2, the
+    # suppression kernel's K^2 scan, and the gathers; semantic change —
+    # only shippable behind an mAP gate)
+    "full_topk512",
 ]
 VARIANT = "mt"
 BATCH = 128
@@ -242,7 +246,7 @@ def run(config: str) -> dict:
             conf_thresh=cfg.conf_threshold,
             iou_thresh=cfg.iou_threshold,
             max_det=cfg.max_detections,
-            pre_topk=cfg.pre_nms_topk,
+            pre_topk=512 if config == "full_topk512" else cfg.pre_nms_topk,
         )
 
     try:

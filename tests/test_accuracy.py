@@ -41,7 +41,7 @@ def table(world):
     rows = serving_accuracy_table(
         img_dir, lab_dir, FIXTURE,
         variant="n", num_classes=2, img_size=160,
-        configs=("bf16", "int8_mixed", "int8_safe", "multi_label"),
+        configs=("bf16", "int8_mixed", "int8_safe", "multi_label", "topk512"),
     )
     return {r.name: r for r in rows}
 
@@ -66,6 +66,18 @@ def test_int8_safe_default_localization_neutral(table):
     safe, bf16 = table["int8_safe"], table["bf16"]
     assert abs(safe.map50 - bf16.map50) <= 0.05, (safe, bf16)
     assert abs(safe.map - bf16.map) <= 0.03, (safe, bf16)
+
+
+def test_topk512_within_epsilon_of_bf16(table):
+    """--pre-topk 512 ships only while this gate holds: +3.3% measured
+    bulk throughput at mt/b128 (BENCH_MT_SLACK full_topk512), and the
+    candidate-pool truncation must stay within epsilon of the 1024
+    default on the gate world (it measured IDENTICAL — the pool rarely
+    exceeds 512 candidates per tile)."""
+    d50 = table["topk512"].map50 - table["bf16"].map50
+    d = table["topk512"].map - table["bf16"].map
+    assert abs(d50) <= 0.02, (table["topk512"], table["bf16"])
+    assert abs(d) <= 0.02, (table["topk512"], table["bf16"])
 
 
 def test_multi_label_not_catastrophic(table):
