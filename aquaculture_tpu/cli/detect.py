@@ -188,6 +188,15 @@ def main(argv=None) -> None:
                 "artifact expects full-resolution tiles and resizes on "
                 "device. Drop one of the flags."
             )
+        if args.pre_topk:
+            # the artifact bakes its candidate pool at export time — a
+            # silently ignored flag would claim the gated +3.3% without
+            # delivering it
+            raise SystemExit(
+                "--pre-topk cannot be combined with --aot: the candidate "
+                "pool is compiled into the artifact. Re-export with the "
+                "desired pool, or drop --aot."
+            )
         exported, meta = aot.load_aot(args.aot)
         args.variant = meta.get("variant") or args.variant
         args.num_classes = meta.get("num_classes") or args.num_classes

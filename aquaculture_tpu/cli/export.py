@@ -65,7 +65,17 @@ def main(argv=None) -> None:
     if args.full_model:
         from aquaculture_tpu.models.export import export_full_model_pt
 
-        names = args.names.split(",") if args.names else None
+        names = None
+        if args.names:
+            names = [n.strip() for n in args.names.split(",")]
+            if len(names) != num_classes:
+                # a short names dict crashes the ultralytics consumer at
+                # DETECTION time (names[int(cls)] KeyError mid-inference) —
+                # fail at export instead
+                raise SystemExit(
+                    f"--names has {len(names)} entries but the model has "
+                    f"{num_classes} classes"
+                )
         export_full_model_pt(model, params, args.out, names=names)
         log_info("exported full-model pickle (yolov5%s, %d classes) -> %s",
                  variant, num_classes, args.out)

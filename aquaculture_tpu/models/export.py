@@ -193,6 +193,18 @@ def _pickle_tensor(key: str, arr: np.ndarray) -> bytes:
     return b"".join(out)
 
 
+def _write_torch_zip(path: str, pkl: bytes, entries, root: str) -> None:
+    """The torch-zip container (data.pkl + data/<key> payloads + version/
+    byteorder) — ONE encoding shared by the state-dict and full-model
+    writers so the format can never drift between them."""
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr(f"{root}/data.pkl", pkl)
+        for key, raw in entries:
+            zf.writestr(f"{root}/data/{key}", raw)
+        zf.writestr(f"{root}/version", b"3\n")
+        zf.writestr(f"{root}/byteorder", b"little")
+
+
 def write_pt(path: str, state_dict: Dict[str, np.ndarray], root: str = "archive") -> None:
     """Write ``{name: array}`` as a torch-zip ``.pt`` (flat tensor state
     dict — the layout ``torch.load(..., weights_only=True)`` accepts and
@@ -209,13 +221,7 @@ def write_pt(path: str, state_dict: Dict[str, np.ndarray], root: str = "archive"
         pkl.append(_pickle_tensor(key, arr))
         entries.append((key, arr.tobytes()))
     pkl += [_SETITEMS, _STOP]
-
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
-        zf.writestr(f"{root}/data.pkl", b"".join(pkl))
-        for key, raw in entries:
-            zf.writestr(f"{root}/data/{key}", raw)
-        zf.writestr(f"{root}/version", b"3\n")
-        zf.writestr(f"{root}/byteorder", b"little")
+    _write_torch_zip(path, b"".join(pkl), entries, root)
 
 
 def export_ultralytics_pt(
@@ -421,13 +427,17 @@ def _sh_silu():
 
 def _sh_uconv(p: dict, k: int, s: int, pad: int, meta):
     """ultralytics models.common.Conv (conv+bn+act)."""
+    if "bn" not in p:
+        raise ValueError(
+            "full-model export hit a conv without BN (fused tree?) — "
+            "export the training-layout tree"
+        )
     w = _oihw(p["w"])
-    mods = [("conv", _sh_conv2d(w, None, s, pad))]
-    if "bn" in p:
-        mods.append(("bn", _sh_bn(p["bn"])))
-    mods.append(("act", _sh_silu()))
     return _Obj(_G("models.common", "Conv"), _module_state(
-        modules=mods, extra=meta))
+        modules=[("conv", _sh_conv2d(w, None, s, pad)),
+                 ("bn", _sh_bn(p["bn"])),
+                 ("act", _sh_silu())],
+        extra=meta))
 
 
 def _seq(children):
@@ -520,10 +530,18 @@ def full_model_graph(model, params: dict,
     """Shadow object graph of an ultralytics DetectionModel for this
     param tree (training layout, separate conv/bn). See module notes."""
     w0 = np.asarray(params["b0"]["w"])
-    if "wq" in params["b0"] or w0.ndim != 4 or w0.shape[0] != 6:
+    if (
+        "wq" in params["b0"] or w0.ndim != 4 or w0.shape[0] != 6
+        or "bn" not in params["b0"]
+    ):
+        # The bn check matters: a PLAIN-fused tree (fuse(stem_s2d=False))
+        # keeps the k6 stem but folds every BN into conv biases — without
+        # it the shadow Conv modules would silently emit bias=None and no
+        # bn child, and the consumer's forward/fuse() would crash or
+        # serve wrong numbers (round-5 self-review finding).
         raise ValueError(
             "full-model export needs the training-layout tree "
-            "(un-quantized, un-fused: b0 kernel k6)"
+            "(un-quantized, un-fused: b0 kernel k6 with separate BN)"
         )
     if getattr(model, "is_p6", False):
         graph, save, det_f, det_i = _P6_GRAPH, _P6_SAVE, _P6_DETECT_F, 33
@@ -609,9 +627,4 @@ def export_full_model_pt(model, params: dict, path: str,
         "updates": None,
     }
     pkl = _PROTO2 + _emit(body, entries) + _STOP
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
-        zf.writestr(f"{root}/data.pkl", pkl)
-        for key, raw in entries:
-            zf.writestr(f"{root}/data/{key}", raw)
-        zf.writestr(f"{root}/version", b"3\n")
-        zf.writestr(f"{root}/byteorder", b"little")
+    _write_torch_zip(path, pkl, entries, root)

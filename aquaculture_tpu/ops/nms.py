@@ -212,6 +212,32 @@ def _pallas_supported(k: int, plat: str | None = None) -> bool:
     return plat in ("tpu", "axon") and k % 128 == 0
 
 
+def _resolve_backend(k: int, backend: str) -> bool:
+    """Kernel-choice policy shared by batched_nms and batched_nms_feats
+    (one copy: a divergent fix would silently give the two entry points
+    different kernels)."""
+    if backend.startswith("auto:"):
+        return _pallas_supported(k, backend.split(":", 1)[1])
+    return backend == "pallas" or (backend == "auto" and _pallas_supported(k))
+
+
+def _suppress_and_compact(boxes, nms_boxes, top_scores, cls_top, valid,
+                          iou_thresh, max_det, use_pallas):
+    """Batched suppression + max_det compaction tail shared by both NMS
+    entry points."""
+    if use_pallas:
+        from aquaculture_tpu.ops.nms_pallas import greedy_suppress_pallas
+
+        keep = greedy_suppress_pallas(nms_boxes, valid, iou_thresh)
+    else:
+        keep = jax.vmap(lambda nb, v: _greedy_suppress(_iou_matrix(nb), v, iou_thresh))(
+            nms_boxes, valid
+        )
+    return jax.vmap(lambda b_, c_, s_, kp: _compact(b_, c_, s_, kp, max_det))(
+        boxes, cls_top, top_scores, keep
+    )
+
+
 def _prepare_candidates_feats(feats, anchor_table, strides, conf_thresh,
                               pre_topk, class_agnostic, approx_topk=False):
     """Batched candidate selection straight from the raw head feature
@@ -357,20 +383,9 @@ def batched_nms_feats(
         approx_topk,
     )
     k = top_scores.shape[-1]
-    if backend.startswith("auto:"):
-        use_pallas = _pallas_supported(k, backend.split(":", 1)[1])
-    else:
-        use_pallas = backend == "pallas" or (backend == "auto" and _pallas_supported(k))
-    if use_pallas:
-        from aquaculture_tpu.ops.nms_pallas import greedy_suppress_pallas
-
-        keep = greedy_suppress_pallas(nms_boxes, valid, iou_thresh)
-    else:
-        keep = jax.vmap(lambda nb, v: _greedy_suppress(_iou_matrix(nb), v, iou_thresh))(
-            nms_boxes, valid
-        )
-    return jax.vmap(lambda b_, c_, s_, kp: _compact(b_, c_, s_, kp, max_det))(
-        boxes, cls_top, top_scores, keep
+    return _suppress_and_compact(
+        boxes, nms_boxes, top_scores, cls_top, valid, iou_thresh, max_det,
+        _resolve_backend(k, backend),
     )
 
 
@@ -399,25 +414,12 @@ def batched_nms(
     _select_topk) — measured A/B before use; off by default.
     """
     k = min(pre_topk, preds.shape[1] if not multi_label else preds.shape[1] * (preds.shape[2] - 5))
-    if backend.startswith("auto:"):
-        use_pallas = _pallas_supported(k, backend.split(":", 1)[1])
-    else:
-        use_pallas = backend == "pallas" or (backend == "auto" and _pallas_supported(k))
-
     prep = jax.vmap(
         lambda p: _prepare_candidates(p, conf_thresh, k, class_agnostic, multi_label,
                                       approx_topk)
     )
     boxes, nms_boxes, top_scores, cls_top, valid = prep(preds)
-
-    if use_pallas:
-        from aquaculture_tpu.ops.nms_pallas import greedy_suppress_pallas
-
-        keep = greedy_suppress_pallas(nms_boxes, valid, iou_thresh)
-    else:
-        keep = jax.vmap(lambda nb, v: _greedy_suppress(_iou_matrix(nb), v, iou_thresh))(
-            nms_boxes, valid
-        )
-    return jax.vmap(lambda b_, c_, s_, kp: _compact(b_, c_, s_, kp, max_det))(
-        boxes, cls_top, top_scores, keep
+    return _suppress_and_compact(
+        boxes, nms_boxes, top_scores, cls_top, valid, iou_thresh, max_det,
+        _resolve_backend(k, backend),
     )

@@ -239,3 +239,9 @@ def test_full_model_pt_refuses_fused_tree(tmp_path):
     fused = model.fuse(params)
     with pytest.raises(ValueError, match="training-layout"):
         export_full_model_pt(model, fused, str(tmp_path / "x.pt"))
+    # plain-fused (stem_s2d=False) keeps the k6 stem but folds every BN —
+    # the round-5 self-review case that slipped the k6-only guard and
+    # would silently drop all folded biases
+    plain = model.fuse(params, stem_s2d=False)
+    with pytest.raises(ValueError, match="training-layout"):
+        export_full_model_pt(model, plain, str(tmp_path / "y.pt"))
