@@ -32,6 +32,10 @@ def main(argv=None) -> None:
     ap.add_argument("--num-classes", type=int, default=None,
                     help="(default: the checkpoint's saved value, else 5)")
     ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--pre-topk", type=int, default=None,
+                    help="candidate pool cap (default 1024; 512 measured "
+                         "+3.3%% at mt/b128, mAP-gated — BENCHMARKS "
+                         "'pre-topk 512')")
     ap.add_argument("--img", type=int, default=None,
                     help="inference size (default: 640, or 1280 for *6 variants)")
     ap.add_argument("--batch", type=int, default=32)
@@ -73,7 +77,10 @@ def main(argv=None) -> None:
 
         params = quantize_for_serving(model, params, paths)
     img = args.img or (1280 if args.variant.endswith("6") else 640)
-    cfg = DetectConfig(img_size=img, conf_threshold=args.conf)
+    cfg_kw = dict(img_size=img, conf_threshold=args.conf)
+    if args.pre_topk:
+        cfg_kw["pre_nms_topk"] = args.pre_topk
+    cfg = DetectConfig(**cfg_kw)
     dl = load_download_bboxes(args.download_bboxes)
     land = gf.read_file(args.land) if args.land else None
 

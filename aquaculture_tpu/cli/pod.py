@@ -40,6 +40,10 @@ def main(argv=None) -> None:
     ap.add_argument("--num-classes", type=int, default=None,
                     help="(default: the checkpoint's saved value, else 5)")
     ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--pre-topk", type=int, default=None,
+                    help="candidate pool cap (default 1024; 512 measured "
+                         "+3.3%% at mt/b128, mAP-gated — BENCHMARKS "
+                         "'pre-topk 512')")
     ap.add_argument("--img", type=int, default=None,
                     help="inference size (default: 640, or 1280 for *6 variants)")
     ap.add_argument("--batch", type=int, default=128)
@@ -89,10 +93,15 @@ def main(argv=None) -> None:
     )
     model, params = load_model(args.weights, args.variant, args.num_classes)
     dl = load_download_bboxes(args.download_bboxes)
+    cfg_kw = dict(
+        img_size=args.img or (1280 if args.variant.endswith("6") else 640),
+        conf_threshold=args.conf,
+    )
+    if args.pre_topk:
+        cfg_kw["pre_nms_topk"] = args.pre_topk
     det, stats = run_pod_pipeline(
         paths, model, params, dl,
-        DetectConfig(img_size=args.img or (1280 if args.variant.endswith("6") else 640),
-                     conf_threshold=args.conf),
+        DetectConfig(**cfg_kw),
         batch_size=args.batch, out_path=args.out,
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
         store=store, overlap=args.overlap,
