@@ -105,11 +105,18 @@ def test_overfit_single_batch_loss_decreases():
         "label_mask": jnp.ones((2, 1), bool),
     }
     losses = []
-    for _ in range(12):
+    for _ in range(30):
         state, m = step_fn(state, batch)
         losses.append(float(m["total"]))
     assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0], losses
+    # The bf16 step's loss trajectory is noisy step-to-step, and the
+    # exact wiggle depends on XLA CPU codegen details (the 8-device
+    # virtual-mesh flag changes reduction order enough to flip a
+    # single-step comparison — the round-5 slow-suite flake: step-12
+    # loss 0.3125 with the flag vs 0.2806 without, same code). Assert
+    # the DESCENT, not one sample: the last-5 average must sit below
+    # the starting loss.
+    assert float(np.mean(losses[-5:])) < losses[0], losses
 
 
 def test_group_classification():
