@@ -63,6 +63,9 @@ class HttpWmsTransport:
             "HEIGHT": str(size),
             "FORMAT": "image/tiff",
             "TRANSPARENT": "TRUE",
+            # the WMS 1.1.1 spec default, sent explicitly so the query's
+            # param set is identical to owslib's (round-5 contract test)
+            "EXCEPTIONS": "application/vnd.ogc.se_xml",
         }
         q = urllib.parse.urlencode(params)
         with urllib.request.urlopen(f"{self.url}?{q}", timeout=self.timeout) as r:

@@ -68,6 +68,7 @@ def _owslib_expected_params(layer, bbox, size):
             "HEIGHT": str(size),
             "FORMAT": "image/tiff",
             "TRANSPARENT": "TRUE",
+            "EXCEPTIONS": "application/vnd.ogc.se_xml",
         }
 
 
@@ -111,16 +112,13 @@ def test_http_wms_getmap_matches_owslib_request_shape(monkeypatch, size):
     got = dict(urllib.parse.parse_qsl(query, keep_blank_values=True))
     want = _owslib_expected_params(layer, BBOX, size)
 
-    # Param keys must match owslib's exactly, except EXCEPTIONS (owslib
-    # sends the WMS 1.1.1 spec DEFAULT application/vnd.ogc.se_xml;
-    # omitting a param whose spec default is the same value is
-    # shape-equivalent).
-    want.pop("EXCEPTIONS", None)
+    # Param keys must match owslib's exactly (EXCEPTIONS included — the
+    # spec default, sent explicitly since round 5)
     assert set(got) == set(want), (sorted(got), sorted(want))
 
     # Value-identical params (literal strings)
     for k in ("SERVICE", "VERSION", "REQUEST", "LAYERS", "STYLES", "SRS",
-              "FORMAT", "TRANSPARENT", "WIDTH", "HEIGHT"):
+              "FORMAT", "TRANSPARENT", "WIDTH", "HEIGHT", "EXCEPTIONS"):
         assert got[k] == want[k], (k, got[k], want[k])
 
     # BBOX: owslib joins str(v); ours formats %.6f — the server parses
