@@ -180,8 +180,39 @@ def _pinwheel(rng):
     return P.MultiPolygon(tris) if len(tris) > 1 else tris[0]
 
 
+def _pinched_donut(rng):
+    """Box with diamond holes that PINCH the boundary at single lattice
+    points: one hole's apex lies exactly on the shell, and with p=0.5 a
+    second hole shares a vertex with the first (hole-touches-hole).
+    OGC-valid (holes touch rings at finitely many points) but exercises
+    the sweep's vertex-coincidence handling between SAME-operand rings —
+    a class the other generators never produce."""
+    x0, y0 = rng.integers(-6, 0, 2).astype(float)
+    w = float(rng.integers(8, 14))
+    h = float(rng.integers(8, 14))
+    outer = P.box(x0, y0, x0 + w, y0 + h)
+    # first hole: diamond with its bottom apex ON the bottom edge
+    cx = x0 + float(rng.integers(3, int(w) - 2))
+    r1 = float(rng.integers(2, 4))
+    hole1 = np.array([
+        (cx, y0), (cx + r1, y0 + r1), (cx, y0 + 2 * r1), (cx - r1, y0 + r1)
+    ], float)
+    holes = [hole1]
+    if rng.random() < 0.5 and y0 + 4 * r1 < y0 + h - 1:
+        # second diamond sharing hole1's TOP apex (hole-touches-hole)
+        r2 = float(rng.integers(1, 3))
+        top = (cx, y0 + 2 * r1)
+        hole2 = np.array([
+            top, (cx + r2, top[1] + r2), (cx, top[1] + 2 * r2),
+            (cx - r2, top[1] + r2)
+        ], float)
+        if top[1] + 2 * r2 < y0 + h:
+            holes.append(hole2)
+    return P.Polygon(outer.exterior, holes)
+
+
 GENS = (_star, _hull_int, _ring, _staircase_multi, _disjoint_multi,
-        _rot_square, _multi_hole, _pinwheel)
+        _rot_square, _multi_hole, _pinwheel, _pinched_donut)
 
 
 def _ring_is_simple(pts: np.ndarray) -> bool:
