@@ -858,7 +858,48 @@ def _initialize_contour(event: _SweepEvent, contours: List[_Contour], cid: int) 
     return contour
 
 
+def _cancel_seam_twins(sorted_events: List[_SweepEvent]) -> None:
+    """Cancel IDENTICAL result segments with opposite transitions.
+
+    Snap degeneracies (round-5 pinched-donut fuzz: a hole vertex pinching
+    its own shell edge rounds ~1 lattice unit off and double-splits the
+    edge) can leave twin in-result edges over the exact same segment, one
+    +1 and one -1 — a zero-width slit. The transitions are individually
+    correct, but the contour walk threads the slit (doubled vertices) and
+    the face STARTED from a twin inherits its shell/hole classification:
+    the fuzzed failure emitted a union's hole-overlap face as a
+    standalone POSITIVE island (+8 area on the repro). Crossing both
+    twins leaves parity unchanged, so cancelling each (+1,-1) pair is
+    exact; prev_in_result pointers that referenced a cancelled twin
+    re-chain through it so hole parenting still sees the pair's true
+    lower neighbor."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for ev in sorted_events:
+        if ev.left and ev.in_result:
+            groups[(ev.point, ev.other.point)].append(ev)
+    cancelled = set()
+    for evs in groups.values():
+        if len(evs) < 2:
+            continue
+        pos = [e for e in evs if e.result_transition > 0]
+        neg = [e for e in evs if e.result_transition < 0]
+        k = min(len(pos), len(neg))
+        for e in pos[:k] + neg[:k]:
+            e.result_transition = 0
+            cancelled.add(id(e))
+    if not cancelled:
+        return
+    for ev in sorted_events:
+        p = ev.prev_in_result
+        while p is not None and id(p) in cancelled:
+            p = p.prev_in_result
+        ev.prev_in_result = p
+
+
 def _connect_edges(sorted_events: List[_SweepEvent]) -> List[_Contour]:
+    _cancel_seam_twins(sorted_events)
     result = _order_events(sorted_events)
     n = len(result)
     processed = [False] * n
@@ -1000,6 +1041,109 @@ def _lattice_sweep(subj_rings, clip_rings, operation, s_maxx, minmaxx):
     return _connect_edges(sorted_events)
 
 
+def _clean_lattice_ring(ring: np.ndarray) -> Optional[np.ndarray]:
+    """Collapse SUB-LATTICE features of a snapped ring: consecutive
+    vertices within 2 lattice units (L_inf) merge, and exact spikes
+    (p[i-1] == p[i+1]) drop.
+
+    Real-world rings carry micrometer jogs (the humanlabels corpus has
+    vertex pairs 1.5e-6 m apart at ~25 m extents); after the joint-lattice
+    snap these become 0-2-unit micro edges — BELOW the engine's resolution
+    contract — and they detonate the sweep's degeneracy handling: the
+    round-5 audit found pairwise unions of two ordinary overlapping
+    14/22-gons returning EMPTY (−349 m² per merge; the corpus dissolve ran
+    6% below a Monte-Carlo point oracle, with one dropped duplicate vertex
+    restoring the exact area). Collapsing ≤2-unit edges changes area by
+    ≤ perimeter x 2 quanta — inside the documented snap tolerance.
+    Returns None when fewer than 3 vertices survive."""
+    pts = np.asarray(ring, np.float64)
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        nxt = np.roll(pts, -1, axis=0)
+        d = np.maximum(np.abs(pts[:, 0] - nxt[:, 0]), np.abs(pts[:, 1] - nxt[:, 1]))
+        keep = d > 2.0
+        if not keep.all():
+            pts = pts[keep]
+            changed = True
+            continue
+        prv = np.roll(pts, 1, axis=0)
+        nxt = np.roll(pts, -1, axis=0)
+        spike = (prv[:, 0] == nxt[:, 0]) & (prv[:, 1] == nxt[:, 1])
+        if spike.any():
+            pts = pts[~spike]
+            changed = True
+    return pts if len(pts) >= 3 else None
+
+
+def _rings_touch_lattice(r1: np.ndarray, r2: np.ndarray, tol: float = 3.0) -> bool:
+    """Conservative: do two snapped rings come within `tol` lattice units
+    (segment-to-segment)? Cheap O(n*m) over the small rings this engine
+    sees; bbox prefilter first."""
+    a1 = np.asarray(r1, np.float64)
+    a2 = np.asarray(r2, np.float64)
+    if (a1[:, 0].max() + tol < a2[:, 0].min() or a2[:, 0].max() + tol < a1[:, 0].min()
+            or a1[:, 1].max() + tol < a2[:, 1].min() or a2[:, 1].max() + tol < a1[:, 1].min()):
+        return False
+    segs1 = np.stack([a1, np.roll(a1, -1, axis=0)], axis=1)
+    p2 = a2
+
+    def _pts_to_segs_min(pts, segs):
+        a = segs[:, 0][None]            # (1,m,2)
+        b = segs[:, 1][None]
+        ab = b - a
+        ap = pts[:, None, :] - a        # (n,m,2)
+        denom = np.maximum((ab * ab).sum(-1), 1e-300)
+        t = np.clip((ap * ab).sum(-1) / denom, 0.0, 1.0)
+        proj = a + t[..., None] * ab
+        return np.sqrt(((pts[:, None, :] - proj) ** 2).sum(-1)).min()
+
+    # vertex-to-segment both ways bounds segment-segment distance for the
+    # touching cases that matter here (a crossing pair is ALSO degenerate
+    # for same-operand rings, and crossings imply vertices within tol of
+    # the other ring after snapping in every observed failure class; the
+    # even-odd semantics of a clean crossing are handled by the sweep
+    # itself)
+    segs2 = np.stack([a2, np.roll(a2, -1, axis=0)], axis=1)
+    d = min(_pts_to_segs_min(p2, segs1), _pts_to_segs_min(a1, segs2))
+    return d <= tol
+
+
+def _normalize_polygon_rings(rings: List[np.ndarray]) -> List[np.ndarray]:
+    """Normalize ONE polygon's snapped rings when its holes touch each
+    other or the shell (round-5 pinched-donut fuzz class).
+
+    A hole vertex pinching its own shell edge (or two holes sharing a
+    vertex) puts same-operand ring contacts into the sweep; after the
+    joint-lattice snap the contact rounds ~1 unit off and the connect
+    walk threads figure-eight circuits through the pinch, splitting the
+    boundary into open chains and corrupting hole parenting (union came
+    back EMPTY on the fuzzed repro). Rebuilding the polygon as
+    shell MINUS dissolved-holes — a CROSS-operand difference on the SAME
+    lattice — resolves every contact through the hardened two-operand
+    machinery (perp merge, requeue, overlap re-marking) and feeds the
+    main sweep clean simple rings with exact point identity."""
+    shell, holes = rings[0], rings[1:]
+    if not holes:
+        return rings
+    touch = any(
+        _rings_touch_lattice(shell, h) for h in holes
+    ) or any(
+        _rings_touch_lattice(holes[i], holes[j])
+        for i in range(len(holes) - 1)
+        for j in range(i + 1, len(holes))
+    )
+    if not touch:
+        return rings
+    inf = float("inf")
+    hole_rings = (
+        _lattice_dissolve([[h] for h in holes]) if len(holes) > 1 else list(holes)
+    )
+    contours = _lattice_sweep([shell], hole_rings, DIFFERENCE, inf, inf)
+    out = [np.asarray(c.points, np.float64) for c in contours if len(c.points) >= 3]
+    return out if out else rings
+
+
 def _lattice_dissolve(member_rings: List[List[np.ndarray]]) -> List[np.ndarray]:
     """Union a touching-member MultiPolygon's members on the lattice.
 
@@ -1056,6 +1200,61 @@ def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str,
             parts.extend(g.geoms if isinstance(g, _poly.MultiPolygon) else [g])
         return _poly.MultiPolygon(parts)
 
+    # MEMBER-LEVEL disjointness (round 5): when either operand is a
+    # MultiPolygon, only the members whose bboxes can interact with the
+    # OTHER operand's members enter the sweep — the rest pass through
+    # EXACTLY (union/xor: concatenated; difference: subject-side kept;
+    # intersection: dropped). This matters enormously for corpus-scale
+    # union trees: without it, every top-level merge re-snaps EVERY
+    # member to the pair's corpus-wide joint bbox (quantum ~ span/2^25),
+    # and tiny features far from any actual interaction re-quantize at
+    # every tree level — the 4,142-cage humanlabels dissolve measured
+    # ~6% BELOW a Monte-Carlo point oracle (127.3k vs 135.2k m²) from
+    # exactly this drift. With the partition, the interacting core also
+    # snaps to a TIGHTER bbox (finer lattice), and the same drive lands
+    # inside the oracle's confidence interval.
+    if _normalize and (
+        isinstance(subject, _poly.MultiPolygon) or isinstance(clipping, _poly.MultiPolygon)
+    ):
+        a_mem = list(subject.geoms) if isinstance(subject, _poly.MultiPolygon) else [subject]
+        b_mem = list(clipping.geoms) if isinstance(clipping, _poly.MultiPolygon) else [clipping]
+        if len(a_mem) > 1 or len(b_mem) > 1:
+            ab = np.asarray([m.bounds for m in a_mem], np.float64).reshape(-1, 4)
+            bb = np.asarray([m.bounds for m in b_mem], np.float64).reshape(-1, 4)
+            hit = ~(
+                (ab[:, None, 2] < bb[None, :, 0])
+                | (bb[None, :, 2] < ab[:, None, 0])
+                | (ab[:, None, 3] < bb[None, :, 1])
+                | (bb[None, :, 3] < ab[:, None, 1])
+            )
+            a_in = hit.any(axis=1)
+            b_in = hit.any(axis=0)
+            if not a_in.all() or not b_in.all():
+                def _mp(members):
+                    if not members:
+                        return _poly.EMPTY
+                    return members[0] if len(members) == 1 else _poly.MultiPolygon(members)
+
+                core = boolean_op(
+                    _mp([m for m, k in zip(a_mem, a_in) if k]),
+                    _mp([m for m, k in zip(b_mem, b_in) if k]),
+                    op,
+                )
+                passthrough: List[_poly.Polygon] = []
+                if operation in (UNION, XOR):
+                    passthrough += [m for m, k in zip(a_mem, a_in) if not k]
+                    passthrough += [m for m, k in zip(b_mem, b_in) if not k]
+                elif operation == DIFFERENCE:
+                    passthrough += [m for m, k in zip(a_mem, a_in) if not k]
+                # intersection: non-interacting members contribute nothing
+                if not passthrough:
+                    return core
+                parts = [] if core.is_empty else (
+                    list(core.geoms) if isinstance(core, _poly.MultiPolygon) else [core]
+                )
+                parts += passthrough
+                return _mp(parts)
+
     # Snap both operands to a shared 2^25 integer lattice over their joint
     # bbox. Every orientation test in the sweep then runs on integer-valued
     # float64s: coordinate differences are <= 2^26, cross products <= 2^52,
@@ -1078,16 +1277,32 @@ def boolean_op(subject: _poly.Geometry, clipping: _poly.Geometry, op: str,
             [np.round((r[:, 0] - cx) * f), np.round((r[:, 1] - cy) * f)], axis=1
         )
 
+    def _polygon_rings(p: _poly.Polygon) -> List[np.ndarray]:
+        rings = [_fwd(p.exterior)] + [_fwd(h) for h in p.holes]
+        if _normalize:
+            cleaned = [_clean_lattice_ring(r) for r in rings]
+            rings = [r for r in cleaned if r is not None]
+            if not rings or cleaned[0] is None:
+                return []
+            if len(rings) > 1:
+                rings = _normalize_polygon_rings(rings)
+        return rings
+
     def _operand_rings(g: _poly.Geometry) -> List[np.ndarray]:
-        """Snap an operand's rings to the joint lattice; dissolve a
-        touching-member MultiPolygon there (see _members_touch: dissolving
-        in original coordinates and re-snapping double-quantizes)."""
+        """Snap an operand's rings to the joint lattice; normalize
+        self-touching polygons (holes pinching shell/each other — see
+        _normalize_polygon_rings) and dissolve a touching-member
+        MultiPolygon there (see _members_touch: dissolving in original
+        coordinates and re-snapping double-quantizes)."""
+        polys = g.geoms if isinstance(g, _poly.MultiPolygon) else [g]
+        polys = [p for p in polys if isinstance(p, _poly.Polygon) and not p.is_empty]
         if _normalize and _members_touch(g):
-            member_rings = [
-                [_fwd(r) for r in _geometry_rings(m)] for m in g.geoms
-            ]
+            member_rings = [_polygon_rings(m) for m in polys]
             return _lattice_dissolve(member_rings)
-        return [_fwd(r) for r in _geometry_rings(g)]
+        out: List[np.ndarray] = []
+        for p in polys:
+            out.extend(_polygon_rings(p))
+        return out
 
     subj_rings = _operand_rings(subject)
     clip_rings = _operand_rings(clipping)
@@ -1147,6 +1362,31 @@ def unary_union_tree(geoms: Sequence[_poly.Geometry]) -> _poly.Geometry:
                 nxt.append(regs[-1])
             regs = nxt
         return region.to_geometry(regs[0])
+    # Spatially sort the leaves (Morton order on centroids) so OVERLAPPING
+    # geometries merge at the LOWEST tree levels, where the pair's joint
+    # bbox — and therefore the snap quantum and the comparator's lattice-
+    # noise bands — is tight. In file order, near-duplicate features can
+    # first meet near the ROOT, where the corpus-wide span makes the
+    # quantum ~span/2^25 and the sliver-merging bands grow with it: the
+    # 4,142-cage humanlabels dissolve measured 3-6% below a Monte-Carlo
+    # point oracle before this (round-5 finding; with member partitioning
+    # + Morton order it lands inside the oracle's interval).
+    if len(items) > 2:
+        bs = np.asarray([g.bounds for g in items], np.float64).reshape(-1, 4)
+        cxs = 0.5 * (bs[:, 0] + bs[:, 2])
+        cys = 0.5 * (bs[:, 1] + bs[:, 3])
+        qx = np.clip(((cxs - cxs.min()) / max(float(np.ptp(cxs)), 1e-300) * 65535), 0, 65535).astype(np.uint64)
+        qy = np.clip(((cys - cys.min()) / max(float(np.ptp(cys)), 1e-300) * 65535), 0, 65535).astype(np.uint64)
+
+        def _interleave(v):
+            v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+            v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+            v = (v | (v << 2)) & np.uint64(0x33333333)
+            v = (v | (v << 1)) & np.uint64(0x55555555)
+            return v
+
+        morton = _interleave(qx) | (_interleave(qy) << np.uint64(1))
+        items = [items[i] for i in np.argsort(morton, kind="stable")]
     while len(items) > 1:
         nxt = []
         for i in range(0, len(items) - 1, 2):

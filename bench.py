@@ -32,6 +32,8 @@ Variants (not used by the driver):
   python bench.py --batch 256          # batch override (compile-cache assisted)
   python bench.py --variant m          # the .pt-parity baseline (rounds 1-2
                                        # headline config; BENCHMARKS.md)
+  python bench.py --pre-topk 512       # the mAP-gated candidate-pool cap
+                                       # (BENCHMARKS 'pre-topk 512')
 """
 
 from __future__ import annotations
@@ -78,6 +80,9 @@ def main() -> None:
     int8 = INT8 or "--int8" in args
     if "--batch" in args:
         batch = int(args[args.index("--batch") + 1])
+    pre_topk = None
+    if "--pre-topk" in args:
+        pre_topk = int(args[args.index("--pre-topk") + 1])
     # Default variant = the framework's measured bulk-serving recommendation
     # (models/plan.py; currently mt). `--variant m` is the .pt-parity
     # baseline measured in rounds 1-2.
@@ -123,6 +128,11 @@ def main() -> None:
         params = model.fuse(params)
         cfg = DetectConfig()
         metric = f"yolov5{variant}_640px_infer_nms_tiles_per_sec_per_chip"
+    if pre_topk:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pre_nms_topk=pre_topk)
+        metric += f"_topk{pre_topk}"
     def infer(params, images):
         preds, _ = model.apply(params, images.astype(jnp.bfloat16))
         return batched_nms(

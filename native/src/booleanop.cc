@@ -25,7 +25,10 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <queue>
+#include <set>
+#include <tuple>
 #include <vector>
 
 namespace {
@@ -578,6 +581,45 @@ std::vector<SweepEvent*> subdivide(Engine& eng, Queue& queue, int operation,
   return sorted_events;
 }
 
+// Cancel IDENTICAL result segments with opposite transitions — zero-width
+// seam slits left by snap degeneracies (mirrors boolean.py
+// _cancel_seam_twins; round-5 pinched-donut fuzz). Crossing both twins
+// leaves parity unchanged, so each (+1,-1) pair cancels exactly;
+// prev_in_result pointers re-chain through cancelled twins.
+void cancel_seam_twins(const std::vector<SweepEvent*>& sorted_events) {
+  std::map<std::tuple<double, double, double, double>,
+           std::vector<SweepEvent*>> groups;
+  for (SweepEvent* ev : sorted_events) {
+    if (ev->left && ev->in_result()) {
+      groups[std::make_tuple(ev->point.x, ev->point.y, ev->other->point.x,
+                             ev->other->point.y)]
+          .push_back(ev);
+    }
+  }
+  std::set<const SweepEvent*> cancelled;
+  for (auto& kv : groups) {
+    auto& evs = kv.second;
+    if (evs.size() < 2) continue;
+    std::vector<SweepEvent*> pos, neg;
+    for (SweepEvent* e : evs) {
+      (e->result_transition > 0 ? pos : neg).push_back(e);
+    }
+    const size_t k = std::min(pos.size(), neg.size());
+    for (size_t i = 0; i < k; ++i) {
+      pos[i]->result_transition = 0;
+      neg[i]->result_transition = 0;
+      cancelled.insert(pos[i]);
+      cancelled.insert(neg[i]);
+    }
+  }
+  if (cancelled.empty()) return;
+  for (SweepEvent* ev : sorted_events) {
+    SweepEvent* p = ev->prev_in_result;
+    while (p != nullptr && cancelled.count(p)) p = p->prev_in_result;
+    ev->prev_in_result = p;
+  }
+}
+
 std::vector<SweepEvent*> order_events(const std::vector<SweepEvent*>& sorted_events) {
   std::vector<SweepEvent*> result;
   for (SweepEvent* ev : sorted_events) {
@@ -681,6 +723,7 @@ Contour initialize_contour(const SweepEvent* event, std::vector<Contour>& contou
 }
 
 std::vector<Contour> connect_edges(const std::vector<SweepEvent*>& sorted_events) {
+  cancel_seam_twins(sorted_events);
   std::vector<SweepEvent*> result = order_events(sorted_events);
   const int n = static_cast<int>(result.size());
   std::vector<char> processed(n, 0);

@@ -859,3 +859,164 @@ def test_pinwheel_scaled_copy_overlap_remark():
         assert res["union"].area == pytest.approx(
             res["intersection"].area + res["difference"].area + dba.area,
             abs=1e-6), name
+
+
+def test_self_touching_hole_operands_normalized():
+    """Round-5 regression (semantic-fuzz pinched-donut class): operands
+    whose HOLES touch their own shell or each other at a vertex. After
+    the joint-lattice snap the contact rounds ~1 unit off, and before the
+    fix the sweep either left zero-width twin seam edges that flipped a
+    face's shell/hole classification (union gained a spurious +8 island)
+    or the connect walk threaded a figure-eight through the pinch and
+    union came back EMPTY. Operands are now normalized on the lattice
+    (shell minus dissolved holes — _normalize_polygon_rings) before the
+    main sweep; the seam-twin cancellation guards the residual class in
+    both engines."""
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    cases = [
+        # hole pinches the OTHER operand-relevant geometry (minimal case)
+        (P.Polygon(np.array([[2., -6], [2, 6], [-6, 6], [-6, -6]]),
+                   [np.array([[-5., 0], [-3, 2], [-1, 0], [-3, -2]])]),
+         P.Polygon(np.array([[6., -4], [6, 5], [-4, 5], [-4, -4]]),
+                   [np.array([[-4., -1], [-1, 2], [2, -1], [-1, -4]])])),
+        # two holes sharing a vertex + a hole pinching the shell (the
+        # union-returns-EMPTY fuzz case)
+        (P.Polygon(np.array([[7., -1], [7, 9], [-3, 9], [-3, -1]]),
+                   [np.array([[1., 1], [3, 3], [5, 1], [3, -1]]),
+                    np.array([[1., 5], [3, 7], [5, 5], [3, 3]])]),
+         P.Polygon(np.array([[6., -5], [6, 3], [-5, 3], [-5, -5]]),
+                   [np.array([[-2., -2], [1, 1], [4, -2], [1, -5]])])),
+    ]
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for A, B in cases:
+        for name in engines:
+            lib = NB._lib
+            if name == "python":
+                NB._lib = None
+            try:
+                res = {op: boolean_op(A, B, op)
+                       for op in ("union", "intersection", "difference", "xor")}
+                dba = boolean_op(B, A, "difference")
+            finally:
+                NB._lib = lib
+            au = res["union"].area
+            s = (res["intersection"].area + res["difference"].area + dba.area)
+            assert au == pytest.approx(s, rel=1e-6), (name, au, s)
+            assert res["xor"].area == pytest.approx(
+                res["difference"].area + dba.area, rel=1e-6), name
+            assert au > 0, (name, "union must not be empty")
+            # cross-check against the rasterized oracle
+            for op, g in res.items():
+                r = _raster_boolean_area(A, B, op, n=2048)
+                got = 0.0 if g.is_empty else g.area
+                assert got == pytest.approx(r, rel=2e-2, abs=2e-2), (name, op, got, r)
+
+
+def test_sublattice_duplicate_vertex_union():
+    """Round-5 corpus audit: real humanlabels intermediates carry
+    micrometer-scale vertex pairs (1.5e-6 m at ~25 m extents); after the
+    joint-lattice snap these became 2-unit micro edges and the union of
+    two ordinary overlapping polygons returned EMPTY (-349 m² per such
+    merge). _clean_lattice_ring collapses sub-lattice features before the
+    sweep. Both engines."""
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    A = P.Polygon(np.array([
+        [4072616.0560625624, 2268888.755815394], [4072617.655137125, 2268888.690532425],
+        [4072617.655137125, 2268888.690530939],  # 1.5 um from its neighbor
+        [4072618.5556280357, 2268888.6537671587], [4072622.4769093012, 2268888.493677343],
+        [4072623.163526357, 2268888.4656456355], [4072623.0740605104, 2268886.1366072474],
+        [4072632.0467418022, 2268885.770300612], [4072632.136204181, 2268888.0993394954],
+        [4072632.3906980767, 2268888.0889497856], [4072632.6792181246, 2268895.6001785584],
+        [4072627.3517932473, 2268895.8176688966], [4072627.4060637774, 2268897.230492599],
+        [4072616.398874443, 2268897.67986886]]))
+    B = P.Polygon(np.array([
+        [4072609.0057195667, 2268889.0436608577], [4072619.808191085, 2268888.6026299116],
+        [4072619.8724212293, 2268890.2746893847], [4072621.693685955, 2268890.2003348973],
+        [4072621.6623832504, 2268889.3854517443], [4072623.04217349, 2268889.329121481],
+        [4072623.0092467256, 2268888.471944485], [4072631.389784662, 2268888.1298108012],
+        [4072631.692815151, 2268896.0187711283], [4072631.4194720965, 2268896.029929947],
+        [4072631.5026162495, 2268898.1944561377], [4072626.0989116086, 2268898.41506255],
+        [4072626.209605279, 2268901.2967463615], [4072622.1436485536, 2268901.46274258],
+        [4072622.2054311144, 2268903.071094556], [4072619.094397878, 2268903.198106578],
+        [4072619.2034803345, 2268906.037753475], [4072609.782977541, 2268906.4223642326],
+        [4072609.627776384, 2268902.382303215], [4072609.3942782367, 2268902.3918359457],
+        [4072609.06709307, 2268893.874816812], [4072609.19111593, 2268893.8697532886]]))
+    engines = ["native"] if NB.load_library() is not None else []
+    engines.append("python")
+    for name in engines:
+        lib = NB._lib
+        if name == "python":
+            NB._lib = None
+        try:
+            u = boolean_op(A, B, "union")
+            i = boolean_op(A, B, "intersection")
+        finally:
+            NB._lib = lib
+        want = A.area + B.area - i.area
+        assert u.area == pytest.approx(want, rel=1e-4), (name, u.area, want)
+        assert u.area > 300, name
+
+
+@pytest.mark.xfail(reason="known residual class (round 5): two union-tree "
+                   "intermediates sharing a LONG near-duplicate boundary "
+                   "run (sub-quantum offsets snap into chained overlap "
+                   "merges) can still split the outer ring at a "
+                   "degenerate multi-visit point; the corpus-level impact "
+                   "after the round-5 fixes is ~1.4% on the 4,142-cage "
+                   "dissolve (133.3k vs the 135.2k Monte-Carlo oracle, "
+                   "from 6.2% before)", strict=False)
+def test_near_duplicate_boundary_run_union():
+    from aquaculture_tpu.geo import native_boolean as NB
+
+    A = P.Polygon(np.array([
+        [4072597.6312563606, 2268896.2053702455], [4072602.814958491, 2268895.9937248584],
+        [4072602.7675134134, 2268894.7587140887], [4072603.357540616, 2268894.7346246643],
+        [4072603.2646708, 2268892.3171887165], [4072604.6935305283, 2268892.258850586],
+        [4072604.6098377933, 2268890.080244946], [4072613.074947477, 2268889.734634422],
+        [4072613.042073359, 2268888.878866744], [4072612.41983342, 2268888.9042715286],
+        [4072612.2883130917, 2268885.4806068903], [4072613.8346939054, 2268885.4174737437],
+        [4072613.8244079417, 2268885.149720332], [4072625.091799488, 2268884.689717946],
+        [4072625.2335975543, 2268888.381135173], [4072621.8896367964, 2268888.5176553484],
+        [4072622.0038526193, 2268891.4909824906], [4072614.616432093, 2268891.792583995],
+        [4072614.620030206, 2268891.886258327], [4072615.7623537807, 2268891.839619411],
+        [4072616.0822584433, 2268900.1673303675], [4072613.7556193243, 2268900.2623208817],
+        [4072613.9338896214, 2268904.9029859817], [4072611.849606533, 2268904.988082919],
+        [4072611.86975317, 2268905.512536279], [4072606.812593731, 2268905.719011538],
+        [4072606.834833097, 2268906.2979030167], [4072598.0327906436, 2268906.657280806]]))
+    B = P.Polygon(np.array([
+        [4072609.0057195667, 2268889.043661097], [4072619.8081910913, 2268888.60262963],
+        [4072623.0092465687, 2268888.471944142], [4072623.163526171, 2268888.465645623],
+        [4072623.074060587, 2268886.1366072963], [4072632.0467415764, 2268885.77030052],
+        [4072632.136204403, 2268888.099339536], [4072631.3897847054, 2268888.1298105274],
+        [4072631.6928153858, 2268896.018771183], [4072631.4194719153, 2268896.029930254],
+        [4072631.5026162313, 2268898.1944563836], [4072626.0989119345, 2268898.415062421],
+        [4072626.209605121, 2268901.296746362], [4072622.1436485723, 2268901.462742713],
+        [4072622.205430864, 2268903.0710944855], [4072619.0943979584, 2268903.1981064687],
+        [4072619.2034801524, 2268906.037753635], [4072609.782977675, 2268906.422364514],
+        [4072609.6277764225, 2268902.382303104], [4072609.394278308, 2268902.3918360164],
+        [4072609.0670930785, 2268893.874817092], [4072609.191116074, 2268893.8697531847]]))
+    u = boolean_op(A, B, "union")
+    i = boolean_op(A, B, "intersection")
+    want = A.area + B.area - i.area
+    assert u.area == pytest.approx(want, rel=1e-3), (u.area, want)
+
+
+def test_corpus_dissolve_tracks_mc_oracle(reference_output_dir):
+    """The 4,142-cage humanlabels dissolve vs the round-5 Monte-Carlo
+    point oracle (135,200 +/- 700 m²; scripts in the round-5 audit).
+    Pre-round-5 the generic union tree measured 127,302 (-5.8%) from
+    corpus-span re-quantization, sub-lattice operand features, and
+    connect-walk degeneracies; member-level bbox partitioning + Morton
+    leaf ordering + lattice ring cleaning recover it to ~133,300 (-1.4%,
+    the xfail class above owns most of the residual). This bracket
+    guards against regressing toward either failure regime."""
+    from aquaculture_tpu import frame
+    from aquaculture_tpu.geo.boolean import union_area
+
+    gdf = frame.read_file(str(reference_output_dir / "humanlabels.geojson")).to_crs(3035)
+    geoms = [g for g in gdf.geometry if g is not None and not g.is_empty]
+    v = union_area(geoms)
+    assert 132000.0 < v < 137000.0, v
